@@ -1,0 +1,44 @@
+"""Deterministic mock OCR codec — the sandbox stand-in for real engines.
+
+The reference's OCR engines (PaddleOCR ``ocr_engine.py:163-263``,
+DeepSeek-OCR-2 ``deepseek_ocr2_engine.py:96-345``) are GPU model calls.
+This container has no OCR models, so ``media_ref`` carries a
+deterministic payload the mock engine "recognizes": the Ray-side plumbing
+(actor pool, batch shape, confidence routing) is identical to what a real
+engine drop-in would use — swap ``decode_media`` for a model call.
+
+media_ref format: ``mock://ocr/v1;b64,<urlsafe-base64-utf8-text>``
+A real deployment would hold e.g. ``s3://bucket/page-123.png`` here.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+PREFIX = "mock://ocr/v1;b64,"
+
+
+def encode_media(text: str) -> str:
+    """Build a media_ref payload that round-trips the given page text."""
+    return PREFIX + base64.urlsafe_b64encode(text.encode()).decode("ascii")
+
+
+def decode_media(media_ref: str) -> str:
+    """The mock 'model inference': recover page text from the payload."""
+    if not media_ref.startswith(PREFIX):
+        return ""
+    try:
+        return base64.urlsafe_b64decode(media_ref[len(PREFIX):].encode("ascii")).decode()
+    except Exception:
+        return ""
+
+
+def mock_confidence(text: str) -> float:
+    """Deterministic pseudo-confidence in [0.90, 0.998] keyed on content.
+
+    Stands in for the per-fragment confidences real engines return
+    (ocr_engine.py:18-23); deterministic so goldens are stable.
+    """
+    h = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
+    return 0.90 + (h % 99) / 1000.0
