@@ -1,0 +1,89 @@
+"""Extract-and-compare: the reference's core voucher-vs-reference flow.
+
+Reference lifecycle (``run_ocr.py:115-308``): process reference folder ->
+BARRIER build index -> process voucher folder -> per-page match ->
+merge -> report.  Ray-Data-native topology: two Datasets; the build
+(reference) side is enriched, collected into a compact ``PageIndex`` and
+broadcast once via ``ray.put`` (the two-phase barrier becomes a
+materialized small side, not an execution-order assumption); the probe
+(voucher) side streams through a ``PageMatcher`` actor pool, then the
+``groupby(source_doc_id)`` ordered run-merge.
+
+Scale note: this topology assumes the build side fits in one object
+(the reference's in-memory index assumption).  When the build side is
+large, swap ``broadcast`` for a hash-shuffle co-partition: add
+``bucket = hash(text_hash) % B`` to both sides, groupby bucket, and run
+``match_page`` per bucket — same per-row semantics, no broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray
+import ray.data
+
+from ..config import MATCHING
+from ..stages.enrich import FeatureEnricher
+from ..stages.match import PageIndex, PageMatcher, merge_match_group
+
+
+def enrich_spans(extracted: ray.data.Dataset, doc_types: dict | None = None,
+                 batch_size: int = 1024) -> ray.data.Dataset:
+    """Attach feature columns to extracted span rows."""
+    kwargs = {"doc_types": doc_types} if doc_types else {}
+    return extracted.map_batches(
+        FeatureEnricher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        fn_constructor_kwargs=kwargs,
+    )
+
+
+def build_index(reference_enriched: ray.data.Dataset) -> PageIndex:
+    """Materialize the (small) build side into the broadcastable index.
+
+    The only full materialization in the pipeline — deliberately on the
+    reference side, mirroring the reference's in-memory index barrier
+    (run_ocr.py:229-242).
+    """
+    cols = ["doc_id", "offset", "text", "keywords", "dates", "amounts", "text_hash"]
+    rows = reference_enriched.select_columns(cols).take_all()
+    return PageIndex.from_rows(rows)
+
+
+def match_spans(
+    probe_enriched: ray.data.Dataset,
+    index: PageIndex,
+    cfg: Optional[dict] = None,
+    concurrency=(1, 4),
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """Probe every span against the broadcast index -> match-result rows."""
+    index_ref = ray.put(index)
+    return probe_enriched.map_batches(
+        PageMatcher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"index_ref": index_ref, "cfg": cfg or MATCHING},
+    )
+
+
+def merge_matches(match_results: ray.data.Dataset) -> ray.data.Dataset:
+    """J6: consecutive-run merge per source document (ordered shuffle)."""
+    return match_results.groupby("source_doc_id").map_groups(
+        merge_match_group, batch_format="pyarrow"
+    )
+
+
+def run_compare(
+    probe_extracted: ray.data.Dataset,
+    reference_extracted: ray.data.Dataset,
+    cfg: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Full compare pipeline over two extracted-span Datasets."""
+    index = build_index(enrich_spans(reference_extracted))
+    results = match_spans(enrich_spans(probe_extracted), index, cfg)
+    return merge_matches(results)

@@ -1,0 +1,101 @@
+"""Span extraction stage — the hybrid routing engine as an actor pool.
+
+One callable class handles all four kinds per batch (the reference's
+``HybridOCREngine`` shape: one actor owning every engine,
+``hybrid_ocr_engine.py:49-247``).  State (compiled patterns, the OCR
+"model", thresholds) is built once per actor in ``__init__`` and reused
+across batches; a real OCR model would be loaded in exactly the same
+place (``ocr_engine.py:56-73``, ``deepseek_ocr2_engine.py:60-94``).
+
+``kind == "text"`` rows take a vectorized zero-copy fast path; the other
+kinds are inherently per-string algorithms (DOM parse, layout parse,
+model inference) executed in the batch loop.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EXTRACTION
+from ..functions.html_strip import strip_html
+from ..functions.mock_ocr import decode_media, mock_confidence
+from ..functions.pdf_parse import parse_text_layer
+from ..functions.similarity import agreement_ratio
+
+
+class SpanExtractor:
+    def __init__(self, agreement_threshold: float | None = None):
+        self.thr = (
+            agreement_threshold
+            if agreement_threshold is not None
+            else EXTRACTION["agreement_threshold"]
+        )
+        # Warm per-actor state here.  The mock engine has no weights; a real
+        # deployment loads the OCR model / HTML parser pools at this point.
+        self._strip = strip_html
+        self._parse_pdf = parse_text_layer
+        self._ocr = decode_media
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kind_arr = batch["kind"]
+        all_text = pc.all(pc.equal(kind_arr, "text")).as_py()
+        n = len(batch)
+        if all_text:
+            # zero-copy fast path: canonical text == input text
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "kind": kind_arr,
+                    "text": batch["text"],
+                    "media_ref": batch["media_ref"],
+                    "offset": batch["offset"],
+                    "route": pa.array(["native"] * n),
+                    "score": pa.array([1.0] * n, type=pa.float64()),
+                }
+            )
+        kinds = kind_arr.to_pylist()
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        out_text = texts  # reuse list; overwrite in place where routed
+        routes = [""] * n
+        scores = [0.0] * n
+        thr = self.thr
+        for i, k in enumerate(kinds):
+            if k == "text":
+                routes[i] = "native"
+                scores[i] = 1.0
+            elif k == "html":
+                out_text[i] = self._strip(texts[i])
+                routes[i] = "html"
+                scores[i] = 1.0
+            elif k == "scan":
+                decoded = self._ocr(refs[i])
+                out_text[i] = decoded
+                routes[i] = "ocr"
+                scores[i] = mock_confidence(decoded)
+            elif k == "pdf":
+                native = self._parse_pdf(texts[i])
+                if not refs[i]:
+                    out_text[i] = native
+                    routes[i] = "native"
+                    scores[i] = 1.0
+                else:
+                    ocr = self._ocr(refs[i])
+                    ratio = agreement_ratio(native, ocr)
+                    out_text[i] = native if ratio >= thr else ocr
+                    routes[i] = "native" if ratio >= thr else "ocr"
+                    scores[i] = ratio
+            else:
+                routes[i] = "passthrough"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": kind_arr,
+                "text": pa.array(out_text, type=pa.string()),
+                "media_ref": batch["media_ref"],
+                "offset": batch["offset"],
+                "route": pa.array(routes),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,77 @@
+"""Integration: the flagship pipeline reproduces the golden oracle exactly
+under span-sequence equality (kind, text, media_ref, order)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_ocr_comparison_tool_ray.oracle import golden_spans
+from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+    interleave,
+    run_extraction,
+)
+from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
+from pdf_ocr_comparison_tool_ray.sources.interleave import derive_spans
+from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+
+def _flat_ds(docs):
+    return ray.data.from_pandas(pd.DataFrame(docs)[["doc_id", "text"]])
+
+
+def _result_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+def _golden_df(docs):
+    rows = golden_spans([(d["doc_id"], d["text"]) for d in docs])
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_explode_zero_copy_schema():
+    docs = make_corpus(5, seed=1, skew_docs=0)
+    tbl = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "spans": [derive_spans(d["doc_id"], d["text"]) for d in docs],
+        }
+    )
+    out = explode_spans(tbl)
+    assert out.column_names == ["doc_id", "kind", "text", "media_ref", "offset"]
+    assert len(out) == sum(len(t) for t in tbl["spans"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_sequence_equality_small():
+    docs = make_corpus(30, seed=42, skew_docs=0)
+    result = _result_df(run_extraction(interleave(_flat_ds(docs)), batch_size=64))
+    golden = _golden_df(docs)
+    assert len(result) == len(golden)
+    for col in ["doc_id", "seq", "kind", "text", "media_ref", "route"]:
+        assert result[col].tolist() == golden[col].tolist(), f"mismatch in {col}"
+    assert (result["score"] - golden["score"]).abs().max() < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_sequence_equality_with_skew_tail():
+    # a few documents with ~100x median span count exercise explode +
+    # repartition and prove order survives block splitting
+    docs = make_corpus(20, seed=7, skew_docs=2)
+    result = _result_df(
+        run_extraction(interleave(_flat_ds(docs)), batch_size=32, num_output_blocks=16)
+    )
+    golden = _golden_df(docs)
+    assert len(result) == len(golden)
+    for col in ["doc_id", "seq", "kind", "text", "media_ref"]:
+        assert result[col].tolist() == golden[col].tolist(), f"mismatch in {col}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seq_is_dense_and_sorted_per_doc():
+    docs = make_corpus(10, seed=3, skew_docs=0)
+    result = _result_df(run_extraction(interleave(_flat_ds(docs))))
+    for _, g in result.groupby("doc_id"):
+        assert g["seq"].tolist() == list(range(len(g)))

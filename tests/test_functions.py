@@ -1,0 +1,181 @@
+"""Unit tests for the pure-function core (no Ray)."""
+
+import random
+
+from pdf_ocr_comparison_tool_ray.functions.classify import RuleClassifier
+from pdf_ocr_comparison_tool_ray.functions.extract import extract_span
+from pdf_ocr_comparison_tool_ray.functions.features import (
+    extract_amounts,
+    extract_dates,
+    extract_numbers,
+)
+from pdf_ocr_comparison_tool_ray.functions.html_strip import strip_html
+from pdf_ocr_comparison_tool_ray.functions.lang import detect_language
+from pdf_ocr_comparison_tool_ray.functions.mock_ocr import decode_media, encode_media
+from pdf_ocr_comparison_tool_ray.functions.pagerange import format_range, parse_range
+from pdf_ocr_comparison_tool_ray.functions.pdf_parse import (
+    parse_text_layer,
+    serialize_text_layer,
+)
+from pdf_ocr_comparison_tool_ray.functions.project import ProjectDetector
+from pdf_ocr_comparison_tool_ray.functions.quality import quality_ok, quality_signals
+from pdf_ocr_comparison_tool_ray.functions.similarity import (
+    cosine_similarity,
+    jaccard_similarity,
+    levenshtein_similarity,
+)
+from pdf_ocr_comparison_tool_ray.functions.textnorm import (
+    normalize_amount,
+    text_hash,
+)
+from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize, top_keywords
+from pdf_ocr_comparison_tool_ray.config import DOCUMENT_TYPES_ZH, PROJECTS_EN
+from pdf_ocr_comparison_tool_ray.sources.interleave import wrap_html
+
+CANNED_REF = "生物孵化器SARS项目加固工程款 日期：2003-05-31 金额：300000元"
+CANNED_SRC = "生物孵化器SARS项目加固工程款（首期）日期：2003-05-31 金额：300000元"
+
+
+def test_text_hash_normalization():
+    # whitespace-insensitive, case-insensitive (content_matcher.py:30-35)
+    assert text_hash("Hello  World") == text_hash("helloworld")
+    assert text_hash("a b\nc") == text_hash("abc")
+    assert text_hash("x") != text_hash("y")
+
+
+def test_normalize_amount():
+    assert normalize_amount("300,000 元") == "300000元"
+    assert normalize_amount("1，234.56") == "1234.56"
+
+
+def test_tokenize_cjk_bigrams():
+    assert tokenize("abc 123") == ["abc", "123"]
+    assert tokenize("生物孵化器") == ["生物", "物孵", "孵化", "化器"]
+    assert tokenize("水") == ["水"]
+
+
+def test_top_keywords_deterministic_tiebreak():
+    # equal counts -> lexicographic
+    assert top_keywords("bb aa bb aa cc", 2) == ["aa", "bb"]
+    # digits and short tokens filtered (ocr_engine.py:405-407)
+    assert "12" not in top_keywords("12 12 12 word word")
+
+
+def test_feature_regexes_reference_patterns():
+    assert extract_dates(CANNED_REF) == ["2003-05-31"]
+    assert extract_dates("2024年3月15日 2024.06.30 2024/07/01") == sorted(
+        ["2024年3月15日", "2024.06.30", "2024/07/01"]
+    )
+    amounts = extract_amounts(CANNED_REF)
+    assert "300000元" in amounts and "金额：300000" in amounts
+    assert "¥50,000.00" in extract_amounts("资金申请 ¥50,000.00")
+    nums = extract_numbers("合同号：HT2024001 编号：SP-2024-017")
+    assert "合同号：HT2024001" in nums and "HT2024001" in nums
+
+
+def test_similarity_kernels():
+    assert cosine_similarity(CANNED_REF, CANNED_REF) == 1.0
+    s = cosine_similarity(CANNED_REF, CANNED_SRC)
+    assert 0.9 < s < 1.0
+    assert jaccard_similarity("a b c", "a b c") == 1.0
+    assert jaccard_similarity("aa bb", "cc dd") == 0.0
+    assert levenshtein_similarity("abc", "abd") == 1 - 1 / 3
+    assert levenshtein_similarity("", "") == 1.0
+    assert levenshtein_similarity("a", "") == 0.0
+    # 1000-char truncation quirk (content_matcher.py:132-134)
+    long1 = "x" * 2000
+    long2 = "x" * 1000 + "y" * 1000
+    assert levenshtein_similarity(long1, long2) == 1.0
+
+
+def test_levenshtein_matches_naive_dp():
+    def naive(t1, t2):
+        m, n = len(t1), len(t2)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            dp[i][0] = i
+        for j in range(n + 1):
+            dp[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                if t1[i - 1] == t2[j - 1]:
+                    dp[i][j] = dp[i - 1][j - 1]
+                else:
+                    dp[i][j] = min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]) + 1
+        return 1 - dp[m][n] / max(m, n)
+
+    rng = random.Random(3)
+    for _ in range(10):
+        a = "".join(rng.choice("abcd日期金额") for _ in range(rng.randint(1, 40)))
+        b = "".join(rng.choice("abcd日期金额") for _ in range(rng.randint(1, 40)))
+        assert abs(levenshtein_similarity(a, b) - naive(a, b)) < 1e-12
+
+
+def test_rule_classifier():
+    clf = RuleClassifier(DOCUMENT_TYPES_ZH)
+    dt, conf, kws = clf.classify("记账凭证 借方 贷方 科目")
+    assert dt == "凭证" and conf > 0.5 and "借方" in kws
+    dt, conf, _ = clf.classify("no keywords here")
+    assert dt == "other" and conf == 0.5
+    dt, _, _ = clf.classify("工程建设合同书 甲方 乙方 协议")
+    assert dt == "合同书"
+
+
+def test_project_detector():
+    det = ProjectDetector(PROJECTS_EN)
+    assert det.detect("src0", "") == ("proj_alpha", 1.0, "path")
+    proj, conf, mt = det.detect("srcX", "customer order customer")
+    assert proj == "proj_beta" and mt == "content"
+    assert det.detect("srcX", "nothing relevant") == ("unassigned", 0.0, "none")
+
+
+def test_html_strip_roundtrip():
+    rng = random.Random(5)
+    for chunk in ["hello world data", "a < b & c > d", CANNED_REF]:
+        assert strip_html(wrap_html(chunk, rng)) == chunk
+
+
+def test_pdf_layer_roundtrip_scrambled_blocks():
+    txt = " ".join(f"w{i}" for i in range(100))
+    for order in ([3, 1, 0, 2, 4], [4, 3, 2, 1, 0]):
+        assert parse_text_layer(serialize_text_layer(txt, block_order=order)) == txt
+    assert parse_text_layer("raw non-layer text") == "raw non-layer text"
+
+
+def test_mock_ocr_roundtrip():
+    assert decode_media(encode_media(CANNED_REF)) == CANNED_REF
+    assert decode_media("not-a-ref") == ""
+
+
+def test_extract_span_routing():
+    text, route, score = extract_span("text", "abc", "")
+    assert (text, route, score) == ("abc", "native", 1.0)
+    chunk = "alpha beta gamma delta"
+    rng = random.Random(9)
+    text, route, _ = extract_span("html", wrap_html(chunk, rng), "")
+    assert (text, route) == (chunk, "html")
+    text, route, _ = extract_span("scan", "", encode_media(chunk))
+    assert (text, route) == (chunk, "ocr")
+    # pdf: clean layer -> native wins; fully corrupted -> ocr wins
+    layer = serialize_text_layer(chunk)
+    text, route, score = extract_span("pdf", layer, encode_media(chunk))
+    assert (text, route) == (chunk, "native") and score == 1.0
+    bad_layer = serialize_text_layer("zz qq vv nn")
+    text, route, score = extract_span("pdf", bad_layer, encode_media(chunk))
+    assert (text, route) == (chunk, "ocr") and score < 0.85
+
+
+def test_pagerange():
+    assert format_range(0, 2) == "P1-P3"
+    assert format_range(4, 4) == "P5"
+    assert parse_range("P1-P3") == (1, 3)
+    assert parse_range("P7") == (7, 7)
+
+
+def test_lang_and_quality():
+    assert detect_language("the cat and the dog in the house")[0] == "en"
+    assert detect_language("el perro y la casa de los gatos en madrid")[0] == "es"
+    assert detect_language("生物孵化器项目加固工程款项目验收报告")[0] == "zh"
+    sig = quality_signals("the quick brown fox jumps over the lazy dog again today")
+    assert sig["n_words"] == 11 and quality_ok(sig)
+    assert not quality_ok(quality_signals("short"))
