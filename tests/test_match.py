@@ -1,0 +1,96 @@
+"""Compare pipeline vs the pure-Python match oracle."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_ocr_comparison_tool_ray.oracle_match import golden_matches
+from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare
+from pdf_ocr_comparison_tool_ray.pipelines.extraction import interleave, run_extraction
+from pdf_ocr_comparison_tool_ray.stages.match import merge_match_group
+from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+
+def _extracted(docs):
+    flat = ray.data.from_pandas(pd.DataFrame(docs)[["doc_id", "text"]])
+    out = run_extraction(interleave(flat), ocr_concurrency=2)
+    # reassembled output -> rename seq back to offset for the match stage
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _probe_corpus(ref_docs):
+    probe = []
+    # exact duplicates: same doc_id AND text -> identical chunking -> hash path
+    for d in ref_docs[:4]:
+        probe.append({"doc_id": d["doc_id"], "text": d["text"]})
+    # near-duplicates: same text, different doc_id -> different chunking,
+    # shared dates/amounts -> candidate-pruning path
+    for d in ref_docs[4:8]:
+        probe.append({"doc_id": "near_" + d["doc_id"], "text": d["text"]})
+    # unrelated: novel vocabulary -> fallback path -> low/none
+    for i in range(3):
+        probe.append(
+            {
+                "doc_id": f"unrel{i:03d}",
+                "text": " ".join(f"novel{j}tok unseen{j}" for j in range(i * 7, i * 7 + 30)),
+            }
+        )
+    return probe
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compare_matches_oracle():
+    ref_docs = make_corpus(12, seed=100, skew_docs=0)
+    probe_docs = _probe_corpus(ref_docs)
+    result = run_compare(_extracted(probe_docs), _extracted(ref_docs))
+    df = (
+        result.to_pandas()
+        .sort_values(["source_doc_id", "source_start"])
+        .reset_index(drop=True)
+    )
+    golden = pd.DataFrame(
+        golden_matches(
+            [(d["doc_id"], d["text"]) for d in probe_docs],
+            [(d["doc_id"], d["text"]) for d in ref_docs],
+        )
+    ).sort_values(["source_doc_id", "source_start"]).reset_index(drop=True)
+    assert len(df) == len(golden)
+    for col in [
+        "source_doc_id", "source_start", "source_end", "match_status",
+        "target_doc_id", "target_start", "target_end",
+    ]:
+        assert df[col].tolist() == golden[col].tolist(), f"mismatch in {col}"
+    assert (df["similarity"] - golden["similarity"]).abs().max() < 1e-9
+    assert [list(k) for k in df["matched_keywords"]] == golden["matched_keywords"].tolist()
+    # every match path exercised
+    statuses = set(df["match_status"])
+    assert "exact" in statuses
+    assert statuses - {"exact"}  # at least one non-exact outcome
+
+
+def test_merge_run_semantics():
+    # consecutive same-target same-status rows collapse; unmatched never merge
+    rows = {
+        "source_doc_id": ["d"] * 5,
+        "source_offset": [0, 1, 2, 3, 4],
+        "doc_type": ["t"] * 5,
+        "match_status": ["exact", "exact", "partial", "none", "none"],
+        "target_doc_id": ["r", "r", "r", "", ""],
+        "target_offset": [10, 11, 12, -1, -1],
+        "similarity": [1.0, 0.98, 0.8, 0.0, 0.0],
+        "matched_keywords": [["a"], ["b"], ["c"], [], []],
+    }
+    out = merge_match_group(pa.Table.from_pydict(rows)).to_pylist()
+    assert len(out) == 4  # (0-1 merged), (2), (3), (4)
+    first = out[0]
+    assert first["source_start"] == 0 and first["source_end"] == 1
+    assert first["target_start"] == 10 and first["target_end"] == 11
+    assert abs(first["similarity"] - 0.99) < 1e-12
+    assert first["matched_keywords"] == ["a", "b"]
+    assert out[2]["match_status"] == "none" and out[3]["match_status"] == "none"
