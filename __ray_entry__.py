@@ -1,44 +1,157 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship interleaved-extraction pipeline on
+sf0.001; ``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (plus the dedup / similarity-search / text-analysis
+extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query.  Ray is initialised by the driver — nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).parent))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: interleave sf0.001 documents -> extract -> reassemble."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_from_flat,
+    )
+
+    return run_extraction_from_flat("/root/testdata/sf0.001/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible pipelines (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+def _q_extraction_pipeline(sf_dir: str):
+    """Full flagship extraction over interleaved docs derived from sf_dir."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_from_flat,
+    )
+
+    return run_extraction_from_flat(f"{sf_dir}/documents.parquet")
+
+
+def _q_compare_pipeline(sf_dir: str):
+    """Extract-and-compare: even doc_ids are the reference side, odd the probe."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        run_extraction,
+    )
+
+    flat = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # limit the corpus so the O(probe x candidates) scoring stays test-sized
+    flat = flat.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 200)), batch_format="pyarrow"
+    )
+
+    def run_side(pred):
+        side = flat.map_batches(
+            lambda t, p=pred: t.filter(p(t["doc_id"])), batch_format="pyarrow"
+        )
+        out = run_extraction(interleave(side), ocr_concurrency=2)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    probe = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 1))
+    build = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 0))
+    return run_compare(probe, build)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=8)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.functions.fingerprint import rolling_fingerprint
+    from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "fingerprint": pd.Series(
+                    [rolling_fingerprint(tokenize(t)) for t in batch["text"].to_pylist()],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.knn import knn_cosine_ivf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    return knn_cosine_ivf(
+        ds, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()), k=10
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
+    }
+    out.update(
+        {
+            "extraction_pipeline": _q_extraction_pipeline,
+            "compare_pipeline": _q_compare_pipeline,
+            "minhash_lsh_pairs": _q_minhash_pairs,
+            "simhash_pairs": _q_simhash_pairs,
+            "doc_fingerprint": _q_doc_fingerprint,
+            "knn_cosine_ivf": _q_knn_ivf,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -1,0 +1,880 @@
+"""Operator-level queries over the driver testdata + matching DuckDB oracles.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame;
+``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet (views: region nation customer supplier part orders lineitem
+events documents embeddings).  Column names and value representations are
+chosen to hash identically on both sides:
+
+* no raw float SUMs (summation-order ulps) — money/value aggregates are
+  integer cents via per-row round(x*100);
+* single-division ratios of exact ints are bit-identical either way;
+* cosine similarities rounded to 6 decimals;
+* timestamps exported as epoch microseconds, days as 'YYYY-MM-DD' strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import DOCUMENT_TYPES_EN, LANG_STOPWORDS, PROJECTS_EN
+from ..functions.quality import quality_ok, quality_signals
+from ..functions.textnorm import text_hash_many
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_DIGITS_RE = re.compile(r"^[0-9]+$")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _prefix_key(text: str, k: int = 2) -> str:
+    toks = _LOWER_TOKEN_RE.findall(text.lower())[:k]
+    return hashlib.md5("".join(toks).encode()).hexdigest()
+
+
+_PREFIX_KEY_SQL = (
+    "md5(array_to_string(list_slice("
+    "regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 2), ''))"
+)
+
+# ---------------------------------------------------------------------------
+# M17/D1: normalization hash
+# ---------------------------------------------------------------------------
+def q_normalize_hash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_hash": pa.array(text_hash_many(batch["text"].to_pylist())),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_HASH = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s', '', 'g')) AS text_hash
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup on a content key (first-2-token prefix so dup groups exist)
+# ---------------------------------------------------------------------------
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_key(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["content_key"] = [_prefix_key(t) for t in df["text"]]
+        # batch-local combiner: one row per key per batch
+        return df.groupby("content_key", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_key": [group["content_key"].iloc[0]],
+                "doc_id": [group["doc_id"].min()],
+                "dup_count": [int(group["dup_count"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("content_key")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT {_PREFIX_KEY_SQL} AS content_key,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# J1: exact-key match join (probe = odd doc_id, build = even doc_id)
+# ---------------------------------------------------------------------------
+def q_exact_match_join(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    build_rows = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pandas(),
+                "content_key": [_prefix_key(t) for t in b["text"].to_pylist()],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    build = build_rows[build_rows["doc_id"] % 2 == 0]
+    index: dict = {}
+    for did, key in zip(build["doc_id"], build["content_key"]):
+        index.setdefault(key, []).append(int(did))
+    index_ref = ray.put(index)
+
+    class Probe:
+        def __init__(self):
+            self.index = ray.get(index_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            src, tgt = [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                if did % 2 == 0:
+                    continue
+                for hit in self.index.get(_prefix_key(text), ()):
+                    src.append(did)
+                    tgt.append(hit)
+            return pd.DataFrame(
+                {
+                    "source_doc_id": pd.Series(src, dtype="int64"),
+                    "target_doc_id": pd.Series(tgt, dtype="int64"),
+                    "similarity": pd.Series([1.0] * len(src), dtype="float64"),
+                }
+            )
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 2))
+
+
+SQL_EXACT_MATCH_JOIN = f"""
+WITH keyed AS (
+  SELECT doc_id, {_PREFIX_KEY_SQL} AS content_key FROM documents
+)
+SELECT p.doc_id AS source_doc_id,
+       b.doc_id AS target_doc_id,
+       1.0 AS similarity
+FROM keyed p JOIN keyed b USING (content_key)
+WHERE p.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# A3/K3: global keyword top-50
+# ---------------------------------------------------------------------------
+def q_keyword_topk(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for text in batch["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text):
+                if len(tok) >= 2 and not _DIGITS_RE.match(tok):
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame(
+            {"keyword": list(counts.keys()),
+             "occurrences": pd.Series(list(counts.values()), dtype="int64")}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("keyword")
+        .aggregate(Sum("occurrences", alias_name="occurrences"))
+    )
+    df = agg.to_pandas()
+    return (
+        df.sort_values(["occurrences", "keyword"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+
+
+SQL_KEYWORD_TOPK = """
+SELECT kw AS keyword, count(*) AS occurrences
+FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw FROM documents)
+WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+GROUP BY kw
+ORDER BY occurrences DESC, kw
+LIMIT 50
+"""
+
+# ---------------------------------------------------------------------------
+# M8: top-10 keywords per document
+# ---------------------------------------------------------------------------
+def q_keywords_per_doc(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        out_doc, out_kw, out_occ, out_rk = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts: dict = {}
+            for tok in _TOKEN_RE.findall(text):
+                if len(tok) >= 2 and not _DIGITS_RE.match(tok):
+                    counts[tok] = counts.get(tok, 0) + 1
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            for rk, (kw, occ) in enumerate(ranked, 1):
+                out_doc.append(did)
+                out_kw.append(kw)
+                out_occ.append(occ)
+                out_rk.append(rk)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "keyword": out_kw,
+                "occurrences": pd.Series(out_occ, dtype="int64"),
+                "rk": pd.Series(out_rk, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_KEYWORDS_PER_DOC = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), counts AS (
+  SELECT doc_id, kw, count(*) AS occurrences
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY doc_id, kw
+), ranked AS (
+  SELECT doc_id, kw AS keyword, occurrences,
+         row_number() OVER (PARTITION BY doc_id ORDER BY occurrences DESC, kw) AS rk
+  FROM counts
+)
+SELECT doc_id, keyword, occurrences, rk FROM ranked WHERE rk <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# M10: rule classification (EN vocabulary, reference scoring rule)
+# ---------------------------------------------------------------------------
+_EN_PATTERNS = [
+    (name, [ (kw, re.compile(re.escape(kw))) for kw in cfg["keywords"] ], cfg["priority"])
+    for name, cfg in DOCUMENT_TYPES_EN.items()
+]
+
+
+def q_classify_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        out_type, out_score = [], []
+        for text in batch["text"].to_pylist():
+            scores = []
+            for name, kws, prio in _EN_PATTERNS:
+                n = sum(len(pat.findall(text)) for _, pat in kws)
+                scores.append((name, n * (100 - prio) if n else 0))
+            positive = [s for s in scores if s[1] > 0]
+            if positive:
+                best = max(positive, key=lambda kv: kv[1])  # first-max = dict order
+            else:
+                best = ("other", 0)
+            out_type.append(best[0])
+            out_score.append(best[1])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "doc_type": out_type,
+                "score": pd.Series(out_score, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _sql_count(kw: str) -> str:
+    return f"length(regexp_extract_all(text, '{kw}'))"
+
+
+def _sql_type_score(cfg) -> str:
+    total = " + ".join(_sql_count(kw) for kw in cfg["keywords"])
+    return f"(CASE WHEN ({total}) > 0 THEN ({total}) * (100 - {cfg['priority']}) ELSE 0 END)"
+
+
+_T = list(DOCUMENT_TYPES_EN.items())
+SQL_CLASSIFY = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_sql_type_score(_T[0][1])} AS s0,
+         {_sql_type_score(_T[1][1])} AS s1,
+         {_sql_type_score(_T[2][1])} AS s2,
+         {_sql_type_score(_T[3][1])} AS s3
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0 THEN 'other'
+            WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN '{_T[0][0]}'
+            WHEN s1 >= s2 AND s1 >= s3 THEN '{_T[1][0]}'
+            WHEN s2 >= s3 THEN '{_T[2][0]}'
+            ELSE '{_T[3][0]}' END AS doc_type,
+       greatest(s0, s1, s2, s3) AS score
+FROM scored
+"""
+
+# ---------------------------------------------------------------------------
+# M14–M16: project attribution (source-as-path rule, else content scoring)
+# ---------------------------------------------------------------------------
+def q_project_detect(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    src_map = {
+        s: name for name, cfg in PROJECTS_EN.items() for s in cfg.get("sources", [])
+    }
+    rules = [
+        (name, [(kw.lower(), len(kw)) for kw in cfg["keywords"]])
+        for name, cfg in PROJECTS_EN.items()
+    ]
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        out_proj, out_mt = [], []
+        for text, source in zip(batch["text"].to_pylist(), batch["source"].to_pylist()):
+            hit = src_map.get(source)
+            if hit is not None:
+                out_proj.append(hit)
+                out_mt.append("path")
+                continue
+            lowered = text.lower()
+            scores = [
+                (name, sum(lowered.count(kw) * w for kw, w in kws))
+                for name, kws in rules
+            ]
+            positive = [s for s in scores if s[1] > 0]
+            if positive:
+                out_proj.append(max(positive, key=lambda kv: kv[1])[0])
+                out_mt.append("content")
+            else:
+                out_proj.append("unassigned")
+                out_mt.append("none")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "project": out_proj,
+                "match_type": out_mt,
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _sql_proj_score(cfg) -> str:
+    # count(kw) * len(kw) == chars removed by replace-all -> no division needed
+    return " + ".join(
+        f"(length(lower(text)) - length(replace(lower(text), '{kw.lower()}', '')))"
+        for kw in cfg["keywords"]
+    )
+
+
+_P = list(PROJECTS_EN.items())
+_SRC_CASES = " ".join(
+    f"WHEN source IN ({', '.join(repr(s) for s in cfg['sources'])}) THEN '{name}'"
+    for name, cfg in _P
+)
+SQL_PROJECT_DETECT = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST({_sql_proj_score(_P[0][1])} AS BIGINT) AS s0,
+         CAST({_sql_proj_score(_P[1][1])} AS BIGINT) AS s1,
+         CAST({_sql_proj_score(_P[2][1])} AS BIGINT) AS s2
+  FROM documents
+)
+SELECT doc_id,
+       CASE {_SRC_CASES}
+            WHEN s0 = 0 AND s1 = 0 AND s2 = 0 THEN 'unassigned'
+            WHEN s0 >= s1 AND s0 >= s2 THEN '{_P[0][0]}'
+            WHEN s1 >= s2 THEN '{_P[1][0]}'
+            ELSE '{_P[2][0]}' END AS project,
+       CASE {_SRC_CASES.replace("THEN 'proj_alpha'", "THEN 'path'").replace("THEN 'proj_beta'", "THEN 'path'").replace("THEN 'proj_gamma'", "THEN 'path'")}
+            WHEN s0 = 0 AND s1 = 0 AND s2 = 0 THEN 'none'
+            ELSE 'content' END AS match_type
+FROM scored
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: language id
+# ---------------------------------------------------------------------------
+_LANGS = list(LANG_STOPWORDS.items())
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pats = [
+        (lang, re.compile(r"\b(?:" + "|".join(words) + r")\b"))
+        for lang, words in _LANGS
+    ]
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for text in batch["text"].to_pylist():
+            lowered = text.lower()
+            best_lang, best_hits = "unknown", 0
+            for lang, pat in pats:
+                hits = len(pat.findall(lowered))
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            out.append(best_lang)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_pandas(), "lang_pred": out}
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _sql_lang_hits(words) -> str:
+    alt = "|".join(words)
+    return f"length(regexp_extract_all(lower(text), '\\b({alt})\\b'))"
+
+
+SQL_LANG_ID = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits(_LANGS[0][1])} AS h0,
+         {_sql_lang_hits(_LANGS[1][1])} AS h1,
+         {_sql_lang_hits(_LANGS[2][1])} AS h2,
+         {_sql_lang_hits(_LANGS[3][1])} AS h3
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h0 = 0 AND h1 = 0 AND h2 = 0 AND h3 = 0 THEN 'unknown'
+            WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 THEN '{_LANGS[0][0]}'
+            WHEN h1 >= h2 AND h1 >= h3 THEN '{_LANGS[1][0]}'
+            WHEN h2 >= h3 THEN '{_LANGS[2][0]}'
+            ELSE '{_LANGS[3][0]}' END AS lang_pred
+FROM hits
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: quality signals
+# ---------------------------------------------------------------------------
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = quality_signals(text)
+            rows.append(
+                {
+                    "doc_id": did,
+                    "n_words": int(sig["n_words"]),
+                    "mean_word_len": sig["mean_word_len"],
+                    "stopword_ratio": sig["stopword_ratio"],
+                    "punct_ratio": sig["punct_ratio"],
+                    "digit_ratio": sig["digit_ratio"],
+                    "ok": quality_ok(sig),
+                }
+            )
+        df = pd.DataFrame(rows)
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["n_words"] = df["n_words"].astype("int64")
+        return df
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+_STOP_ALT = "|".join(["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"])
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+         length(regexp_extract_all(lower(text), '\\b({_STOP_ALT})\\b')) AS n_stop,
+         length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         length(words) AS n_words,
+         CASE WHEN length(words) > 0
+              THEN CAST(length(array_to_string(words, '')) AS DOUBLE) / length(words)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(words) > 0
+              THEN CAST(n_stop AS DOUBLE) / length(words) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, stopword_ratio, punct_ratio, digit_ratio,
+       (n_words >= 10 AND punct_ratio <= 0.3
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok
+FROM sig
+"""
+
+# ---------------------------------------------------------------------------
+# token stats (global)
+# ---------------------------------------------------------------------------
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        n_tokens = sum(len(_TOKEN_RE.findall(t)) for t in batch["text"].to_pylist())
+        return pd.DataFrame(
+            {"n_docs": pd.Series([len(batch)], dtype="int64"),
+             "n_tokens": pd.Series([n_tokens], dtype="int64")}
+        )
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs, n_tokens = int(totals["n_docs"]), int(totals["n_tokens"])
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_tokens": pd.Series([n_tokens], dtype="int64"),
+            "avg_tokens": [n_tokens / n_docs if n_docs else 0.0],
+        }
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n FROM documents
+)
+SELECT count(*) AS n_docs,
+       sum(n) AS n_tokens,
+       CAST(sum(n) AS DOUBLE) / count(*) AS avg_tokens
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# A1/A2-style relational aggregates (TPC-H flavored, integer-cents safe)
+# ---------------------------------------------------------------------------
+def q_lineitem_agg(sf_dir: str):
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= cutoff),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["qty"] = df["l_quantity"].astype("int64")
+        df["price_cents"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_price_cents=("price_cents", "sum"),
+            n=("qty", "size"),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """Broadcast join: orders -> customer -> nation, grouped revenue."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    class AddNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["n_name"] = df["o_custkey"].map(self.lookup)
+            df["rev_cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+            return df.groupby("n_name", as_index=False).agg(
+                n_orders=("o_custkey", "size"), revenue_cents=("rev_cents", "sum")
+            )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_doc_stats_by_lang_source(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+# ---------------------------------------------------------------------------
+# A4-style: events timeline with exact distinct users
+# ---------------------------------------------------------------------------
+def q_events_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["value_cents"] = np.rint(df["value"] * 100).astype("int64")
+        return df.groupby(["day", "user_id"], as_index=False).agg(
+            n_events=("user_id", "size"), value_cents=("value_cents", "sum")
+        )
+
+    per_user = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+    return per_user.groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Count(alias_name="n_users"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# J6-analog: gaps-and-islands run merge over the events log
+# ---------------------------------------------------------------------------
+def q_sessionize_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def merge_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        rows = []
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or g["event_type"].iloc[i] != g["event_type"].iloc[start]:
+                rows.append(
+                    {
+                        "user_id": int(g["user_id"].iloc[0]),
+                        "event_type": g["event_type"].iloc[start],
+                        "start_us": int(g["ts"].iloc[start].value // 1000),
+                        "end_us": int(g["ts"].iloc[i - 1].value // 1000),
+                        "n_events": i - start,
+                    }
+                )
+                start = i
+        return pd.DataFrame(rows)
+
+    return ds.groupby("user_id").map_groups(merge_user, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events
+FROM ordered
+GROUP BY user_id, event_type, island
+"""
+
+# ---------------------------------------------------------------------------
+# K-style: top users by total event value
+# ---------------------------------------------------------------------------
+def q_top_users_by_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["value_cents"] = np.rint(df["value"] * 100).astype("int64")
+        return df.groupby("user_id", as_index=False).agg(
+            value_cents=("value_cents", "sum"), n_events=("user_id", "size")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["value_cents", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOP_USERS = """
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY value_cents DESC, user_id
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k (+ exact near-dup pairs)
+# ---------------------------------------------------------------------------
+def q_knn_cosine(sf_dir: str):
+    from ..stages.knn import knn_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    result = knn_cosine(
+        ds, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()), k=10
+    ).to_pandas()
+    result["cosine"] = result["cosine"].round(6)
+    result["query_id"] = result["query_id"].astype("int64")
+    result["vec_id"] = result["vec_id"].astype("int64")
+    result = result.rename(columns={"rank": "rk"})
+    return result[["query_id", "vec_id", "rk", "cosine"]]
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, rk, round(c, 6) AS cosine FROM r WHERE rk <= 10
+"""
+
+
+def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
+    """Exact all-pairs near-dup: each batch scores against the broadcast matrix."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    all_df = ds.to_pandas().sort_values("vec_id")
+    ids = all_df["vec_id"].to_numpy()
+    mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put({"ids": ids, "unit": unit})
+
+    class Pairs:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids = d["ids"]
+            self.unit = d["unit"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            bids = batch["vec_id"].to_numpy()
+            u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = u @ self.unit.T
+            rows_a, rows_b, rows_c = [], [], []
+            for i in range(len(bids)):
+                mask = (sims[i] >= threshold) & (self.ids > bids[i])
+                for j in np.where(mask)[0]:
+                    rows_a.append(int(bids[i]))
+                    rows_b.append(int(self.ids[j]))
+                    rows_c.append(round(float(sims[i, j]), 6))
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(rows_a, dtype="int64"),
+                    "vec_b": pd.Series(rows_b, dtype="int64"),
+                    "cosine": pd.Series(rows_c, dtype="float64"),
+                }
+            )
+
+    return ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 2))
+
+
+SQL_EMBEDDING_DUP = """
+WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+SQL_QUERIES = {
+    "normalize_hash": (q_normalize_hash, SQL_NORMALIZE_HASH),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "exact_match_join": (q_exact_match_join, SQL_EXACT_MATCH_JOIN),
+    "keyword_topk": (q_keyword_topk, SQL_KEYWORD_TOPK),
+    "keywords_per_doc": (q_keywords_per_doc, SQL_KEYWORDS_PER_DOC),
+    "classify_documents": (q_classify_documents, SQL_CLASSIFY),
+    "project_detect": (q_project_detect, SQL_PROJECT_DETECT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_scores": (q_quality, SQL_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "doc_stats_by_lang_source": (q_doc_stats_by_lang_source, SQL_DOC_STATS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "top_users_by_value": (q_top_users_by_value, SQL_TOP_USERS),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "embedding_dup": (q_embedding_dup, SQL_EMBEDDING_DUP),
+}

@@ -1,0 +1,144 @@
+"""Report aggregates (reference A1–A4, A8) as pre-aggregated groupbys.
+
+Reference: ``content_matcher.py:385-406`` (match summary),
+``main.py:521-547`` (per-project sheet), ``main.py:645-666`` (keyword
+analysis, top-50), ``main.py:683-707`` (timeline sheet),
+``main.py:305-306`` (per-doc main-type vote).
+
+Every aggregate pre-reduces inside ``map_batches`` (one row per key per
+batch) before the ``groupby`` so the shuffle moves partials, not rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+
+# ---------------------------------------------------------------------------
+# A1: match-status summary
+# ---------------------------------------------------------------------------
+def match_summary(match_results: ray.data.Dataset) -> pd.DataFrame:
+    """Global counts per status + match_rate (content_matcher.py:385-406)."""
+    counts = (
+        match_results.groupby("match_status")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    by = dict(zip(counts["match_status"], counts["n"]))
+    exact = int(by.get("exact", 0))
+    partial = int(by.get("partial", 0))
+    return pd.DataFrame(
+        [
+            {
+                "total": total,
+                "exact_matches": exact,
+                "partial_matches": partial,
+                "low_similarity": int(by.get("low", 0)),
+                "not_found": int(by.get("none", 0)),
+                "match_rate": (exact + partial) / total if total else 0.0,
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: per-group (project / lang / source) summary
+# ---------------------------------------------------------------------------
+def _status_indicator_batch(batch: pa.Table, group_col: str) -> pd.DataFrame:
+    df = batch.select([group_col, "match_status", "similarity"]).to_pandas()
+    for status in ("exact", "partial", "low", "none"):
+        df[f"n_{status}"] = (df["match_status"] == status).astype("int64")
+    agg = df.groupby(group_col, as_index=False).agg(
+        n_rows=("match_status", "size"),
+        n_exact=("n_exact", "sum"),
+        n_partial=("n_partial", "sum"),
+        n_low=("n_low", "sum"),
+        n_none=("n_none", "sum"),
+        sim_sum=("similarity", "sum"),
+    )
+    return agg
+
+
+def group_summary(match_results: ray.data.Dataset, group_col: str) -> ray.data.Dataset:
+    """Per-group match stats with batch-level pre-aggregation (main.py:521-547)."""
+    partial = match_results.map_batches(
+        lambda b: _status_indicator_batch(b, group_col), batch_format="pyarrow"
+    )
+    return partial.groupby(group_col).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_exact", alias_name="n_exact"),
+        Sum("n_partial", alias_name="n_partial"),
+        Sum("n_low", alias_name="n_low"),
+        Sum("n_none", alias_name="n_none"),
+        Sum("sim_sum", alias_name="sim_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: keyword analysis — top-50 keywords with distinct-doc counts
+# ---------------------------------------------------------------------------
+def _explode_keyword_pairs(batch: pa.Table) -> pd.DataFrame:
+    df = batch.select(["doc_id", "keywords"]).to_pandas()
+    ex = df.explode("keywords").dropna(subset=["keywords"])
+    ex = ex.rename(columns={"keywords": "keyword"})
+    # batch-local pre-reduction: one row per (keyword, doc)
+    return ex.groupby(["keyword", "doc_id"], as_index=False).agg(occ=("doc_id", "size"))
+
+
+def keyword_analysis(enriched: ray.data.Dataset, top_n: int = 50) -> pd.DataFrame:
+    """Top-N keywords by occurrence with distinct-doc counts (main.py:645-666).
+
+    Two-phase exact distinct: dedup (keyword, doc) pairs, then count.
+    """
+    pairs = enriched.map_batches(_explode_keyword_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["keyword", "doc_id"]).aggregate(Sum("occ", alias_name="occ"))
+    ranked = (
+        deduped.groupby("keyword")
+        .aggregate(Sum("occ", alias_name="occurrences"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    ranked = ranked.sort_values(
+        ["occurrences", "keyword"], ascending=[False, True]
+    ).head(top_n)
+    return ranked.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# A4: timeline — per-extracted-date rollup
+# ---------------------------------------------------------------------------
+def _explode_date_pairs(batch: pa.Table) -> pd.DataFrame:
+    df = batch.select(["doc_id", "dates"]).to_pandas()
+    ex = df.explode("dates").dropna(subset=["dates"]).rename(columns={"dates": "date"})
+    return ex.groupby(["date", "doc_id"], as_index=False).agg(occ=("doc_id", "size"))
+
+
+def timeline(enriched: ray.data.Dataset) -> pd.DataFrame:
+    """Per-date distinct docs + occurrences, date-sorted (main.py:683-707)."""
+    pairs = enriched.map_batches(_explode_date_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["date", "doc_id"]).aggregate(Sum("occ", alias_name="occ"))
+    out = (
+        deduped.groupby("date")
+        .aggregate(Sum("occ", alias_name="occurrences"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("date").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# A8: per-document main-type vote (mode of span doc_types)
+# ---------------------------------------------------------------------------
+def _doc_type_mode(group: pd.DataFrame) -> pd.DataFrame:
+    counts = group.groupby("doc_type").size()
+    # deterministic argmax: count desc, type asc
+    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    return pd.DataFrame({"doc_id": [group["doc_id"].iloc[0]], "main_type": [best]})
+
+
+def doc_main_type(enriched: ray.data.Dataset) -> ray.data.Dataset:
+    """Mode of per-span doc_type per document (main.py:305-306)."""
+    light = enriched.select_columns(["doc_id", "doc_type"])
+    return light.groupby("doc_id").map_groups(_doc_type_mode, batch_format="pandas")
