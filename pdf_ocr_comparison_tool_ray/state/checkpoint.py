@@ -1,0 +1,160 @@
+"""Checkpoint-resumable extraction with per-partition lineage + metrics.
+
+Replaces the reference's OCR cache / processed-file checkpoint
+(``ocr_cache.py:50-57`` keyed md5(path|size|mtime);
+``batch_processor.py:103-153`` processed-file list) with the
+batch-pipeline equivalent:
+
+* partition assignment is a pure function of ``doc_id``
+  (md5-hash mod P) — stable across runs and processes, never a function
+  of execution order;
+* one output parquet per partition, written atomically
+  (tmp file + rename) by the same task that reassembles the partition;
+* a manifest JSON per partition (``_manifest/p{i}.json``) recording
+  lineage: partition id, doc/span counts, wall seconds, seed, input
+  path — written only after the data file rename succeeds;
+* on resume, completed partitions are skipped before the pipeline runs
+  (the filter happens at the explode stage, so finished work is never
+  recomputed past the cheap scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..pipelines.extraction import extract_spans, interleave, read_flat_documents
+
+
+def partition_of(doc_id: str, num_partitions: int) -> int:
+    """Stable hash-mod partition assignment (resume determinism)."""
+    h = int.from_bytes(hashlib.md5(doc_id.encode()).digest()[:8], "big")
+    return h % num_partitions
+
+
+def _manifest_dir(out_dir: str) -> Path:
+    return Path(out_dir) / "_manifest"
+
+
+def completed_partitions(out_dir: str) -> List[int]:
+    mdir = _manifest_dir(out_dir)
+    if not mdir.is_dir():
+        return []
+    done = []
+    for f in sorted(mdir.glob("p*.json")):
+        try:
+            entry = json.loads(f.read_text())
+            part_file = Path(out_dir) / entry["file"]
+            if part_file.is_file():
+                done.append(int(entry["partition"]))
+        except (ValueError, KeyError, OSError):
+            continue
+    return done
+
+
+def _make_partition_writer(out_dir: str, seed: int, input_path: str):
+    """map_groups UDF factory: reassemble one partition, write it
+    atomically, record lineage; emits the partition's metrics row."""
+
+    def write_partition(group: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        part = int(group["partition"].iloc[0])
+        g = group.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        g["seq"] = g.groupby("doc_id").cumcount().astype("int32")
+        out_cols = ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
+        table = pa.Table.from_pandas(g[out_cols], preserve_index=False)
+
+        fname = f"part-{part:05d}.parquet"
+        final = Path(out_dir) / fname
+        tmp = Path(out_dir) / f".tmp-{fname}-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # atomic on the same filesystem
+
+        n_docs = int(g["doc_id"].nunique())
+        wall = time.perf_counter() - t0
+        mdir = _manifest_dir(out_dir)
+        mdir.mkdir(parents=True, exist_ok=True)
+        entry = {
+            "partition": part,
+            "file": fname,
+            "n_docs": n_docs,
+            "n_spans": int(len(g)),
+            "wall_sec": round(wall, 4),
+            "seed": seed,
+            "input_path": input_path,
+        }
+        mtmp = mdir / f".tmp-p{part}.json"
+        mtmp.write_text(json.dumps(entry))
+        os.replace(mtmp, mdir / f"p{part}.json")
+        return pd.DataFrame(
+            [
+                {
+                    "partition": part,
+                    "n_docs": n_docs,
+                    "n_spans": int(len(g)),
+                    "wall_sec": wall,
+                }
+            ]
+        )
+
+    return write_partition
+
+
+def run_extraction_checkpointed(
+    flat_path: str,
+    out_dir: str,
+    num_partitions: int = 16,
+    seed: int = 42,
+    ocr_concurrency=None,
+) -> pd.DataFrame:
+    """Run (or resume) the flagship extraction, one parquet per partition.
+
+    Returns the per-partition metrics of THIS run (already-completed
+    partitions are skipped and do not appear).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = set(completed_partitions(out_dir))
+    remaining = [p for p in range(num_partitions) if p not in done]
+    if not remaining:
+        return pd.DataFrame(columns=["partition", "n_docs", "n_spans", "wall_sec"])
+
+    flat = read_flat_documents(flat_path)
+    done_frozen = frozenset(done)
+    np_ = num_partitions
+
+    def drop_done(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = batch["doc_id"].astype(str).map(lambda d: partition_of(d, np_))
+        keep = ~parts.isin(done_frozen)
+        return batch.loc[keep]
+
+    flat = flat.map_batches(drop_done, batch_format="pandas")
+    extracted = extract_spans(interleave(flat, seed=seed), ocr_concurrency=ocr_concurrency)
+
+    def add_partition(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["partition"] = (
+            batch["doc_id"].astype(str).map(lambda d: partition_of(d, np_)).astype("int32")
+        )
+        return batch
+
+    partitioned = extracted.map_batches(add_partition, batch_format="pandas")
+    stats = partitioned.groupby("partition").map_groups(
+        _make_partition_writer(out_dir, seed, flat_path), batch_format="pandas"
+    )
+    return stats.to_pandas().sort_values("partition").reset_index(drop=True)
+
+
+def read_checkpointed_output(out_dir: str) -> ray.data.Dataset:
+    """Read back the per-partition output files as one Dataset."""
+    files = sorted(str(p) for p in Path(out_dir).glob("part-*.parquet"))
+    return ray.data.read_parquet(files)

@@ -1,0 +1,94 @@
+"""Checkpoint/resume: partition-deterministic output, skip-on-resume,
+byte-identical results after a simulated mid-run failure."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from pdf_ocr_comparison_tool_ray.oracle import golden_spans
+from pdf_ocr_comparison_tool_ray.state.checkpoint import (
+    completed_partitions,
+    partition_of,
+    read_checkpointed_output,
+    run_extraction_checkpointed,
+)
+from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+P = 8
+
+
+@pytest.fixture()
+def corpus_parquet(tmp_path):
+    docs = make_corpus(25, seed=11, skew_docs=1)
+    df = pd.DataFrame(docs)[["doc_id", "text"]]
+    path = tmp_path / "flat.parquet"
+    df.to_parquet(path, index=False)
+    return str(path), docs
+
+
+def _read_sorted(out_dir):
+    df = read_checkpointed_output(out_dir).to_pandas()
+    return df.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_write_resume_identical(tmp_path, corpus_parquet):
+    flat_path, docs = corpus_parquet
+    out_dir = str(tmp_path / "out")
+
+    stats = run_extraction_checkpointed(flat_path, out_dir, num_partitions=P,
+                                        ocr_concurrency=2)
+    assert sorted(stats["partition"]) == sorted(
+        {partition_of(d["doc_id"], P) for d in docs}
+    )
+    assert set(completed_partitions(out_dir)) == set(stats["partition"])
+    full1 = _read_sorted(out_dir)
+
+    # output matches the golden oracle (span-sequence equality)
+    golden = pd.DataFrame(golden_spans([(d["doc_id"], d["text"]) for d in docs]))
+    for col in ["doc_id", "seq", "kind", "text", "media_ref"]:
+        assert full1[col].tolist() == golden[col].tolist(), col
+
+    # simulate a failure: destroy 3 partitions (data + manifest)
+    victims = sorted(set(stats["partition"]))[:3]
+    for p in victims:
+        (Path(out_dir) / f"part-{p:05d}.parquet").unlink()
+        (Path(out_dir) / "_manifest" / f"p{p}.json").unlink()
+
+    survivors = {
+        f: (Path(out_dir) / f).stat().st_mtime
+        for f in [f"part-{p:05d}.parquet" for p in completed_partitions(out_dir)]
+    }
+
+    stats2 = run_extraction_checkpointed(flat_path, out_dir, num_partitions=P,
+                                         ocr_concurrency=2)
+    # resume processed ONLY the destroyed partitions
+    assert sorted(stats2["partition"]) == victims
+    # survivors untouched (not rewritten)
+    for f, mtime in survivors.items():
+        assert (Path(out_dir) / f).stat().st_mtime == mtime
+    # and the combined output is identical to the first full run
+    full2 = _read_sorted(out_dir)
+    pd.testing.assert_frame_equal(full1, full2)
+
+    # a third run is a no-op
+    stats3 = run_extraction_checkpointed(flat_path, out_dir, num_partitions=P)
+    assert len(stats3) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_manifest_lineage_fields(tmp_path, corpus_parquet):
+    flat_path, _docs = corpus_parquet
+    out_dir = str(tmp_path / "out2")
+    run_extraction_checkpointed(flat_path, out_dir, num_partitions=4,
+                                ocr_concurrency=2)
+    mfiles = sorted((Path(out_dir) / "_manifest").glob("p*.json"))
+    assert mfiles
+    for f in mfiles:
+        entry = json.loads(f.read_text())
+        assert {"partition", "file", "n_docs", "n_spans", "wall_sec",
+                "seed", "input_path"} <= set(entry)
+        assert entry["input_path"] == flat_path
