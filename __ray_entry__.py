@@ -132,6 +132,34 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    # group_col bounds the O(n^2) in-group comparison; `source` keeps
+    # groups ~n/10 here — at scale use an LSH bucket as the group key
+    return ngram_jaccard_pairs(ds, group_col="source", ngram=2, threshold=0.5)
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import (
+        featurize_media,
+        media_from_text_batch,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    return featurize_media(media, concurrency=2, batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
 
@@ -146,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_pairs": _q_simhash_pairs,
             "doc_fingerprint": _q_doc_fingerprint,
             "knn_cosine_ivf": _q_knn_ivf,
+            "ngram_jaccard_pairs": _q_ngram_jaccard,
+            "multimodal_features": _q_multimodal_features,
         }
     )
     return out

@@ -22,20 +22,49 @@ from ..config import STAGE
 from ..sources.interleave import derive_documents_batch
 from ..stages.explode import explode_spans
 from ..stages.extract import SpanExtractor
-from ..stages.reassemble import reassemble_group
+from ..stages.reassemble import reassemble_batch_local, reassemble_group
 
 
-def read_flat_documents(path: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    """Read a flat documents parquet, pruned to the needed columns."""
-    return ray.data.read_parquet(path, columns=list(columns))
+def tune_context() -> None:
+    """Per-session Ray Data tuning for the wide steps.
+
+    Push-based shuffle: the pull-based default coordinates P x P block
+    fetches from the driver and dominated wall time for groupby/sort at
+    P>=64 partitions (measured 51s -> 32s on the sf0.1x32 headline);
+    push-based pipelines the exchange.  Idempotent, safe to call from
+    every pipeline entry point.
+    """
+    from ray.data import DataContext
+
+    DataContext.get_current().use_push_based_shuffle = True
+
+
+def read_flat_documents(
+    path: str, columns=("doc_id", "text"), num_blocks: Optional[int] = None
+) -> ray.data.Dataset:
+    """Read a flat documents parquet, pruned to the needed columns.
+
+    ``num_blocks`` sets the read parallelism (cheap SplitBlocks, no
+    shuffle); downstream stages use batch-per-block so the block count
+    chosen here IS the pipeline's parallelism.  Aim for >= 2-4x the
+    worker slots.
+    """
+    return ray.data.read_parquet(
+        path, columns=list(columns), override_num_blocks=num_blocks
+    )
 
 
 def interleave(flat: ray.data.Dataset, seed: int = 42) -> ray.data.Dataset:
-    """Flat (doc_id, text) -> interleaved (doc_id, spans) documents."""
+    """Flat (doc_id, text) -> interleaved (doc_id, spans) documents.
+
+    batch_size=None (batch == block): a fixed row batch_size would make
+    Ray bundle small blocks into ~batch_size tasks, silently capping the
+    stage's parallelism at n_rows/batch_size regardless of cluster size.
+    """
     return flat.map_batches(
         derive_documents_batch,
         batch_format="pandas",
-        batch_size=STAGE["batch_size"],
+        batch_size=None,
         fn_kwargs={"seed": seed},
     )
 
@@ -54,7 +83,7 @@ def extract_spans(
     docs: ray.data.Dataset,
     *,
     ocr_concurrency: Optional[int] = None,
-    batch_size: Optional[int] = None,
+    batch_size="auto",
     num_output_blocks: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Interleaved documents -> extracted (unordered) span rows."""
@@ -71,18 +100,36 @@ def extract_spans(
 
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
         ocr_concurrency = (1, max(1, min(STAGE["ocr_concurrency"], total_cpus - 1)))
+    # batch_size semantics: "auto" -> STAGE default (fixed batches, what a
+    # GPU OCR engine wants); None -> batch == block, so task granularity is
+    # the block count chosen at the read and bundling never caps parallelism.
     return spans.map_batches(
         SpanExtractor,
         batch_format="pyarrow",
-        batch_size=batch_size or STAGE["ocr_batch_size"],
+        batch_size=STAGE["ocr_batch_size"] if batch_size == "auto" else batch_size,
         concurrency=ocr_concurrency,
     )
 
 
 def reassemble(extracted: ray.data.Dataset) -> ray.data.Dataset:
-    """Extracted span rows -> ordered span sequences (the output invariant)."""
+    """Extracted span rows -> ordered span sequences (the output invariant).
+
+    The general path: a ``groupby(doc_id)`` shuffle co-locates a
+    document's spans wherever they live, then the in-group sort(offset)
+    orders them.  Required whenever spans were scattered (skew
+    repartition, pre-exploded inputs).
+    """
+    tune_context()
     return extracted.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow"
+    )
+
+
+def reassemble_local(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """Shuffle-free reassembly for doc-local span blocks (see
+    ``reassemble_batch_local`` for the validity condition)."""
+    return extracted.map_batches(
+        reassemble_batch_local, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -90,16 +137,28 @@ def run_extraction(
     docs: ray.data.Dataset,
     *,
     ocr_concurrency: Optional[int] = None,
-    batch_size: Optional[int] = None,
+    batch_size="auto",
     num_output_blocks: Optional[int] = None,
 ) -> ray.data.Dataset:
-    """Full flagship pipeline over an interleaved documents Dataset."""
+    """Full flagship pipeline over an interleaved documents Dataset.
+
+    Reassembly strategy: documents stay block-local through
+    explode+extract only when nothing re-cuts block boundaries — no skew
+    repartition (``num_output_blocks is None``) and batch==block in the
+    extractor (``batch_size is None``; a fixed batch_size can split a
+    task's output at batch edges once blocks approach
+    ``target_max_block_size``).  When both hold, the shuffle-free local
+    reassembly is used; otherwise the general groupby(doc_id) shuffle.
+    """
+    tune_context()
     extracted = extract_spans(
         docs,
         ocr_concurrency=ocr_concurrency,
         batch_size=batch_size,
         num_output_blocks=num_output_blocks,
     )
+    if num_output_blocks is None and batch_size is None:
+        return reassemble_local(extracted)
     return reassemble(extracted)
 
 
@@ -108,11 +167,14 @@ def run_extraction_from_flat(
     *,
     seed: int = 42,
     ocr_concurrency: Optional[int] = None,
-    batch_size: Optional[int] = None,
+    batch_size="auto",
     num_output_blocks: Optional[int] = None,
+    num_read_blocks: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Convenience: flat documents parquet -> interleave -> extract -> reassemble."""
-    docs = interleave(read_flat_documents(flat_path), seed=seed)
+    docs = interleave(
+        read_flat_documents(flat_path, num_blocks=num_read_blocks), seed=seed
+    )
     return run_extraction(
         docs,
         ocr_concurrency=ocr_concurrency,

@@ -668,18 +668,22 @@ def q_events_daily(sf_dir: str):
             n_events=("user_id", "size"), value_cents=("value_cents", "sum")
         )
 
-    per_user = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
+    # one shuffle: batch-level (day, user) pre-agg, then a single groupby(day)
+    # whose group holds at most |distinct users| pre-aggregated rows.
+    def per_day(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": [group["day"].iloc[0]],
+                "n_events": [int(group["n_events"].sum())],
+                "n_users": [int(group["user_id"].nunique())],
+                "value_cents": [int(group["value_cents"].sum())],
+            }
         )
-    )
-    return per_user.groupby("day").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Count(alias_name="n_users"),
-        Sum("value_cents", alias_name="value_cents"),
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(per_day, batch_format="pandas")
     )
 
 
@@ -856,6 +860,146 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.45
 """
 
 # ---------------------------------------------------------------------------
+# S5/K4: run-length segmentation — consecutive same-type runs
+# (pdf_processor.py:332-349 sorts pages by page_num then groups runs of one
+# classified type; here the sequence is (source, doc_id asc) over classified
+# documents).  Partitioning assumption: one `source` group fits a worker —
+# at 100 TB pick a finer sequence key or bucket doc_id ranges.
+# ---------------------------------------------------------------------------
+def _classify_batch_df(batch: pa.Table, extra_cols=()) -> pd.DataFrame:
+    out_type = []
+    for text in batch["text"].to_pylist():
+        scores = []
+        for name, kws, prio in _EN_PATTERNS:
+            n = sum(len(pat.findall(text)) for _, pat in kws)
+            scores.append((name, n * (100 - prio) if n else 0))
+        positive = [s for s in scores if s[1] > 0]
+        best = max(positive, key=lambda kv: kv[1]) if positive else ("other", 0)
+        out_type.append(best[0])
+    data = {"doc_id": batch["doc_id"].to_pandas(), "doc_type": out_type}
+    for c in extra_cols:
+        data[c] = batch[c].to_pandas()
+    return pd.DataFrame(data)
+
+
+def q_split_runs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    typed = ds.map_batches(
+        lambda b: _classify_batch_df(b, extra_cols=("source",)),
+        batch_format="pyarrow",
+    )
+
+    def runs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        run_id = (g["doc_type"] != g["doc_type"].shift()).cumsum()
+        agg = g.groupby(run_id).agg(
+            doc_type=("doc_type", "first"),
+            start_doc_id=("doc_id", "min"),
+            end_doc_id=("doc_id", "max"),
+            n_docs=("doc_id", "size"),
+        )
+        agg.insert(0, "source", g["source"].iloc[0])
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return agg.reset_index(drop=True)
+
+    return typed.groupby("source").map_groups(runs, batch_format="pandas")
+
+
+SQL_SPLIT_RUNS = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_sql_type_score(_T[0][1])} AS s0,
+         {_sql_type_score(_T[1][1])} AS s1,
+         {_sql_type_score(_T[2][1])} AS s2,
+         {_sql_type_score(_T[3][1])} AS s3
+  FROM documents
+), typed AS (
+  SELECT doc_id, source,
+         CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0 THEN 'other'
+              WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN '{_T[0][0]}'
+              WHEN s1 >= s2 AND s1 >= s3 THEN '{_T[1][0]}'
+              WHEN s2 >= s3 THEN '{_T[2][0]}'
+              ELSE '{_T[3][0]}' END AS doc_type
+  FROM scored
+), w AS (
+  SELECT source, doc_id, doc_type,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       - row_number() OVER (PARTITION BY source, doc_type ORDER BY doc_id) AS grp
+  FROM typed
+)
+SELECT source, doc_type,
+       min(doc_id) AS start_doc_id, max(doc_id) AS end_doc_id,
+       count(*) AS n_docs
+FROM w GROUP BY source, doc_type, grp
+"""
+
+# ---------------------------------------------------------------------------
+# A4: timeline — per-extracted-date rollup over document text
+# (main.py:683-707; date regex per ocr_engine.py:325-329, unified pattern)
+# ---------------------------------------------------------------------------
+_TIMELINE_DATE_RE = re.compile(r"\d{4}[-/年.]\d{1,2}[-/月.]\d{1,2}日?")
+_TIMELINE_DATE_SQL = r"\d{4}[-/年.]\d{1,2}[-/月.]\d{1,2}日?"
+
+
+def q_timeline(sf_dir: str):
+    # the driver's documents.text has no digits, so the date-bearing "page
+    # text" is rendered from orders rows (one line per order); the regex
+    # extraction itself is the reference operator under test
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        texts = (
+            df["o_orderdate"].dt.strftime("%Y-%m-%d")
+            + " priority "
+            + df["o_orderpriority"]
+        )
+        rows_date, rows_doc, rows_occ = [], [], []
+        for doc_id, text in zip(df["o_custkey"], texts):
+            counts: dict = {}
+            for m in _TIMELINE_DATE_RE.findall(text):
+                counts[m] = counts.get(m, 0) + 1
+            for d, c in counts.items():
+                rows_date.append(d)
+                rows_doc.append(int(doc_id))
+                rows_occ.append(c)
+        return pd.DataFrame(
+            {
+                "date": rows_date,
+                "doc_id": pd.Series(rows_doc, dtype="int64"),
+                "occ": pd.Series(rows_occ, dtype="int64"),
+            }
+        )
+
+    def per_date(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "date": [group["date"].iloc[0]],
+                "occurrences": [int(group["occ"].sum())],
+                "n_docs": [int(group["doc_id"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("date")
+        .map_groups(per_date, batch_format="pandas")
+    )
+
+
+SQL_TIMELINE = f"""
+WITH m AS (
+  SELECT o_custkey AS doc_id,
+         unnest(regexp_extract_all(
+           strftime(o_orderdate, '%Y-%m-%d') || ' priority ' || o_orderpriority,
+           '{_TIMELINE_DATE_SQL}')) AS date
+  FROM orders
+)
+SELECT date, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs
+FROM m GROUP BY date
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -877,4 +1021,6 @@ SQL_QUERIES = {
     "top_users_by_value": (q_top_users_by_value, SQL_TOP_USERS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_dup": (q_embedding_dup, SQL_EMBEDDING_DUP),
+    "split_runs": (q_split_runs, SQL_SPLIT_RUNS),
+    "timeline": (q_timeline, SQL_TIMELINE),
 }

@@ -1,0 +1,301 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference handles page images only transiently (PIL Images inside the
+OCR loop, ``pdf_processor.py:492-505``, ``ocr_engine.py:176-177``); at
+100 TB the media must instead live as first-class ``binary`` columns with
+typed metadata, and every decode/resize/feature step is an actor-pool
+``map_batches`` stage over small batches (payloads are MBs/row).
+
+This container ships no image/audio codecs, so the *codec* is a
+deterministic fake — a versioned header + raw little-endian samples that
+round-trips exactly — while the Ray-side plumbing (schema, actor
+signature, batch sizing, output layout) is real and tested.  A real
+deployment swaps ``_decode_payload`` for PIL/libav in the same
+``__init__``-warmed slot; ``decode_real`` marks that seam explicitly.
+
+Media table schema:
+  media_id: string, media_type: string in {image, audio, video},
+  payload: binary, width/height/channels/sample_rate/n_frames: int32
+
+Payload wire format (fake codec v1):
+  b"MMK1" | type:uint8 (0=image,1=audio,2=video) | 4x uint32 LE dims
+  | uint8 samples (image/video pixels row-major, audio PCM midpoints)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MAGIC = b"MMK1"
+_TYPES = {"image": 0, "audio": 1, "video": 2}
+_TYPE_NAMES = {v: k for k, v in _TYPES.items()}
+
+
+# ---------------------------------------------------------------------------
+# fake codec (deterministic, exact round-trip)
+# ---------------------------------------------------------------------------
+def encode_image(arr: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> payload bytes."""
+    h, w, c = arr.shape
+    return _MAGIC + struct.pack("<BIIII", 0, h, w, c, 0) + arr.tobytes()
+
+
+def encode_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) uint8 PCM -> payload bytes."""
+    return _MAGIC + struct.pack("<BIIII", 1, len(pcm), sample_rate, 0, 0) + pcm.tobytes()
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(f, h, w) uint8 grayscale frames -> payload bytes."""
+    f, h, w = frames.shape
+    return _MAGIC + struct.pack("<BIIII", 2, f, h, w, 0) + frames.tobytes()
+
+
+def _decode_payload(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    """payload -> (media_type, ndarray, meta).  The fake-codec seam."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("bad multimodal payload magic")
+    t, a, b, c, _ = struct.unpack("<BIIII", payload[4:21])
+    raw = np.frombuffer(payload[21:], dtype=np.uint8)
+    kind = _TYPE_NAMES[t]
+    if kind == "image":
+        return kind, raw.reshape(a, b, c), {"height": a, "width": b, "channels": c}
+    if kind == "audio":
+        return kind, raw[:a], {"n_samples": a, "sample_rate": b}
+    return kind, raw.reshape(a, b, c), {"n_frames": a, "height": b, "width": c}
+
+
+def decode_real(payload: bytes):  # pragma: no cover - deployment seam
+    """Real-codec slot (PIL / soundfile / libav).  Not available here."""
+    raise NotImplementedError(
+        "real image/audio codecs are not installed in this environment; "
+        "swap _decode_payload for this in deployment"
+    )
+
+
+def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
+    """Deterministic media table (cycling image/audio/video payloads)."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads = [], [], []
+    meta = {k: [] for k in ("width", "height", "channels", "sample_rate", "n_frames")}
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        ids.append(f"m{i:05d}")
+        types.append(kind)
+        if kind == "image":
+            h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            payloads.append(encode_image(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            vals = (w, h, 3, 0, 0)
+        elif kind == "audio":
+            ns, sr = int(rng.integers(100, 4000)), 16000
+            payloads.append(encode_audio(rng.integers(0, 256, ns, dtype=np.uint8), sr))
+            vals = (0, 0, 0, sr, 0)
+        else:
+            f, h, w = int(rng.integers(2, 12)), 16, 16
+            payloads.append(encode_video(rng.integers(0, 256, (f, h, w), dtype=np.uint8)))
+            vals = (w, h, 0, 0, f)
+        for k, v in zip(meta, vals):
+            meta[k].append(v)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, type=pa.binary()),
+            **{k: pa.array(v, type=pa.int32()) for k, v in meta.items()},
+        }
+    )
+
+
+def media_from_text_batch(batch: pa.Table) -> pa.Table:
+    """Derive a media table deterministically from (doc_id, text) rows.
+
+    Ties the multimodal suite to the driver's documents table without
+    external data: the text's utf-8 bytes become the pixel/PCM samples
+    (tiled to size), media_type cycles by row hash.  Purely a synthetic
+    payload source; the downstream stages are the real thing.
+    """
+    ids, types, payloads = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        raw = np.frombuffer(text.encode()[:4096].ljust(16, b"\0"), dtype=np.uint8)
+        kind = ("image", "audio", "video")[int(doc_id) % 3]
+        ids.append(str(doc_id))
+        types.append(kind)
+        if kind == "image":
+            payloads.append(
+                encode_image(np.resize(raw, (16, 16, 3)).astype(np.uint8))
+            )
+        elif kind == "audio":
+            payloads.append(encode_audio(np.resize(raw, 2048).astype(np.uint8), 16000))
+        else:
+            payloads.append(
+                encode_video(np.resize(raw, (8, 16, 16)).astype(np.uint8))
+            )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+class MediaFeaturizer:
+    """payload -> fixed-width feature vector; decoder warmed per actor.
+
+    Image: 16-bin luma histogram (normalized).  Audio: 16 frame-energy
+    windows.  Video: per-frame mean luma of ``frame_stride``-sampled
+    frames, padded/truncated to 16.  All deterministic.
+    """
+
+    N_BINS = 16
+
+    def __init__(self, frame_stride: int = 2):
+        self.frame_stride = frame_stride
+        self._decode = _decode_payload  # real model/codec loads here
+
+    def _features(self, kind: str, arr: np.ndarray) -> np.ndarray:
+        if kind == "image":
+            luma = arr.mean(axis=2).ravel()
+            hist, _ = np.histogram(luma, bins=self.N_BINS, range=(0, 256))
+            return hist / max(1, luma.size)
+        if kind == "audio":
+            chunks = np.array_split(arr.astype(np.float64), self.N_BINS)
+            return np.array([c.mean() / 255.0 if c.size else 0.0 for c in chunks])
+        sampled = arr[:: self.frame_stride]
+        means = sampled.reshape(sampled.shape[0], -1).mean(axis=1) / 255.0
+        out = np.zeros(self.N_BINS)
+        out[: min(self.N_BINS, len(means))] = means[: self.N_BINS]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["media_type"].to_pylist()
+        feats = []
+        for kind, payload in zip(kinds, batch["payload"].to_pylist()):
+            k, arr, _ = self._decode(payload)
+            assert k == kind
+            feats.append(self._features(kind, arr))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "features": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+class ImageResizer:
+    """Nearest-neighbour resize of image payloads to (out_h, out_w).
+
+    Re-encodes with the fake codec so downstream stages keep the same
+    payload contract; non-image rows pass through untouched.
+    """
+
+    def __init__(self, out_h: int = 32, out_w: int = 32):
+        self.out_h, self.out_w = out_h, out_w
+        self._decode = _decode_payload
+
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        h, w, _ = arr.shape
+        ri = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
+        ci = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
+        return arr[np.ix_(ri, ci)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_w, out_h = [], [], []
+        for kind, payload in zip(
+            batch["media_type"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if kind != "image":
+                out_payloads.append(payload)
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            _, arr, _ = self._decode(payload)
+            small = self._resize(arr)
+            out_payloads.append(encode_image(np.ascontiguousarray(small)))
+            out_h.append(self.out_h)
+            out_w.append(self.out_w)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["payload"] = pa.array(out_payloads, type=pa.binary())
+        cols["width"] = pa.array(out_w, type=pa.int32())
+        cols["height"] = pa.array(out_h, type=pa.int32())
+        return pa.table(cols)
+
+
+class VideoFrameSampler:
+    """Explode video payloads into per-frame image rows (every k-th frame)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+        self._decode = _decode_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, payloads = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            _, frames, _ = self._decode(payload)
+            for fi in range(0, frames.shape[0], self.stride):
+                ids.append(mid)
+                frame_idx.append(fi)
+                payloads.append(
+                    encode_image(
+                        np.ascontiguousarray(frames[fi][:, :, None].repeat(3, axis=2))
+                    )
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "media_type": pa.array(["image"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def featurize_media(
+    media: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """media table -> (media_id, media_type, features list<double>).
+
+    Small batch_size on purpose: payload bytes dominate row width, so a
+    batch is sized by bytes, not rows (at scale set batch_size so
+    batch_bytes x concurrency fits the worker heap).
+    """
+    return media.map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def sample_video_frames(
+    media: ray.data.Dataset,
+    stride: int = 2,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -17,6 +17,53 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def reassemble_batch_local(batch: pa.Table) -> pa.Table:
+    """Batch-local reassembly — shuffle-free fast path.
+
+    Valid ONLY when every document's spans live entirely inside one
+    batch.  That holds by construction straight after ``explode_spans``
+    with batch==block (explode never splits a document across output
+    blocks) and no repartition between explode and here.  Any stage that
+    scatters a document's spans (skew repartition, reading a pre-exploded
+    span table) invalidates the assumption — use the ``groupby(doc_id)``
+    shuffle path then.  Output rows are identical to the shuffle path;
+    only block boundaries differ.
+    """
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("offset", "ascending"),
+            ("kind", "ascending"),
+            ("media_ref", "ascending"),
+        ],
+    )
+    g = batch.take(idx)
+    n = len(g)
+    if n == 0:
+        return reassemble_group(batch)
+    doc = np.asarray(g["doc_id"])
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(change)
+    # dense per-doc seq: global index minus the index of the doc's first row
+    seq = np.arange(n, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, n))
+    )
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "seq": pa.array(seq.astype(np.int32)),
+            "kind": g["kind"],
+            "text": g["text"],
+            "media_ref": g["media_ref"],
+            "route": g["route"],
+            "score": g["score"],
+        }
+    )
+
+
 def reassemble_group(group: pa.Table) -> pa.Table:
     """One document's spans -> ordered output rows with dense ``seq``."""
     idx = pc.sort_indices(

@@ -75,3 +75,22 @@ def test_seq_is_dense_and_sorted_per_doc():
     result = _result_df(run_extraction(interleave(_flat_ds(docs))))
     for _, g in result.groupby("doc_id"):
         assert g["seq"].tolist() == list(range(len(g)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_reassembly_equals_shuffle_reassembly():
+    """The shuffle-free fast path (batch==block, no repartition) must emit
+    exactly the rows of the general groupby(doc_id) shuffle path."""
+    docs = make_corpus(40, seed=13, skew_docs=2)
+    local = _result_df(run_extraction(interleave(_flat_ds(docs)), batch_size=None))
+    shuffled = _result_df(
+        run_extraction(interleave(_flat_ds(docs)), batch_size=16, num_output_blocks=8)
+    )
+    pd.testing.assert_frame_equal(local, shuffled)
+    # and both match the golden oracle
+    golden = _golden_df(docs)
+    pd.testing.assert_frame_equal(
+        local[["doc_id", "seq", "kind", "text", "media_ref"]],
+        golden[["doc_id", "seq", "kind", "text", "media_ref"]],
+        check_dtype=False,  # golden oracle is pure python (int64 seq)
+    )
