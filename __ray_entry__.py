@@ -75,6 +75,42 @@ def _q_compare_pipeline(sf_dir: str):
     return run_compare(probe, build)
 
 
+def _q_compare_pipeline_shuffle(sf_dir: str):
+    """run_compare_shuffle: hash-shuffle co-partition match join (large
+    build sides); row-identical to compare_pipeline's broadcast join."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare_shuffle
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        run_extraction,
+    )
+
+    flat = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    flat = flat.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 120)), batch_format="pyarrow"
+    )
+
+    def run_side(pred):
+        side = flat.map_batches(
+            lambda t, p=pred: t.filter(p(t["doc_id"])), batch_format="pyarrow"
+        )
+        out = run_extraction(interleave(side), ocr_concurrency=2)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    probe = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 1))
+    build = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 0))
+    return run_compare_shuffle(probe, build)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -176,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_cosine_ivf": _q_knn_ivf,
             "ngram_jaccard_pairs": _q_ngram_jaccard,
             "multimodal_features": _q_multimodal_features,
+            "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
         }
     )
     return out

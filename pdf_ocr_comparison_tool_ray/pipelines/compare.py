@@ -87,3 +87,19 @@ def run_compare(
     index = build_index(enrich_spans(reference_extracted))
     results = match_spans(enrich_spans(probe_extracted), index, cfg)
     return merge_matches(results)
+
+
+def run_compare_shuffle(
+    probe_extracted: ray.data.Dataset,
+    reference_extracted: ray.data.Dataset,
+    cfg: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Compare pipeline for LARGE build sides: hash-shuffle co-partition
+    match join (see ``stages/match_shuffle.py``) instead of the broadcast
+    index; output rows identical to ``run_compare``."""
+    from ..stages.match_shuffle import run_match_shuffle
+
+    results = run_match_shuffle(
+        enrich_spans(probe_extracted), enrich_spans(reference_extracted), cfg
+    )
+    return merge_matches(results)

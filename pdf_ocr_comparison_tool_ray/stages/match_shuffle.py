@@ -1,0 +1,196 @@
+"""Distributed match join — hash-shuffle co-partition variant of the
+broadcast ``PageMatcher`` (same per-row semantics, no full-index
+broadcast).
+
+Reference J1–J5 (``content_matcher.py:283-367``) probe an in-memory
+index by three key families: exact ``text_hash``, shared date, shared
+normalized amount.  At scale the build side doesn't fit one object, so
+the join is expressed as a key-exploded co-shuffle:
+
+  1. both sides explode to (key, row) pairs — key ∈
+     {h:<text_hash>, d:<date>, a:<normalized amount>};
+  2. ``groupby(key)`` co-locates probe and build rows sharing a key;
+     each group emits probe×build candidate pairs;
+  3. ``groupby(probe)`` collects a probe's candidate build rows from all
+     key groups, dedups them, builds a *mini* ``PageIndex`` of just those
+     rows and runs the unchanged ``match_page`` — candidate-set equality
+     with the broadcast version is exact because a build row is a
+     candidate iff it shares a key with the probe;
+  4. probes with no co-keyed build rows fall back to the reference's
+     deterministic first-100 pages (J3) — that set is tiny by
+     construction and IS broadcast (``ray.put``), which is the only
+     broadcast this topology needs.
+
+Skew note: a hot key (a date shared by k_b build × k_p probe rows)
+emits k_b·k_p pairs — the same quadratic blowup the reference's
+date_index scan has, but here it lands on one shuffle partition.  For
+adversarial key distributions, salt the hot keys (split build lists
+into s sub-buckets, replicate the probe row to all s) before step 2.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import MATCHING
+from ..functions.textnorm import normalize_amount
+from ..stages.match import _RESULT_SCHEMA, PageIndex, match_page
+
+_CARRY = ["doc_id", "offset", "text", "doc_type", "keywords", "dates", "amounts", "text_hash"]
+
+_CARRY_FIELDS = [
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("text", pa.string()),
+    ("doc_type", pa.string()),
+    ("keywords", pa.list_(pa.string())),
+    ("dates", pa.list_(pa.string())),
+    ("amounts", pa.list_(pa.string())),
+    ("text_hash", pa.string()),
+]
+
+# explicit schema for every inter-stage table: union/groupby require
+# block-schema equality, and all-null / all-empty-list columns would
+# otherwise infer null types per block
+_PAIR_SCHEMA = pa.schema(
+    [(f"p_{n}", t) for n, t in _CARRY_FIELDS] + [(f"b_{n}", t) for n, t in _CARRY_FIELDS]
+)
+_KEYED_SCHEMA = pa.schema(_CARRY_FIELDS + [("side", pa.string()), ("key", pa.string())])
+
+
+def _with_defaults(df: pd.DataFrame) -> pd.DataFrame:
+    if "doc_type" not in df.columns:
+        df["doc_type"] = ""
+    return df
+
+
+def _explode_keys(batch: pa.Table, side: str) -> pa.Table:
+    df = _with_defaults(batch.to_pandas())
+    out_rows = []
+    for r in df.itertuples(index=False):
+        keys = {"h:" + r.text_hash}
+        keys.update("d:" + d for d in r.dates)
+        keys.update("a:" + normalize_amount(a) for a in r.amounts)
+        base = {c: getattr(r, c) for c in _CARRY}
+        base["side"] = side
+        for k in keys:
+            out_rows.append({**base, "key": k})
+    return pa.Table.from_pylist(out_rows, schema=_KEYED_SCHEMA)
+
+
+def _pair_group(group: pd.DataFrame) -> pa.Table:
+    """One key's rows -> probe x build candidate pairs."""
+    probes = group[group["side"] == "p"]
+    builds = group[group["side"] == "b"]
+    if probes.empty or builds.empty:
+        return _PAIR_SCHEMA.empty_table()
+    p = probes[_CARRY].add_prefix("p_")
+    b = builds[_CARRY].add_prefix("b_")
+    return pa.Table.from_pandas(
+        p.merge(b, how="cross"), schema=_PAIR_SCHEMA, preserve_index=False
+    )
+
+
+def _score_factory(cfg: dict, fallback_ref):
+    fb_cache: List[Optional[PageIndex]] = [None]
+
+    def score_group(group: pd.DataFrame) -> pd.DataFrame:
+        """One probe's candidate rows (plus its seed row) -> one match row."""
+        seed = group.iloc[0]
+        probe = {
+            "doc_id": seed["p_doc_id"],
+            "offset": int(seed["p_offset"]),
+            "text": seed["p_text"],
+            "doc_type": seed["p_doc_type"],
+            "keywords": list(seed["p_keywords"]),
+            "dates": list(seed["p_dates"]),
+            "amounts": list(seed["p_amounts"]),
+            "text_hash": seed["p_text_hash"],
+        }
+        cand = group[group["b_doc_id"].notna()]
+        build_rows, seen = [], set()
+        for r in cand.itertuples(index=False):
+            ident = (r.b_doc_id, int(r.b_offset))
+            if ident in seen:
+                continue
+            seen.add(ident)
+            build_rows.append(
+                {
+                    "doc_id": r.b_doc_id,
+                    "offset": int(r.b_offset),
+                    "text": r.b_text,
+                    "keywords": list(r.b_keywords),
+                    "dates": list(r.b_dates),
+                    "amounts": list(r.b_amounts),
+                    "text_hash": r.b_text_hash,
+                }
+            )
+        if build_rows:
+            index = PageIndex.from_rows(build_rows)
+        else:
+            if fb_cache[0] is None:
+                fb_cache[0] = ray.get(fallback_ref)
+            index = fb_cache[0]
+        row = match_page(index, probe, cfg)
+        return pa.Table.from_pylist([row], schema=_RESULT_SCHEMA)
+
+    return score_group
+
+
+def run_match_shuffle(
+    probe_enriched: ray.data.Dataset,
+    build_enriched: ray.data.Dataset,
+    cfg: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Enriched probe + build span Datasets -> match-result rows
+    (schema identical to the broadcast ``PageMatcher`` output)."""
+    cfg = dict(cfg or MATCHING)
+
+    # each side is consumed by two branches (key-explode + seeds/fallback);
+    # materialize the light enriched columns once so the upstream extraction
+    # doesn't re-execute per branch (three concurrent copies of its actor
+    # pool would oversubscribe the cluster and can deadlock).  At 100 TB
+    # this boundary is a checkpointed parquet/lance table instead.
+    probe_enriched = probe_enriched.materialize()
+    build_enriched = build_enriched.materialize()
+
+    # J3 fallback: deterministic first-N build pages (sorted), broadcast once
+    n_fb = cfg["fallback_candidates"]
+    fb_rows = (
+        build_enriched.select_columns(_CARRY[:3] + ["keywords", "dates", "amounts", "text_hash"])
+        .sort(["doc_id", "offset"])
+        .limit(n_fb)
+        .take_all()
+    )
+    fallback_ref = ray.put(PageIndex.from_rows(fb_rows))
+
+    keyed_p = probe_enriched.map_batches(
+        lambda b: _explode_keys(b, "p"), batch_format="pyarrow"
+    )
+    keyed_b = build_enriched.map_batches(
+        lambda b: _explode_keys(b, "b"), batch_format="pyarrow"
+    )
+    pairs = keyed_p.union(keyed_b).groupby("key").map_groups(
+        _pair_group, batch_format="pandas"
+    )
+
+    # seed rows guarantee every probe reaches scoring even with zero pairs
+    def seeds(batch: pa.Table) -> pa.Table:
+        df = _with_defaults(batch.to_pandas())[_CARRY].add_prefix("p_")
+        rows = df.to_dict("records")
+        for r in rows:
+            for c in _CARRY:
+                r[f"b_{c}"] = None
+        return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+
+    seeded = probe_enriched.map_batches(seeds, batch_format="pyarrow")
+    return (
+        pairs.union(seeded)
+        .groupby(["p_doc_id", "p_offset"])
+        .map_groups(_score_factory(cfg, fallback_ref), batch_format="pandas")
+    )

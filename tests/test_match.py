@@ -94,3 +94,32 @@ def test_merge_run_semantics():
     assert abs(first["similarity"] - 0.99) < 1e-12
     assert first["matched_keywords"] == ["a", "b"]
     assert out[2]["match_status"] == "none" and out[3]["match_status"] == "none"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_match_equals_broadcast_match():
+    """The hash-shuffle co-partition join must reproduce the broadcast
+    PageMatcher rows exactly (exact-hash, candidate, fallback paths)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare_shuffle
+
+    ref_docs = make_corpus(12, seed=100, skew_docs=0)
+    probe_docs = _probe_corpus(ref_docs)
+    probe_ex, ref_ex = _extracted(probe_docs), _extracted(ref_docs)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["source_doc_id", "source_start"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = norm(run_compare(probe_ex, ref_ex))
+    shuffled = norm(run_compare_shuffle(probe_ex, ref_ex))
+    assert len(broadcast) == len(shuffled)
+    for col in broadcast.columns:
+        if col == "similarity":
+            assert (broadcast[col] - shuffled[col]).abs().max() < 1e-12
+        elif col == "matched_keywords":
+            assert [list(k) for k in broadcast[col]] == [list(k) for k in shuffled[col]]
+        else:
+            assert broadcast[col].tolist() == shuffled[col].tolist(), f"mismatch in {col}"
