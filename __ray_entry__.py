@@ -111,6 +111,25 @@ def _q_compare_pipeline_shuffle(sf_dir: str):
     return run_compare_shuffle(probe, build)
 
 
+def _q_render_full_text(sf_dir: str):
+    """S8 analog: ordered reassembled spans -> framed per-doc full text."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_from_flat,
+    )
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import render_full_text
+
+    return render_full_text(
+        run_extraction_from_flat(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _q_match_summary(sf_dir: str):
+    """A1: global match-status rollup over the compare pipeline output."""
+    from pdf_ocr_comparison_tool_ray.pipelines.reports import match_summary
+
+    return match_summary(_q_compare_pipeline(sf_dir))
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -213,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": _q_ngram_jaccard,
             "multimodal_features": _q_multimodal_features,
             "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
+            "render_full_text": _q_render_full_text,
+            "match_summary": _q_match_summary,
         }
     )
     return out

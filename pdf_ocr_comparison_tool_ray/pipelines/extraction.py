@@ -111,6 +111,65 @@ def extract_spans(
     )
 
 
+def extract_spans_split(
+    docs: ray.data.Dataset,
+    *,
+    ocr_concurrency: Optional[int] = None,
+    heavy_batch_size="auto",
+) -> ray.data.Dataset:
+    """Filter-split hybrid routing — the idiomatic Ray Data form of the
+    reference's ``HybridOCREngine`` (SURVEY ST3): light spans (text/html)
+    run as stateless tasks, heavy spans (scan/pdf) through the
+    model-holding actor pool, outputs unioned.
+
+    Use this over the fused ``extract_spans`` when the heavy route is
+    expensive (real OCR models): light spans then never queue behind, or
+    reserve, OCR actors.  The union scatters a document's spans across
+    light/heavy blocks, so downstream reassembly MUST take the
+    groupby(doc_id) shuffle path (``run_extraction_split`` does).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.extract import extract_light_batch
+
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+
+    def keep(kinds):
+        return lambda t: t.filter(pc.is_in(t["kind"], pa.array(kinds)))
+
+    light = spans.map_batches(keep(["text", "html"]), batch_format="pyarrow")
+    heavy = spans.map_batches(keep(["scan", "pdf"]), batch_format="pyarrow")
+
+    light_out = light.map_batches(extract_light_batch, batch_format="pyarrow")
+    if ocr_concurrency is None:
+        import ray
+
+        total_cpus = int(ray.cluster_resources().get("CPU", 4))
+        ocr_concurrency = (1, max(1, min(STAGE["ocr_concurrency"], total_cpus - 1)))
+    heavy_out = heavy.map_batches(
+        SpanExtractor,
+        batch_format="pyarrow",
+        batch_size=STAGE["ocr_batch_size"] if heavy_batch_size == "auto" else heavy_batch_size,
+        concurrency=ocr_concurrency,
+    )
+    return light_out.union(heavy_out)
+
+
+def run_extraction_split(
+    docs: ray.data.Dataset,
+    *,
+    ocr_concurrency: Optional[int] = None,
+    heavy_batch_size="auto",
+) -> ray.data.Dataset:
+    """Split-routing pipeline; output identical to ``run_extraction``."""
+    tune_context()
+    extracted = extract_spans_split(
+        docs, ocr_concurrency=ocr_concurrency, heavy_batch_size=heavy_batch_size
+    )
+    return reassemble(extracted)
+
+
 def reassemble(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """Extracted span rows -> ordered span sequences (the output invariant).
 

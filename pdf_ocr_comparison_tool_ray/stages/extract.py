@@ -24,6 +24,40 @@ from ..functions.pdf_parse import parse_text_layer
 from ..functions.similarity import agreement_ratio
 
 
+def extract_light_batch(batch: pa.Table) -> pa.Table:
+    """Stateless route for cheap kinds (text passthrough, html strip).
+
+    The filter-split half of the reference's hybrid engine
+    (``hybrid_ocr_engine.py:49-247``): light spans never occupy the
+    heavy (model-holding) actor pool.  Input batches must contain only
+    ``kind in {text, html}`` rows (the split filter guarantees this).
+    """
+    kinds = batch["kind"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n = len(batch)
+    out_text = texts
+    routes = [""] * n
+    for i, k in enumerate(kinds):
+        if k == "text":
+            routes[i] = "native"
+        elif k == "html":
+            out_text[i] = strip_html(texts[i])
+            routes[i] = "html"
+        else:  # pragma: no cover - split filter violated
+            raise ValueError(f"heavy kind {k!r} routed to the light path")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "kind": batch["kind"],
+            "text": pa.array(out_text, type=pa.string()),
+            "media_ref": batch["media_ref"],
+            "offset": batch["offset"],
+            "route": pa.array(routes),
+            "score": pa.array([1.0] * n, type=pa.float64()),
+        }
+    )
+
+
 class SpanExtractor:
     def __init__(self, agreement_threshold: float | None = None):
         self.thr = (

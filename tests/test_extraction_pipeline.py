@@ -94,3 +94,15 @@ def test_local_reassembly_equals_shuffle_reassembly():
         golden[["doc_id", "seq", "kind", "text", "media_ref"]],
         check_dtype=False,  # golden oracle is pure python (int64 seq)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_routing_equals_fused_extraction():
+    """Filter-split hybrid routing (light stateless / heavy actor pool +
+    shuffle reassembly) must emit exactly the fused pipeline's rows."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import run_extraction_split
+
+    docs = make_corpus(30, seed=21, skew_docs=1)
+    fused = _result_df(run_extraction(interleave(_flat_ds(docs)), batch_size=None))
+    split = _result_df(run_extraction_split(interleave(_flat_ds(docs)), ocr_concurrency=2))
+    pd.testing.assert_frame_equal(fused, split)

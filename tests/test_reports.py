@@ -1,0 +1,86 @@
+"""Report aggregates A1–A4/A8 vs pandas-computed expectations."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pdf_ocr_comparison_tool_ray.pipelines.reports import (
+    doc_main_type,
+    group_summary,
+    keyword_analysis,
+    match_summary,
+    timeline,
+)
+
+
+def _match_results_df():
+    return pd.DataFrame(
+        {
+            "source_doc_id": [f"d{i}" for i in range(8)],
+            "project": ["p1", "p1", "p1", "p2", "p2", "p2", "p2", "p1"],
+            "match_status": ["exact", "partial", "none", "exact", "low",
+                             "none", "partial", "exact"],
+            "similarity": [1.0, 0.8, 0.0, 0.97, 0.65, 0.0, 0.78, 1.0],
+        }
+    )
+
+
+def _enriched_df():
+    return pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "b", "b", "c"],
+            "doc_type": ["t1", "t2", "t2", "t2", "t1"],
+            "keywords": [["x", "y"], ["y"], ["y", "z"], ["z"], ["x"]],
+            "dates": [["2024-01-01"], [], ["2024-01-01", "2024-02-02"], [], []],
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_match_summary_counts():
+    out = match_summary(ray.data.from_pandas(_match_results_df()))
+    row = out.iloc[0]
+    assert row["total"] == 8
+    assert row["exact_matches"] == 3
+    assert row["partial_matches"] == 2
+    assert row["low_similarity"] == 1
+    assert row["not_found"] == 2
+    assert abs(row["match_rate"] - 5 / 8) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_summary_per_project():
+    out = (
+        group_summary(ray.data.from_pandas(_match_results_df()), "project")
+        .to_pandas()
+        .set_index("project")
+    )
+    assert out.loc["p1", "n_rows"] == 4 and out.loc["p1", "n_exact"] == 2
+    assert out.loc["p2", "n_rows"] == 4 and out.loc["p2", "n_none"] == 1
+    assert abs(out.loc["p2", "sim_sum"] - (0.97 + 0.65 + 0.0 + 0.78)) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyword_analysis_topk():
+    out = keyword_analysis(ray.data.from_pandas(_enriched_df()), top_n=2)
+    # y: 3 occurrences in 2 docs; x and z: 2 each -> tiebreak keyword asc
+    assert out.iloc[0]["keyword"] == "y" and out.iloc[0]["occurrences"] == 3
+    assert out.iloc[0]["n_docs"] == 2
+    assert out.iloc[1]["keyword"] == "x"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_timeline_rollup():
+    out = timeline(ray.data.from_pandas(_enriched_df())).set_index("date")
+    assert out.loc["2024-01-01", "n_docs"] == 2
+    assert out.loc["2024-01-01", "occurrences"] == 2
+    assert out.loc["2024-02-02", "n_docs"] == 1
+    assert list(out.index) == sorted(out.index)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_main_type_vote():
+    out = doc_main_type(ray.data.from_pandas(_enriched_df())).to_pandas()
+    got = dict(zip(out["doc_id"], out["main_type"]))
+    # a: tie t1/t2 -> deterministic name-asc tiebreak -> t1
+    assert got == {"a": "t1", "b": "t2", "c": "t1"}
