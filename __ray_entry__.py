@@ -148,6 +148,18 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=8)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs (MinHash-LSH) -> transitive-closure cluster labels
+    via distributed large-star/small-star connected components."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.concomp import label_components
+    from pdf_ocr_comparison_tool_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return label_components(minhash_lsh_pairs(ds, threshold=0.5))
+
+
 def _q_doc_fingerprint(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
@@ -234,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
             "render_full_text": _q_render_full_text,
             "match_summary": _q_match_summary,
+            "dedup_clusters": _q_dedup_clusters,
         }
     )
     return out

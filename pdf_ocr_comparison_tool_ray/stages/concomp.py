@@ -1,0 +1,222 @@
+"""Distributed connected components over near-dup candidate pairs, and
+cluster-canonical dedup filtering.
+
+A near-dup pass (MinHash-LSH / SimHash / embedding-LSH in
+``stages/dedup.py``) emits candidate PAIRS; deduplicating a corpus needs
+CLUSTERS (transitive closure: a~b, b~c => keep one of {a,b,c}).  At
+100 TB the edge set doesn't fit the driver, so clustering runs as the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — each round is one
+``groupby(node)`` over the edge set, no joins, converging in
+O(log^2 n) rounds to star edges (node -> component minimum):
+
+  large-star: for each node u, m = min(N(u) ∪ {u});
+              emit (v, m) for v in N(u) with v > u
+  small-star: for each node u, m = min(N(u) ∪ {u});
+              emit (v, m) for v in N(u) with v <= u, plus (u, m)
+
+A driver-side union-find fallback (``label_components_local``) covers
+the small-pairs case and doubles as the test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+
+def _normalize_pairs(pairs: ray.data.Dataset, col_a: str, col_b: str) -> ray.data.Dataset:
+    """(doc_a, doc_b) rows -> canonical string edge rows, self-loops dropped."""
+
+    def body(batch: pa.Table) -> pa.Table:
+        a = [str(x) for x in batch[col_a].to_pylist()]
+        b = [str(x) for x in batch[col_b].to_pylist()]
+        u, v = [], []
+        for x, y in zip(a, b):
+            if x != y:
+                u.append(x)
+                v.append(y)
+        return pa.Table.from_pydict({"u": u, "v": v}, schema=_EDGE_SCHEMA)
+
+    return pairs.map_batches(body, batch_format="pyarrow")
+
+
+def _both_directions(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def body(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_pylist() + batch["v"].to_pylist()
+        v = batch["v"].to_pylist() + batch["u"].to_pylist()
+        return pa.Table.from_pydict({"u": u, "v": v}, schema=_EDGE_SCHEMA)
+
+    return edges.map_batches(body, batch_format="pyarrow")
+
+
+def _star_round(edges: ray.data.Dataset, large: bool) -> ray.data.Dataset:
+    """One large- or small-star round: groupby(u) over both-direction edges."""
+
+    def star(group: pd.DataFrame) -> pa.Table:
+        u = group["u"].iloc[0]
+        neigh = set(group["v"])
+        m = min(neigh | {u})
+        if large:
+            out = [(v, m) for v in neigh if v > u and v != m]
+        else:
+            out = [(v, m) for v in neigh if v <= u and v != m]
+            if u != m:
+                out.append((u, m))
+        return pa.Table.from_pydict(
+            {"u": [a for a, _ in out], "v": [b for _, b in out]}, schema=_EDGE_SCHEMA
+        )
+
+    stars = _both_directions(edges).groupby("u").map_groups(star, batch_format="pandas")
+
+    # dedup edges batch-locally then globally (keeps the edge set from
+    # blowing up across rounds)
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, schema=_EDGE_SCHEMA, preserve_index=False)
+
+    deduped = stars.map_batches(local_dedup, batch_format="pyarrow")
+    return (
+        deduped.groupby(["u", "v"])
+        .map_groups(
+            lambda g: g.iloc[:1],
+            batch_format="pandas",
+        )
+    )
+
+
+def _edge_checksum(edges: ray.data.Dataset) -> tuple:
+    """Cheap fixpoint detector: (count, sum of hashed edges)."""
+    import zlib
+
+    def body(batch: pa.Table) -> pa.Table:
+        s = 0
+        for u, v in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
+            s += zlib.crc32(f"{u}->{v}".encode())
+        return pa.Table.from_pydict(
+            {"n": [len(batch)], "s": [s]},
+            schema=pa.schema([("n", pa.int64()), ("s", pa.int64())]),
+        )
+
+    parts = edges.map_batches(body, batch_format="pyarrow").to_pandas()
+    return (int(parts["n"].sum()), int(parts["s"].sum()))
+
+
+def label_components(
+    pairs: ray.data.Dataset,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_rounds: int = 20,
+) -> ray.data.Dataset:
+    """Candidate pairs -> (doc_id, cluster_id) rows, cluster_id = the
+    lexicographic minimum member.  Only cluster MEMBERS are emitted;
+    un-paired documents are implicitly their own cluster.
+    """
+    edges = _normalize_pairs(pairs, col_a, col_b).materialize()
+    prev = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True).materialize()
+        edges = _star_round(edges, large=False).materialize()
+        cs = _edge_checksum(edges)
+        if cs == prev:
+            break
+        prev = cs
+
+    # star edges: every u points at its component min (u > min side after
+    # small-star); emit both endpoints' memberships and dedup
+    def emit(batch: pa.Table) -> pa.Table:
+        doc, cl = [], []
+        for u, v in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
+            lo, hi = min(u, v), max(u, v)
+            doc.extend((hi, lo))
+            cl.extend((lo, lo))
+        return pa.Table.from_pydict(
+            {"doc_id": doc, "cluster_id": cl},
+            schema=pa.schema([("doc_id", pa.string()), ("cluster_id", pa.string())]),
+        )
+
+    members = edges.map_batches(emit, batch_format="pyarrow")
+    return members.groupby(["doc_id", "cluster_id"]).map_groups(
+        lambda g: g.iloc[:1], batch_format="pandas"
+    )
+
+
+def label_components_local(pairs: List[tuple]) -> Dict[str, str]:
+    """Driver-side union-find (pairs fit memory); the test oracle."""
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def dedup_keep_canonical(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+) -> ray.data.Dataset:
+    """Drop every clustered document except its cluster minimum.
+
+    Co-partition anti-join: membership rows and doc rows shuffle on the
+    same key (doc id as string); a doc survives iff it has no membership
+    row or IS its cluster_id.  No broadcast — scales with the corpus.
+    """
+    members = label_components(pairs, col_a, col_b)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch[id_col].to_pylist()]
+        return pa.Table.from_pydict(
+            {"key": ids, "doc_id": ids, "cluster_id": [""] * len(ids)},
+            schema=pa.schema(
+                [("key", pa.string()), ("doc_id", pa.string()), ("cluster_id", pa.string())]
+            ),
+        )
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": batch["doc_id"].to_pylist(),
+                "doc_id": batch["doc_id"].to_pylist(),
+                "cluster_id": batch["cluster_id"].to_pylist(),
+            },
+            schema=pa.schema(
+                [("key", pa.string()), ("doc_id", pa.string()), ("cluster_id", pa.string())]
+            ),
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        members.map_batches(tag_members, batch_format="pyarrow")
+    )
+
+    def keep(group: pd.DataFrame) -> pd.DataFrame:
+        doc_id = group["key"].iloc[0]
+        clusters = [c for c in group["cluster_id"] if c]
+        survive = (not clusters) or (doc_id in clusters and doc_id == min(clusters))
+        # emit a (doc_id, keep) verdict row
+        return pd.DataFrame({"doc_id": [doc_id], "keep": [bool(survive)]})
+
+    verdicts = tagged.groupby("key").map_groups(keep, batch_format="pandas")
+    kept = verdicts.map_batches(
+        lambda t: t.filter(t["keep"]), batch_format="pyarrow"
+    ).select_columns(["doc_id"])
+    return kept

@@ -1,0 +1,56 @@
+"""Distributed connected components vs union-find oracle, and the
+cluster-canonical dedup filter."""
+
+import random
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pdf_ocr_comparison_tool_ray.stages.concomp import (
+    dedup_keep_canonical,
+    label_components,
+    label_components_local,
+)
+
+
+def _pairs_ds(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
+    )
+
+
+def _clusters_from_ray(pairs):
+    df = label_components(_pairs_ds(pairs)).to_pandas()
+    return dict(zip(df["doc_id"], df["cluster_id"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chain_needs_multiple_rounds():
+    # a long chain is the worst case for naive propagation
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)]
+    got = _clusters_from_ray(chain)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 31
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_random_graph_matches_union_find():
+    rng = random.Random(7)
+    nodes = [f"d{i:04d}" for i in range(120)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    oracle = label_components_local(pairs)
+    got = _clusters_from_ray(pairs)
+    assert got == oracle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_canonical():
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"x{i}" for i in range(10)]})
+    )
+    # clusters: {x0,x1,x2} (chain), {x5,x7}; rest untouched
+    pairs = _pairs_ds([("x0", "x1"), ("x1", "x2"), ("x7", "x5")])
+    kept = sorted(dedup_keep_canonical(docs, pairs).to_pandas()["doc_id"])
+    assert kept == ["x0", "x3", "x4", "x5", "x6", "x8", "x9"]
