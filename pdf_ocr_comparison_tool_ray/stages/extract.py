@@ -24,6 +24,31 @@ from ..functions.pdf_parse import parse_text_layer
 from ..functions.similarity import agreement_ratio
 
 
+# ---------------------------------------------------------------------------
+# extension surface: custom extractors keyed by span kind
+# (the reference's engine factory, ``main.py:29-48`` get_ocr_engine /
+# ``hybrid_ocr_engine.py:250-264`` get_hybrid_engine, generalized: a kind ->
+# callable(text, media_ref) -> (out_text, route, score) registry)
+# ---------------------------------------------------------------------------
+EXTRACTOR_REGISTRY: dict = {}
+
+
+def register_extractor(kind: str):
+    """Register a module-level extractor for a custom span kind.
+
+    Registration must execute in the worker process too (put it at import
+    time of a module the pipeline imports), or pass the extractor
+    per-pipeline via ``SpanExtractor(extra_extractors={kind: fn})`` which
+    ships it inside the actor constructor args.
+    """
+
+    def deco(fn):
+        EXTRACTOR_REGISTRY[kind] = fn
+        return fn
+
+    return deco
+
+
 def extract_light_batch(batch: pa.Table) -> pa.Table:
     """Stateless route for cheap kinds (text passthrough, html strip).
 
@@ -59,7 +84,11 @@ def extract_light_batch(batch: pa.Table) -> pa.Table:
 
 
 class SpanExtractor:
-    def __init__(self, agreement_threshold: float | None = None):
+    def __init__(
+        self,
+        agreement_threshold: float | None = None,
+        extra_extractors: dict | None = None,
+    ):
         self.thr = (
             agreement_threshold
             if agreement_threshold is not None
@@ -70,6 +99,8 @@ class SpanExtractor:
         self._strip = strip_html
         self._parse_pdf = parse_text_layer
         self._ocr = decode_media
+        # custom kinds: module registry merged with per-pipeline extractors
+        self._custom = {**EXTRACTOR_REGISTRY, **(extra_extractors or {})}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind_arr = batch["kind"]
@@ -120,6 +151,10 @@ class SpanExtractor:
                     out_text[i] = native if ratio >= thr else ocr
                     routes[i] = "native" if ratio >= thr else "ocr"
                     scores[i] = ratio
+            elif k in self._custom:
+                out_text[i], routes[i], scores[i] = self._custom[k](
+                    texts[i], refs[i]
+                )
             else:
                 routes[i] = "passthrough"
         return pa.table(

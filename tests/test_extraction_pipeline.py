@@ -106,3 +106,46 @@ def test_split_routing_equals_fused_extraction():
     fused = _result_df(run_extraction(interleave(_flat_ds(docs)), batch_size=None))
     split = _result_df(run_extraction_split(interleave(_flat_ds(docs)), ocr_concurrency=2))
     pd.testing.assert_frame_equal(fused, split)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_custom_extractor_registry():
+    """2.10 extension surface: a custom kind routed through a user extractor
+    shipped in the actor constructor args."""
+    from pdf_ocr_comparison_tool_ray.stages.extract import SpanExtractor
+    from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d1"],
+            "spans": [
+                [
+                    {"kind": "rot13", "text": "uryyb", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "plain", "media_ref": "", "offset": 1},
+                ],
+                None,
+            ],
+        }
+    ).iloc[:1]
+    ds = ray.data.from_pandas(rows)
+
+    def rot13(text, media_ref):
+        import codecs
+
+        return codecs.decode(text, "rot13"), "custom:rot13", 0.9
+
+    out = (
+        ds.map_batches(explode_spans, batch_format="pyarrow")
+        .map_batches(
+            SpanExtractor,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"extra_extractors": {"rot13": rot13}},
+        )
+        .to_pandas()
+        .sort_values("offset")
+    )
+    assert out.iloc[0]["text"] == "hello"
+    assert out.iloc[0]["route"] == "custom:rot13"
+    assert out.iloc[0]["score"] == 0.9
+    assert out.iloc[1]["route"] == "native"
