@@ -148,6 +148,18 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=8)
 
 
+def _q_classify_cascade(sf_dir: str):
+    """M11-M13: rule classifier with low-confidence rows refined by the
+    (mock) LLM actor pool; filter-split + union topology."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.config import DOCUMENT_TYPES_EN
+    from pdf_ocr_comparison_tool_ray.stages.classify_cascade import classify_cascade
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return classify_cascade(ds, doc_types=DOCUMENT_TYPES_EN)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup pairs (MinHash-LSH) -> transitive-closure cluster labels
     via distributed large-star/small-star connected components."""
@@ -247,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "render_full_text": _q_render_full_text,
             "match_summary": _q_match_summary,
             "dedup_clusters": _q_dedup_clusters,
+            "classify_cascade": _q_classify_cascade,
         }
     )
     return out

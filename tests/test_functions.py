@@ -179,3 +179,41 @@ def test_lang_and_quality():
     sig = quality_signals("the quick brown fox jumps over the lazy dog again today")
     assert sig["n_words"] == 11 and quality_ok(sig)
     assert not quality_ok(quality_signals("short"))
+
+
+def test_classify_cascade_matches_oracle(ray_session):
+    """M11-M13 cascade: rule-confident rows bypass the LLM pool; doubtful
+    rows keep the higher-confidence answer."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.functions.classify import RuleClassifier
+    from pdf_ocr_comparison_tool_ray.stages.classify_cascade import (
+        MockLLMClassifier,
+        classify_cascade,
+    )
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    docs = make_corpus(40, seed=33, skew_docs=0)
+    ds = ray.data.from_pandas(pd.DataFrame(docs)[["doc_id", "text"]])
+    got = classify_cascade(ds, llm_threshold=0.7).to_pandas().set_index("doc_id")
+
+    from pdf_ocr_comparison_tool_ray.config import DOCUMENT_TYPES_ZH
+
+    rule = RuleClassifier(DOCUMENT_TYPES_ZH)
+    llm = MockLLMClassifier()
+    for d in docs:
+        rt, rc, _ = rule.classify(d["text"])
+        if rc >= 0.7:
+            exp_t, exp_c, exp_src = rt, rc, "rule"
+        else:
+            lt, lc = llm.classify_one(d["text"])
+            if lc > rc:
+                exp_t, exp_c, exp_src = lt, lc, "llm"
+            else:
+                exp_t, exp_c, exp_src = rt, rc, "rule"
+        row = got.loc[d["doc_id"]]
+        assert row["doc_type"] == exp_t, d["doc_id"]
+        assert abs(row["type_confidence"] - exp_c) < 1e-12
+        assert row["classifier"] == exp_src
+    assert (got["classifier"] == "llm").any() or (got["type_confidence"] >= 0.7).all()
