@@ -860,6 +860,175 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.45
 """
 
 # ---------------------------------------------------------------------------
+# left-anti join, co-shuffle (no broadcast): customers with zero orders.
+# The reference's "未找到" branch is its only anti-join-like construct
+# (content_matcher.py:332-341); here it is a first-class operator.
+# ---------------------------------------------------------------------------
+def q_customers_without_orders(sf_dir: str):
+    """Customers with no order above the price floor (floor chosen so the
+    anti side is non-empty on the synthetic data; plain 'no orders at
+    all' is vacuous there)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # push the filter to the probe side before the shuffle
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # union-tag both sides on the join key, one groupby co-locates them;
+    # a customer survives iff its group holds no order row
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "is_order": pa.array([False] * len(batch)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        # batch-local distinct: the shuffle moves one row per (custkey, batch)
+        keys = sorted(set(batch["o_custkey"].to_pylist()))
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "c_name": pa.array([""] * len(keys)),
+                "is_order": pa.array([True] * len(keys)),
+            }
+        )
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    _ANTI_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+
+    def anti(group: pd.DataFrame) -> pa.Table:
+        cust_rows = group[~group["is_order"]]
+        if group["is_order"].any() or cust_rows.empty:
+            return _ANTI_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": [int(group["key"].iloc[0])],
+                "c_name": [cust_rows["c_name"].iloc[0]],
+            },
+            schema=_ANTI_SCHEMA,
+        )
+
+    return tagged.groupby("key").map_groups(anti, batch_format="pandas")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+# ---------------------------------------------------------------------------
+# large-large co-shuffle join + tiny broadcast dims: revenue by region.
+# customer x orders co-partition on custkey (neither side broadcast);
+# nation->region is config-sized and broadcast (J7 pattern).
+# ---------------------------------------------------------------------------
+def q_region_revenue(sf_dir: str):
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    lookup_ref = ray.put(nat_to_region)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag_cust(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "nationkey": df["c_nationkey"].astype("int64"),
+                "rev_cents": pd.Series([0] * len(df), dtype="int64"),
+                "n_orders": pd.Series([0] * len(df), dtype="int64"),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        agg = df.assign(
+            rev_cents=np.rint(df["o_totalprice"] * 100).astype("int64")
+        ).groupby("o_custkey", as_index=False).agg(
+            rev_cents=("rev_cents", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pd.DataFrame(
+            {
+                "key": agg["o_custkey"].astype("int64"),
+                "nationkey": pd.Series([-1] * len(agg), dtype="int64"),
+                "rev_cents": agg["rev_cents"],
+                "n_orders": agg["n_orders"].astype("int64"),
+            }
+        )
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        nk = group.loc[group["nationkey"] >= 0, "nationkey"]
+        if nk.empty:  # order rows for an unknown customer: drop (inner join)
+            return pd.DataFrame(
+                {"nationkey": pd.Series(dtype="int64"),
+                 "rev_cents": pd.Series(dtype="int64"),
+                 "n_orders": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "nationkey": [int(nk.iloc[0])],
+                "rev_cents": [int(group["rev_cents"].sum())],
+                "n_orders": [int(group["n_orders"].sum())],
+            }
+        )
+
+    per_cust = tagged.groupby("key").map_groups(join_group, batch_format="pandas")
+
+    class AddRegion:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["r_name"] = df["nationkey"].map(self.lookup)
+            return df.groupby("r_name", as_index=False).agg(
+                n_orders=("n_orders", "sum"), revenue_cents=("rev_cents", "sum")
+            )
+
+    return (
+        per_cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name,
+       count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+# ---------------------------------------------------------------------------
 # S5/K4: run-length segmentation — consecutive same-type runs
 # (pdf_processor.py:332-349 sorts pages by page_num then groups runs of one
 # classified type; here the sequence is (source, doc_id asc) over classified
@@ -1023,4 +1192,9 @@ SQL_QUERIES = {
     "embedding_dup": (q_embedding_dup, SQL_EMBEDDING_DUP),
     "split_runs": (q_split_runs, SQL_SPLIT_RUNS),
     "timeline": (q_timeline, SQL_TIMELINE),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
 }
