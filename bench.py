@@ -145,6 +145,88 @@ def main() -> None:
     ray.shutdown()
 
 
+def skew() -> None:
+    """Media-heavy skew A/B: same corpus (a few documents with ~10^4x the
+    median span count), extraction WITHOUT vs WITH the post-explode
+    repartition.  Without it the giant documents' blocks serialize on one
+    task each; the repartition spreads their spans across the pool (the
+    reassembly then must take the groupby(doc_id) shuffle path)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        run_extraction,
+    )
+
+    base = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=NUM_CPUS * 2,
+    ).to_pandas()
+    # skew tail: 4 docs whose text (hence span count) is ~2500x the median —
+    # each giant's exploded spans fill one block, i.e. one straggler task
+    giants = []
+    for g in range(4):
+        giants.append(
+            {"doc_id": f"giant{g}", "text": " ".join(pd.concat([base["text"]] * 8, ignore_index=True))}
+        )
+    corpus = pd.concat([base, pd.DataFrame(giants)], ignore_index=True)
+    flat = ray.data.from_pandas(corpus).repartition(NUM_CPUS * 2)
+
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_skew_aware,
+    )
+
+    def run(num_output_blocks):
+        t0 = time.perf_counter()
+        out = run_extraction(
+            interleave(flat),
+            ocr_concurrency=max(2, NUM_CPUS - 2),
+            batch_size=None if num_output_blocks is None else 512,
+            num_output_blocks=num_output_blocks,
+        )
+        n = out.count()
+        return round(time.perf_counter() - t0, 3), n
+
+    def run_aware():
+        t0 = time.perf_counter()
+        out = run_extraction_skew_aware(
+            interleave(flat), ocr_concurrency=max(2, NUM_CPUS - 2)
+        )
+        n = out.count()
+        return round(time.perf_counter() - t0, 3), n
+
+    sec_no, n1 = run(None)          # straggler: giants serialize on one task
+    sec_global, n2 = run(NUM_CPUS * 4)  # global repartition: all spans shuffle
+    sec_aware, n3 = run_aware()     # only the giants' spans shuffle
+    assert n1 == n2 == n3
+    print(
+        json.dumps(
+            {
+                "metric": "media-heavy skew defusal",
+                "n_spans": n1,
+                "sec_no_mitigation": sec_no,
+                "sec_global_repartition": sec_global,
+                "sec_skew_aware_split": sec_aware,
+                "speedup_aware_vs_none": round(sec_no / sec_aware, 3),
+                "num_cpus": NUM_CPUS,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -195,5 +277,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew()
     else:
         main()

@@ -170,6 +170,77 @@ def run_extraction_split(
     return reassemble(extracted)
 
 
+def run_extraction_skew_aware(
+    docs: ray.data.Dataset,
+    *,
+    span_threshold: int = 2000,
+    ocr_concurrency: Optional[int] = None,
+    giant_output_blocks: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Skew-aware extraction: media-heavy giants repartitioned, the rest
+    shuffle-free.
+
+    A document with 10^4 spans fills its exploded block and serializes
+    on one extraction task (SURVEY §7.6 skew).  Mitigating with a global
+    repartition forces ALL spans through the groupby(doc_id) reassembly
+    shuffle, whose fixed cost dwarfs the straggler at moderate scale.
+    Instead: span counts are read pre-explode via ``list_value_length``
+    (no explode needed), only docs above ``span_threshold`` take the
+    repartition + shuffle-reassembly route, and the shuffle moves ONLY
+    the giants' spans; normal docs keep the doc-local fast path.  The
+    two branches union.  This is hot-key salting applied to document
+    size.
+
+    ``docs`` is consumed by both branches; the input is materialized so
+    upstream derivation doesn't re-execute per branch (straight off
+    ``read_parquet``/``read_lance`` the second pass would just re-read).
+    """
+    import pyarrow.compute as pc
+
+    tune_context()
+    docs = docs.materialize()
+
+    def with_len(t):
+        return t.append_column("n_spans", pc.list_value_length(t["spans"]))
+
+    sized = docs.map_batches(with_len, batch_format="pyarrow")
+    normal = sized.map_batches(
+        lambda t: t.filter(pc.less_equal(t["n_spans"], span_threshold)).drop_columns(
+            ["n_spans"]
+        ),
+        batch_format="pyarrow",
+    )
+    giant = sized.map_batches(
+        lambda t: t.filter(pc.greater(t["n_spans"], span_threshold)).drop_columns(
+            ["n_spans"]
+        ),
+        batch_format="pyarrow",
+    )
+    if giant_output_blocks is None:
+        import ray
+
+        giant_output_blocks = int(ray.cluster_resources().get("CPU", 4)) * 2
+
+    # both branches run concurrently: autoscaling (1, K) pools so the two
+    # extractor pools share the CPU budget instead of each demanding a
+    # full fixed-size pool (which would oversubscribe and stall)
+    if isinstance(ocr_concurrency, int):
+        ocr_concurrency = (1, ocr_concurrency)
+
+    normal_out = reassemble_local(
+        extract_spans(normal, ocr_concurrency=ocr_concurrency, batch_size=None)
+    )
+    giant_out = reassemble(
+        extract_spans(
+            giant,
+            ocr_concurrency=ocr_concurrency,
+            batch_size=None,
+            num_output_blocks=giant_output_blocks,
+        )
+    )
+    return normal_out.union(giant_out)
+
+
 def reassemble(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """Extracted span rows -> ordered span sequences (the output invariant).
 

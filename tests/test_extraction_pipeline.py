@@ -149,3 +149,20 @@ def test_custom_extractor_registry():
     assert out.iloc[0]["route"] == "custom:rot13"
     assert out.iloc[0]["score"] == 0.9
     assert out.iloc[1]["route"] == "native"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_aware_equals_fused_extraction():
+    """Skew-aware split (giants shuffled, rest local) emits the same rows."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_skew_aware,
+    )
+
+    docs = make_corpus(25, seed=44, skew_docs=2)  # skew tail ~100x median
+    fused = _result_df(run_extraction(interleave(_flat_ds(docs)), batch_size=None))
+    aware = _result_df(
+        run_extraction_skew_aware(
+            interleave(_flat_ds(docs)), span_threshold=50, ocr_concurrency=2
+        )
+    )
+    pd.testing.assert_frame_equal(fused, aware)
