@@ -36,6 +36,13 @@ import ray.data
 from ..pipelines.extraction import extract_spans, interleave, read_flat_documents
 
 
+def input_fingerprint(path: str) -> str:
+    """md5(path|size|mtime) — the reference's cache key (ocr_cache.py:50-57).
+    A resume against a CHANGED input must not skip stale partitions."""
+    st = os.stat(path)
+    return hashlib.md5(f"{path}|{st.st_size}|{int(st.st_mtime)}".encode()).hexdigest()
+
+
 def partition_of(doc_id: str, num_partitions: int) -> int:
     """Stable hash-mod partition assignment (resume determinism)."""
     h = int.from_bytes(hashlib.md5(doc_id.encode()).digest()[:8], "big")
@@ -46,7 +53,9 @@ def _manifest_dir(out_dir: str) -> Path:
     return Path(out_dir) / "_manifest"
 
 
-def completed_partitions(out_dir: str) -> List[int]:
+def completed_partitions(out_dir: str, input_fp: Optional[str] = None) -> List[int]:
+    """Partitions safe to skip: data file present and, when ``input_fp``
+    is given, written from the same input fingerprint."""
     mdir = _manifest_dir(out_dir)
     if not mdir.is_dir():
         return []
@@ -55,14 +64,17 @@ def completed_partitions(out_dir: str) -> List[int]:
         try:
             entry = json.loads(f.read_text())
             part_file = Path(out_dir) / entry["file"]
-            if part_file.is_file():
-                done.append(int(entry["partition"]))
+            if not part_file.is_file():
+                continue
+            if input_fp is not None and entry.get("input_fp") not in (None, input_fp):
+                continue  # stale: produced from a different input
+            done.append(int(entry["partition"]))
         except (ValueError, KeyError, OSError):
             continue
     return done
 
 
-def _make_partition_writer(out_dir: str, seed: int, input_path: str):
+def _make_partition_writer(out_dir: str, seed: int, input_path: str, input_fp: str = ""):
     """map_groups UDF factory: reassemble one partition, write it
     atomically, record lineage; emits the partition's metrics row."""
 
@@ -92,6 +104,7 @@ def _make_partition_writer(out_dir: str, seed: int, input_path: str):
             "wall_sec": round(wall, 4),
             "seed": seed,
             "input_path": input_path,
+            "input_fp": input_fp,
         }
         mtmp = mdir / f".tmp-p{part}.json"
         mtmp.write_text(json.dumps(entry))
@@ -123,7 +136,8 @@ def run_extraction_checkpointed(
     partitions are skipped and do not appear).
     """
     os.makedirs(out_dir, exist_ok=True)
-    done = set(completed_partitions(out_dir))
+    input_fp = input_fingerprint(flat_path)
+    done = set(completed_partitions(out_dir, input_fp))
     remaining = [p for p in range(num_partitions) if p not in done]
     if not remaining:
         return pd.DataFrame(columns=["partition", "n_docs", "n_spans", "wall_sec"])
@@ -149,7 +163,7 @@ def run_extraction_checkpointed(
 
     partitioned = extracted.map_batches(add_partition, batch_format="pandas")
     stats = partitioned.groupby("partition").map_groups(
-        _make_partition_writer(out_dir, seed, flat_path), batch_format="pandas"
+        _make_partition_writer(out_dir, seed, flat_path, input_fp), batch_format="pandas"
     )
     return stats.to_pandas().sort_values("partition").reset_index(drop=True)
 

@@ -92,3 +92,41 @@ def test_manifest_lineage_fields(tmp_path, corpus_parquet):
         assert {"partition", "file", "n_docs", "n_spans", "wall_sec",
                 "seed", "input_path"} <= set(entry)
         assert entry["input_path"] == flat_path
+
+
+def test_resume_invalidated_by_changed_input(ray_session, tmp_path):
+    """A resume against a CHANGED input must reprocess, not skip (the
+    reference's md5(path|size|mtime) cache-key semantics)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_comparison_tool_ray.state.checkpoint import (
+        completed_partitions,
+        input_fingerprint,
+        run_extraction_checkpointed,
+    )
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "out"
+    docs = make_corpus(12, seed=3, skew_docs=0)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(docs)[["doc_id", "text"]]), src)
+
+    first = run_extraction_checkpointed(str(src), str(out), num_partitions=4)
+    assert len(first) == 4
+    fp1 = input_fingerprint(str(src))
+    assert set(completed_partitions(str(out), fp1)) == {0, 1, 2, 3}
+
+    # same input -> full skip
+    again = run_extraction_checkpointed(str(src), str(out), num_partitions=4)
+    assert len(again) == 0
+
+    # changed input (different size => different fingerprint) -> stale
+    docs2 = make_corpus(14, seed=4, skew_docs=0)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(docs2)[["doc_id", "text"]]), src)
+    fp2 = input_fingerprint(str(src))
+    assert fp2 != fp1
+    assert completed_partitions(str(out), fp2) == []
+    rerun = run_extraction_checkpointed(str(src), str(out), num_partitions=4)
+    assert len(rerun) == 4
