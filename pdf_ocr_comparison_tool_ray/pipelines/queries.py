@@ -1029,6 +1029,119 @@ GROUP BY r.r_name
 """
 
 # ---------------------------------------------------------------------------
+# as-of join: each event matched to the user's latest order at/before its
+# timestamp (stages/asof.py co-shuffle + per-key merge_asof; DuckDB's
+# native ASOF JOIN is the oracle)
+# ---------------------------------------------------------------------------
+def q_asof_event_order(sf_dir: str):
+    from ..stages.asof import asof_join_backward
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def with_cents(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+        return df.rename(columns={"o_custkey": "user_id"})[
+            ["user_id", "o_orderdate", "cents"]
+        ]
+
+    joined = asof_join_backward(
+        events,
+        orders.map_batches(with_cents, batch_format="pyarrow"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_val="cents",
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["k"].astype("int64"),
+                "ts_us": df["ts_us"].astype("int64"),
+                # -1 sentinel for "no prior order" (nullable ints don't
+                # survive the pandas->Arrow block conversion)
+                "matched_cents": df["matched"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_EVENT_ORDER = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id,
+       e.user_id,
+       epoch_us(e.ts) AS ts_us,
+       COALESCE(r.cents, -1) AS matched_cents
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+# ---------------------------------------------------------------------------
+# windowed aggregate: trailing 1-hour rolling sum/count per user, one
+# row per event.  Ray side: groupby(user) + in-group sorted prefix-sum
+# two-pointer (vectorized searchsorted); oracle: SQL RANGE frame.
+# RANGE semantics include ALL ts-peers of the current row, which the
+# [t-1h, t] searchsorted window reproduces exactly.
+# ---------------------------------------------------------------------------
+def q_rolling_user_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "value_cents": np.rint(df["value"] * 100).astype("int64"),
+            }
+        )
+
+    HOUR_US = 3_600_000_000
+
+    def window(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = g["ts_us"].to_numpy()
+        csum = np.concatenate([[0], np.cumsum(g["value_cents"].to_numpy())])
+        lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        g["w_events"] = (hi - lo).astype("int64")
+        g["w_value_cents"] = (csum[hi] - csum[lo]).astype("int64")
+        return g[["event_id", "user_id", "ts_us", "w_events", "w_value_cents"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+SQL_ROLLING_USER_VALUE = """
+SELECT event_id,
+       user_id,
+       epoch_us(ts) AS ts_us,
+       count(*) OVER w AS w_events,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS w_value_cents
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+# ---------------------------------------------------------------------------
 # S5/K4: run-length segmentation — consecutive same-type runs
 # (pdf_processor.py:332-349 sorts pages by page_num then groups runs of one
 # classified type; here the sequence is (source, doc_id asc) over classified
@@ -1197,4 +1310,6 @@ SQL_QUERIES = {
         SQL_CUSTOMERS_WITHOUT_ORDERS,
     ),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
+    "rolling_user_value": (q_rolling_user_value, SQL_ROLLING_USER_VALUE),
 }
