@@ -1087,6 +1087,108 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
 # ---------------------------------------------------------------------------
+# range join: per order, the user's events within 1 day after the order.
+# Equality key (user) co-shuffles both sides; the time-range predicate is
+# a sorted searchsorted count within each key group — no cross product.
+# ---------------------------------------------------------------------------
+def q_order_events_1d(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag_orders(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "k": df["o_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "ts_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "value_cents": pd.Series([0] * len(df), dtype="int64"),
+                "side": "O",
+            }
+        )
+
+    def tag_events(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "k": df["user_id"].astype("int64"),
+                "o_orderkey": pd.Series([-1] * len(df), dtype="int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "value_cents": np.rint(df["value"] * 100).astype("int64"),
+                "side": "E",
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
+    )
+    DAY_US = 86_400_000_000
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["side"] == "O"]
+        if o.empty:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "n_events_1d": pd.Series(dtype="int64"),
+                 "value_cents_1d": pd.Series(dtype="int64")}
+            )
+        e = group[group["side"] == "E"].sort_values("ts_us", kind="mergesort")
+        ets = e["ts_us"].to_numpy()
+        csum = np.concatenate([[0], np.cumsum(e["value_cents"].to_numpy())])
+        ots = o["ts_us"].to_numpy()
+        lo = np.searchsorted(ets, ots, side="left")
+        hi = np.searchsorted(ets, ots + DAY_US, side="left")
+        return pd.DataFrame(
+            {
+                "o_orderkey": o["o_orderkey"].to_numpy(),
+                "user_id": o["k"].to_numpy(),
+                "n_events_1d": (hi - lo).astype("int64"),
+                "value_cents_1d": (csum[hi] - csum[lo]).astype("int64"),
+            }
+        )
+
+    return tagged.groupby("k").map_groups(per_user, batch_format="pandas")
+
+
+SQL_ORDER_EVENTS_1D = """
+SELECT o.o_orderkey,
+       o.o_custkey AS user_id,
+       count(e.event_id) AS n_events_1d,
+       COALESCE(sum(CAST(round(e.value * 100) AS BIGINT)), 0) AS value_cents_1d
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling: ~12.5% bernoulli by md5(doc_id) prefix —
+# reproducible across engines and runs (no RNG), the scalable way to
+# sample a 100 TB corpus consistently
+# ---------------------------------------------------------------------------
+def q_hash_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()[0] in ("0", "1")
+            for d in df["doc_id"]
+        ]
+        return df.loc[keep, ["doc_id", "lang"]]
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+# ---------------------------------------------------------------------------
 # windowed aggregate: trailing 1-hour rolling sum/count per user, one
 # row per event.  Ray side: groupby(user) + in-group sorted prefix-sum
 # two-pointer (vectorized searchsorted); oracle: SQL RANGE frame.
@@ -1312,4 +1414,6 @@ SQL_QUERIES = {
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
     "rolling_user_value": (q_rolling_user_value, SQL_ROLLING_USER_VALUE),
+    "order_events_1d": (q_order_events_1d, SQL_ORDER_EVENTS_1D),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
 }

@@ -1,0 +1,54 @@
+"""In-suite oracle parity: a fast subset of the DuckDB-checked queries at
+sf0.001, using the same compare the driver-mirror script uses.  The full
+suite runs via ``python scripts/check_queries.py /root/testdata/sf0.01``."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+SF = "/root/testdata/sf0.001"
+
+FAST_QUERIES = [
+    "normalize_hash",
+    "classify_documents",
+    "lang_id",
+    "events_daily",
+    "timeline",
+    "rolling_user_value",
+    "order_events_1d",
+    "hash_sample",
+    "split_runs",
+    "customers_without_orders",
+    "asof_event_order",
+    "region_revenue",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from check_queries import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(name, duck):
+    from check_queries import compare, to_df
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
+
+    fn, sql = SQL_QUERIES[name]
+    ray_df = to_df(fn(SF))
+    sql_df = duck.execute(sql).df()
+    assert compare(name, ray_df, sql_df), f"{name} diverged from its oracle"
