@@ -1,0 +1,64 @@
+"""HyperLogLog distinct-count sketch — mergeable, fixed-size.
+
+Standard HLL (Flajolet et al. 2007) with the small-range linear-counting
+correction.  Registers are a numpy uint8 array of size 2^p; merging is
+an elementwise max, which is what makes the sketch work as a
+``map_batches`` partial + tiny final reduce: each batch produces one
+2^p-byte register row, the driver (or a single reduce task) ORs them —
+the shuffle moves ``n_batches * 2^p`` bytes instead of every distinct
+key.  At p=12 the standard error is ~1.04/sqrt(4096) ≈ 1.6%.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_init(p: int = 12) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_many(registers: np.ndarray, values) -> np.ndarray:
+    """Add hashed values (any str/bytes-convertible) to the sketch."""
+    p = int(np.log2(len(registers)))
+    for v in values:
+        h = int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:8], "big", signed=False
+        )
+        idx = h >> (64 - p)
+        rest = h << p & ((1 << 64) - 1)
+        # rank = position of the leftmost 1-bit in the remaining 64-p bits
+        rank = 1
+        probe = 1 << 63
+        while rank <= 64 - p and not (rest & probe):
+            rank += 1
+            probe >>= 1
+        if rank > registers[idx]:
+            registers[idx] = rank
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_count(registers: np.ndarray) -> float:
+    m = len(registers)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    return float(est)
