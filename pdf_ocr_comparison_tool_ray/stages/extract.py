@@ -127,36 +127,46 @@ class SpanExtractor:
         scores = [0.0] * n
         thr = self.thr
         for i, k in enumerate(kinds):
-            if k == "text":
-                routes[i] = "native"
-                scores[i] = 1.0
-            elif k == "html":
-                out_text[i] = self._strip(texts[i])
-                routes[i] = "html"
-                scores[i] = 1.0
-            elif k == "scan":
-                decoded = self._ocr(refs[i])
-                out_text[i] = decoded
-                routes[i] = "ocr"
-                scores[i] = mock_confidence(decoded)
-            elif k == "pdf":
-                native = self._parse_pdf(texts[i])
-                if not refs[i]:
-                    out_text[i] = native
+            # poison-row quarantine: a malformed payload marks ITS span
+            # (route="error", score 0, text preserved) instead of failing
+            # the task — the reference logs-and-skips per file
+            # (main.py:244-252, run_ocr.py:222-224); at 100 TB a corrupt
+            # document must never kill the job or trigger retry storms.
+            try:
+                if k == "text":
                     routes[i] = "native"
                     scores[i] = 1.0
+                elif k == "html":
+                    out_text[i] = self._strip(texts[i])
+                    routes[i] = "html"
+                    scores[i] = 1.0
+                elif k == "scan":
+                    decoded = self._ocr(refs[i])
+                    out_text[i] = decoded
+                    routes[i] = "ocr"
+                    scores[i] = mock_confidence(decoded)
+                elif k == "pdf":
+                    native = self._parse_pdf(texts[i])
+                    if not refs[i]:
+                        out_text[i] = native
+                        routes[i] = "native"
+                        scores[i] = 1.0
+                    else:
+                        ocr = self._ocr(refs[i])
+                        ratio = agreement_ratio(native, ocr)
+                        out_text[i] = native if ratio >= thr else ocr
+                        routes[i] = "native" if ratio >= thr else "ocr"
+                        scores[i] = ratio
+                elif k in self._custom:
+                    out_text[i], routes[i], scores[i] = self._custom[k](
+                        texts[i], refs[i]
+                    )
                 else:
-                    ocr = self._ocr(refs[i])
-                    ratio = agreement_ratio(native, ocr)
-                    out_text[i] = native if ratio >= thr else ocr
-                    routes[i] = "native" if ratio >= thr else "ocr"
-                    scores[i] = ratio
-            elif k in self._custom:
-                out_text[i], routes[i], scores[i] = self._custom[k](
-                    texts[i], refs[i]
-                )
-            else:
-                routes[i] = "passthrough"
+                    routes[i] = "passthrough"
+            except Exception:
+                out_text[i] = texts[i]
+                routes[i] = "error"
+                scores[i] = 0.0
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

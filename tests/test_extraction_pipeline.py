@@ -166,3 +166,42 @@ def test_skew_aware_equals_fused_extraction():
         )
     )
     pd.testing.assert_frame_equal(fused, aware)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_poison_row_quarantine():
+    """An extractor crash marks ITS span route='error' (text preserved)
+    and the pipeline completes; healthy spans are untouched."""
+    from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
+    from pdf_ocr_comparison_tool_ray.stages.extract import SpanExtractor
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d1"],
+            "spans": [
+                [
+                    {"kind": "boom", "text": "bad payload", "media_ref": "x", "offset": 0},
+                    {"kind": "text", "text": "fine", "media_ref": "", "offset": 1},
+                ]
+            ],
+        }
+    )
+
+    def exploding(text, media_ref):
+        raise RuntimeError("corrupt media")
+
+    out = (
+        ray.data.from_pandas(rows)
+        .map_batches(explode_spans, batch_format="pyarrow")
+        .map_batches(
+            SpanExtractor,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"extra_extractors": {"boom": exploding}},
+        )
+        .to_pandas()
+        .sort_values("offset")
+    )
+    assert out.iloc[0]["route"] == "error" and out.iloc[0]["score"] == 0.0
+    assert out.iloc[0]["text"] == "bad payload"  # original preserved
+    assert out.iloc[1]["route"] == "native" and out.iloc[1]["text"] == "fine"
