@@ -94,8 +94,11 @@ def run_queries() -> dict:
         "classify_documents",
         "lineitem_agg",
         "nation_revenue",
+        "region_revenue",
         "events_daily",
         "sessionize_events",
+        "rolling_user_value",
+        "asof_event_order",
         "knn_cosine",
     ]
     times = {}

@@ -53,6 +53,61 @@ def write_categorized(
     categorize(enriched).write_parquet(out_dir, partition_cols=cols)
 
 
+def _nest_batch(batch: pa.Table) -> pa.Table:
+    """Ordered span rows (doc-local batch) -> nested documents rows.
+
+    Inverse of ``explode_spans``: emits the canonical interleaved shape
+    ``(doc_id, spans: list<struct<kind,text,media_ref,offset>>)`` plus the
+    extraction columns folded into each span struct.  Valid per batch only
+    when a document's rows are batch-local — guaranteed straight after
+    reassembly (both paths emit whole documents per block).
+    """
+    import numpy as np
+
+    idx = pa.compute.sort_indices(
+        batch, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
+    )
+    g = batch.take(idx)
+    doc = np.asarray(g["doc_id"])
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, n).astype("int32")
+    span_struct = pa.StructArray.from_arrays(
+        [
+            g["kind"].combine_chunks(),
+            g["text"].combine_chunks(),
+            g["media_ref"].combine_chunks(),
+            pa.compute.cast(g["seq"].combine_chunks(), pa.int32()),
+            g["route"].combine_chunks(),
+            g["score"].combine_chunks(),
+        ],
+        names=["kind", "text", "media_ref", "offset", "route", "score"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), span_struct)
+    return pa.table({"doc_id": pa.array(doc[starts]), "spans": spans})
+
+
+def nest_spans(reassembled: ray.data.Dataset) -> ray.data.Dataset:
+    """Ordered span rows -> canonical nested documents table."""
+    return reassembled.map_batches(_nest_batch, batch_format="pyarrow", batch_size=None)
+
+
+def write_documents(reassembled: ray.data.Dataset, path: str) -> None:
+    """Write the extraction output in the INPUT's canonical nested shape
+    (lance when available, else parquet) — a consumer of the source table
+    can read the extracted table with the same reader."""
+    nested = nest_spans(reassembled)
+    try:
+        import lance  # noqa: F401
+
+        nested.write_lance(path)
+    except ImportError:
+        nested.write_parquet(path)
+
+
 _PAGE_FRAME = "=== 第{n}页 ==="  # run_ocr.py:60-70 framing
 
 

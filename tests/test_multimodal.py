@@ -85,3 +85,19 @@ def test_frame_sampler_explodes_video(ray_session):
     k, arr, _ = _decode_payload(frames["payload"].iloc[0])
     assert k == "image" and arr.ndim == 3
     assert (frames["frame_idx"] % 2 == 0).all()
+
+
+def test_frame_sample_then_featurize_chain(ray_session):
+    """Video frame-sample explode feeds the featurizer directly (both
+    actor-pool stages share the payload contract)."""
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import (
+        featurize_media,
+        sample_video_frames,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(24, seed=2))
+    frames = sample_video_frames(media, stride=3, concurrency=2)
+    feats = featurize_media(frames, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) > 0
+    assert (feats["media_type"] == "image").all()
+    assert all(len(f) == MediaFeaturizer.N_BINS for f in feats["features"])

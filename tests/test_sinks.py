@@ -57,3 +57,27 @@ def test_render_full_text_framing():
         )
         assert rendered.loc[doc_id, "full_text"] == expected
         assert rendered.loc[doc_id, "n_spans"] == len(g)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nest_round_trip():
+    """explode -> extract -> reassemble -> nest recovers one row per doc
+    with ordered span structs; write_documents round-trips via parquet."""
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import nest_spans, write_documents
+
+    out = _extracted(n=10, seed=3)
+    nested = nest_spans(out).to_pandas()
+    flat = out.to_pandas()
+    assert len(nested) == flat["doc_id"].nunique()
+    row = nested.set_index("doc_id").loc[flat["doc_id"].iloc[0]]
+    spans = row["spans"]
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs) and offs[0] == 0
+    g = flat[flat["doc_id"] == flat["doc_id"].iloc[0]].sort_values("seq")
+    assert [s["text"] for s in spans] == g["text"].tolist()
+
+    with tempfile.TemporaryDirectory() as d:
+        write_documents(_extracted(n=10, seed=3), d)
+        back = ray.data.read_parquet(d).to_pandas()
+        assert len(back) == len(nested)
+        assert set(back.columns) == {"doc_id", "spans"}
