@@ -148,6 +148,17 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=8)
 
 
+def _q_approx_distinct_by_lang(sf_dir: str):
+    """HLL sketch: per-language approximate distinct sources — mergeable
+    register partials, 2^p bytes per (key, batch) through the shuffle."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+    return approx_distinct_by(ds, "lang", "doc_id", p=12)
+
+
 def _q_classify_cascade(sf_dir: str):
     """M11-M13: rule classifier with low-confidence rows refined by the
     (mock) LLM actor pool; filter-split + union topology."""
@@ -260,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "match_summary": _q_match_summary,
             "dedup_clusters": _q_dedup_clusters,
             "classify_cascade": _q_classify_cascade,
+            "approx_distinct_by_lang": _q_approx_distinct_by_lang,
         }
     )
     return out
