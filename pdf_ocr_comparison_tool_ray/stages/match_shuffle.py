@@ -69,17 +69,49 @@ def _with_defaults(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _explode_keys(batch: pa.Table, side: str) -> pa.Table:
+def _row_keys(r) -> set:
+    keys = {"h:" + r.text_hash}
+    keys.update("d:" + d for d in r.dates)
+    keys.update("a:" + normalize_amount(a) for a in r.amounts)
+    return keys
+
+
+def _salt_of(doc_id: str, offset: int, factor: int) -> int:
+    import zlib
+
+    return zlib.crc32(f"{doc_id}|{offset}".encode()) % factor
+
+
+def _explode_keys(batch: pa.Table, side: str, hot: dict | None = None,
+                  factor: int = 8) -> pa.Table:
+    """Emit (key, row) pairs; hot keys are salted.
+
+    Salting (the skew mitigation the date/amount indexes need — one
+    popular date otherwise lands its entire probe x build cross product
+    on a single shuffle partition): a hot key k splits into
+    ``k#0..k#factor-1``.  Build rows go to ONE deterministic sub-key
+    (hash of their identity); probe rows replicate to ALL sub-keys, so
+    every (probe, build) pair still co-locates exactly once and the
+    candidate set is unchanged — the hot partition's work spreads
+    ``factor`` ways at the cost of ``factor``-way probe duplication on
+    hot keys only.
+    """
     df = _with_defaults(batch.to_pandas())
+    hot = hot or {}
     out_rows = []
     for r in df.itertuples(index=False):
-        keys = {"h:" + r.text_hash}
-        keys.update("d:" + d for d in r.dates)
-        keys.update("a:" + normalize_amount(a) for a in r.amounts)
         base = {c: getattr(r, c) for c in _CARRY}
         base["side"] = side
-        for k in keys:
-            out_rows.append({**base, "key": k})
+        for k in _row_keys(r):
+            if k in hot:
+                if side == "b":
+                    subs = [f"{k}#{_salt_of(r.doc_id, r.offset, factor)}"]
+                else:
+                    subs = [f"{k}#{i}" for i in range(factor)]
+            else:
+                subs = [k]
+            for sk in subs:
+                out_rows.append({**base, "key": sk})
     return pa.Table.from_pylist(out_rows, schema=_KEYED_SCHEMA)
 
 
@@ -142,13 +174,41 @@ def _score_factory(cfg: dict, fallback_ref):
     return score_group
 
 
+def _hot_keys(build_enriched: ray.data.Dataset, threshold: int) -> dict:
+    """Keys whose build-side frequency exceeds ``threshold``.
+
+    Batch-local partial counts -> driver merge: rows moved =
+    (distinct keys per batch), and only counts — never the rows.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = _with_defaults(batch.to_pandas())
+        counts: dict = {}
+        for r in df.itertuples(index=False):
+            for k in _row_keys(r):
+                counts[k] = counts.get(k, 0) + 1
+        return pd.DataFrame(
+            {"key": list(counts.keys()),
+             "n": pd.Series(list(counts.values()), dtype="int64")}
+        )
+
+    parts = build_enriched.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("key")["n"].sum()
+    return {k: int(n) for k, n in totals.items() if n > threshold}
+
+
 def run_match_shuffle(
     probe_enriched: ray.data.Dataset,
     build_enriched: ray.data.Dataset,
     cfg: Optional[dict] = None,
+    salt_threshold: Optional[int] = None,
+    salt_factor: int = 8,
 ) -> ray.data.Dataset:
     """Enriched probe + build span Datasets -> match-result rows
-    (schema identical to the broadcast ``PageMatcher`` output)."""
+    (schema identical to the broadcast ``PageMatcher`` output).
+
+    ``salt_threshold``: build-side key frequency above which a key is
+    salted ``salt_factor`` ways (None = no salting pass)."""
     cfg = dict(cfg or MATCHING)
 
     # each side is consumed by two branches (key-explode + seeds/fallback);
@@ -169,11 +229,18 @@ def run_match_shuffle(
     )
     fallback_ref = ray.put(PageIndex.from_rows(fb_rows))
 
+    hot = (
+        _hot_keys(build_enriched, salt_threshold)
+        if salt_threshold is not None
+        else {}
+    )
     keyed_p = probe_enriched.map_batches(
-        lambda b: _explode_keys(b, "p"), batch_format="pyarrow"
+        lambda b: _explode_keys(b, "p", hot=hot, factor=salt_factor),
+        batch_format="pyarrow",
     )
     keyed_b = build_enriched.map_batches(
-        lambda b: _explode_keys(b, "b"), batch_format="pyarrow"
+        lambda b: _explode_keys(b, "b", hot=hot, factor=salt_factor),
+        batch_format="pyarrow",
     )
     pairs = keyed_p.union(keyed_b).groupby("key").map_groups(
         _pair_group, batch_format="pandas"

@@ -123,3 +123,36 @@ def test_shuffle_match_equals_broadcast_match():
             assert [list(k) for k in broadcast[col]] == [list(k) for k in shuffled[col]]
         else:
             assert broadcast[col].tolist() == shuffled[col].tolist(), f"mismatch in {col}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_shuffle_match_equals_broadcast():
+    """Hot-key salting (forced on EVERY key) must not change the match
+    output: builds hash to one sub-key, probes replicate to all, the
+    per-probe dedup reunifies the candidate set."""
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import enrich_spans, merge_matches
+    from pdf_ocr_comparison_tool_ray.stages.match_shuffle import run_match_shuffle
+
+    ref_docs = make_corpus(10, seed=100, skew_docs=0)
+    probe_docs = _probe_corpus(ref_docs)
+    probe_e = enrich_spans(_extracted(probe_docs)).materialize()
+    build_e = enrich_spans(_extracted(ref_docs)).materialize()
+
+    def norm(ds):
+        return (
+            merge_matches(ds)
+            .to_pandas()
+            .sort_values(["source_doc_id", "source_start"])
+            .reset_index(drop=True)
+        )
+
+    plain = norm(run_match_shuffle(probe_e, build_e))
+    salted = norm(run_match_shuffle(probe_e, build_e, salt_threshold=0, salt_factor=4))
+    assert len(plain) == len(salted)
+    for col in plain.columns:
+        if col == "similarity":
+            assert (plain[col] - salted[col]).abs().max() < 1e-12
+        elif col == "matched_keywords":
+            assert [list(k) for k in plain[col]] == [list(k) for k in salted[col]]
+        else:
+            assert plain[col].tolist() == salted[col].tolist(), f"mismatch in {col}"
