@@ -23,9 +23,12 @@ the join is expressed as a key-exploded co-shuffle:
 
 Skew note: a hot key (a date shared by k_b build × k_p probe rows)
 emits k_b·k_p pairs — the same quadratic blowup the reference's
-date_index scan has, but here it lands on one shuffle partition.  For
-adversarial key distributions, salt the hot keys (split build lists
-into s sub-buckets, replicate the probe row to all s) before step 2.
+date_index scan has, but here it lands on one shuffle partition.
+``salt_threshold`` enables hot-key salting: a cheap build-side frequency
+pass finds keys above the threshold, their build rows hash to one of
+``salt_factor`` sub-keys, probe rows replicate to all sub-keys, and the
+per-probe dedup downstream reunifies the candidate set — semantics
+unchanged (equivalence-tested), hot partition split ``salt_factor`` ways.
 """
 
 from __future__ import annotations
