@@ -6,7 +6,8 @@ Prints ONE JSON line:
    "docs_per_sec": ...}
 
 Headline = flagship interleaved-extraction pipeline (interleave ->
-explode -> hybrid-routing extract -> groupby(doc_id) reassembly) over
+explode -> hybrid-routing extract -> ordered reassembly, shuffle-free
+doc-local fast path) over
 $GRAFT_SF_DIR documents, replicated GRAFT_BENCH_REPLICATION times
 (deterministic doc_id suffixes) so the corpus is large enough to
 saturate the actor pool.

@@ -129,6 +129,28 @@ def timeline(enriched: ray.data.Dataset) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A6: extraction-route stats (the hybrid engine's paddle/deepseek call
+# counters, hybrid_ocr_engine.py:74-80, 225-233 — here derived from the
+# per-span route column instead of actor-side mutable counters)
+# ---------------------------------------------------------------------------
+def route_stats(extracted: ray.data.Dataset) -> pd.DataFrame:
+    """Per-route span counts + mean score; native_ratio mirrors the
+    reference's paddle_ratio."""
+    agg = (
+        extracted.groupby("route")
+        .aggregate(Count(alias_name="n_spans"), Mean("score", alias_name="mean_score"))
+        .to_pandas()
+        .sort_values("route")
+        .reset_index(drop=True)
+    )
+    total = int(agg["n_spans"].sum())
+    native = int(agg.loc[agg["route"] == "native", "n_spans"].sum())
+    agg["route_ratio"] = agg["n_spans"] / total if total else 0.0
+    agg.attrs["native_ratio"] = native / total if total else 0.0
+    return agg
+
+
+# ---------------------------------------------------------------------------
 # A8: per-document main-type vote (mode of span doc_types)
 # ---------------------------------------------------------------------------
 def _doc_type_mode(group: pd.DataFrame) -> pd.DataFrame:

@@ -1,9 +1,11 @@
 """Compare pipeline vs the pure-Python match oracle."""
 
+import hypothesis as settings_module
 import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
+from hypothesis import strategies as st
 
 from pdf_ocr_comparison_tool_ray.oracle_match import golden_matches
 from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare
@@ -156,3 +158,56 @@ def test_salted_shuffle_match_equals_broadcast():
             assert [list(k) for k in plain[col]] == [list(k) for k in salted[col]]
         else:
             assert plain[col].tolist() == salted[col].tolist(), f"mismatch in {col}"
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings_module.settings(max_examples=5, deadline=None,
+                          suppress_health_check=list(settings_module.HealthCheck))
+@settings_module.given(
+    st.lists(
+        st.tuples(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                  st.integers(0, 3)),
+        min_size=1, max_size=6,
+    ),
+    st.integers(0, 10_000),
+)
+def test_compare_property_random_corpora(spec, seed):
+    """Random overlapping probe/ref corpora: the Ray compare pipeline must
+    equal the pure-python golden oracle row for row."""
+    rng = __import__("random").Random(seed)
+    vocab = ["scan", "merge", "sort", "batch", "window", "查询", "合同", "发票"]
+
+    def text_of(base, variant):
+        n = 10 + (variant * 7) % 25
+        r = __import__("random").Random(hash((base, variant)) & 0xFFFF)
+        return " ".join(r.choice(vocab) for _ in range(n))
+
+    ref_docs = [
+        {"doc_id": f"ref{i:03d}", "text": text_of(b, v)}
+        for i, (b, v) in enumerate(spec)
+    ]
+    probe_docs = []
+    for i, (b, v) in enumerate(spec):
+        if rng.random() < 0.5:  # exact duplicate of a ref text
+            probe_docs.append({"doc_id": f"p{i:03d}", "text": ref_docs[i]["text"]})
+        else:  # perturbed
+            probe_docs.append(
+                {"doc_id": f"p{i:03d}", "text": ref_docs[i]["text"] + " extra tail"}
+            )
+    result = run_compare(_extracted(probe_docs), _extracted(ref_docs))
+    df = (
+        result.to_pandas()
+        .sort_values(["source_doc_id", "source_start"])
+        .reset_index(drop=True)
+    )
+    golden = pd.DataFrame(
+        golden_matches(
+            [(d["doc_id"], d["text"]) for d in probe_docs],
+            [(d["doc_id"], d["text"]) for d in ref_docs],
+        )
+    ).sort_values(["source_doc_id", "source_start"]).reset_index(drop=True)
+    assert len(df) == len(golden)
+    for col in ["source_doc_id", "source_start", "source_end", "match_status",
+                "target_doc_id", "target_start", "target_end"]:
+        assert df[col].tolist() == golden[col].tolist(), col
+    assert (df["similarity"] - golden["similarity"]).abs().max() < 1e-9

@@ -84,3 +84,21 @@ def test_doc_main_type_vote():
     got = dict(zip(out["doc_id"], out["main_type"]))
     # a: tie t1/t2 -> deterministic name-asc tiebreak -> t1
     assert got == {"a": "t1", "b": "t2", "c": "t1"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_route_stats():
+    from pdf_ocr_comparison_tool_ray.pipelines.reports import route_stats
+
+    df = pd.DataFrame(
+        {
+            "route": ["native", "native", "ocr", "html", "native", "error"],
+            "score": [1.0, 1.0, 0.93, 1.0, 1.0, 0.0],
+        }
+    )
+    out = route_stats(ray.data.from_pandas(df))
+    got = out.set_index("route")
+    assert got.loc["native", "n_spans"] == 3
+    assert abs(got.loc["ocr", "mean_score"] - 0.93) < 1e-12
+    assert abs(out.attrs["native_ratio"] - 0.5) < 1e-12
+    assert abs(got["route_ratio"].sum() - 1.0) < 1e-12
