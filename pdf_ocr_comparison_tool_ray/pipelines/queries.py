@@ -1189,6 +1189,86 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 """
 
 # ---------------------------------------------------------------------------
+# tumbling window: per (user, hour-bucket) activity.  Batch-level
+# pre-agg -> one groupby; bucket = epoch-us floored to the hour.
+# ---------------------------------------------------------------------------
+def q_user_hourly_activity(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["hour_us"] = (
+            df["ts"].astype("datetime64[us]").astype("int64") // HOUR_US * HOUR_US
+        )
+        df["value_cents"] = np.rint(df["value"] * 100).astype("int64")
+        return df.groupby(["user_id", "hour_us"], as_index=False).agg(
+            n_events=("value", "size"), value_cents=("value_cents", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+SQL_USER_HOURLY = """
+SELECT user_id,
+       epoch_us(date_trunc('hour', ts)) AS hour_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# per-group exact median (quantile operator): in-group sort on integer
+# cents — deterministic, SQL median() on BIGINT matches exactly
+# ---------------------------------------------------------------------------
+def q_user_value_median(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "value_cents": np.rint(df["value"] * 100).astype("int64"),
+            }
+        )
+
+    def median_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value_cents"].to_numpy())
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        return pd.DataFrame(
+            {
+                "user_id": [int(group["user_id"].iloc[0])],
+                "n_events": [int(n)],
+                "median_cents": [med],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(median_group, batch_format="pandas")
+    )
+
+
+SQL_USER_VALUE_MEDIAN = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS median_cents
+FROM events
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
 # windowed aggregate: trailing 1-hour rolling sum/count per user, one
 # row per event.  Ray side: groupby(user) + in-group sorted prefix-sum
 # two-pointer (vectorized searchsorted); oracle: SQL RANGE frame.
@@ -1416,4 +1496,6 @@ SQL_QUERIES = {
     "rolling_user_value": (q_rolling_user_value, SQL_ROLLING_USER_VALUE),
     "order_events_1d": (q_order_events_1d, SQL_ORDER_EVENTS_1D),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "user_hourly_activity": (q_user_hourly_activity, SQL_USER_HOURLY),
+    "user_value_median": (q_user_value_median, SQL_USER_VALUE_MEDIAN),
 }
