@@ -130,3 +130,38 @@ def test_resume_invalidated_by_changed_input(ray_session, tmp_path):
     assert completed_partitions(str(out), fp2) == []
     rerun = run_extraction_checkpointed(str(src), str(out), num_partitions=4)
     assert len(rerun) == 4
+
+
+def test_job_cli_contract(tmp_path):
+    """jobs/extract_job.py: fresh run then resume, via the real CLI in a
+    subprocess (its own Ray session), JSON summary contract."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "out"
+    docs = make_corpus(8, seed=5, skew_docs=0)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(docs)[["doc_id", "text"]]), src)
+
+    def run():
+        env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+        p = subprocess.run(
+            [sys.executable, "jobs/extract_job.py", "--input", str(src),
+             "--output", str(out), "--partitions", "3"],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=240,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["partitions_processed"] == 3 and first["n_docs"] == 8
+    second = run()
+    assert second["partitions_skipped_resume"] == 3
+    assert second["partitions_processed"] == 0
