@@ -62,3 +62,40 @@ def hll_count(registers: np.ndarray) -> float:
         if zeros:
             return m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable by
+# elementwise add; point estimate = min over depth rows.  Used for
+# approximate heavy hitters when exact per-key counts won't fit.
+# ---------------------------------------------------------------------------
+def cm_init(depth: int = 4, width: int = 2048) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cm_hashes(value, depth: int, width: int) -> np.ndarray:
+    digest = hashlib.md5(str(value).encode()).digest()
+    return np.array(
+        [
+            int.from_bytes(digest[4 * i : 4 * i + 4], "big") % width
+            for i in range(depth)
+        ],
+        dtype=np.int64,
+    )
+
+
+def cm_add_many(sketch: np.ndarray, values) -> np.ndarray:
+    depth, width = sketch.shape
+    rows = np.arange(depth)
+    for v in values:
+        sketch[rows, _cm_hashes(v, depth, width)] += 1
+    return sketch
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cm_estimate(sketch: np.ndarray, value) -> int:
+    depth, width = sketch.shape
+    return int(sketch[np.arange(depth), _cm_hashes(value, depth, width)].min())

@@ -64,3 +64,44 @@ def approx_distinct_by(
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def approx_topk(
+    ds: ray.data.Dataset, col: str, k: int = 10, depth: int = 4, width: int = 4096
+) -> pd.DataFrame:
+    """Approximate heavy hitters: per-batch Count-Min partial + local
+    candidate shortlist (top 3k per batch); merged sketch re-estimates the
+    union of candidates.  Shuffle-free — each batch contributes one
+    fixed-size sketch row plus <=3k candidate strings; a true heavy
+    hitter is in some batch's local top (union bound), so recall of the
+    global top-k is high under skewed distributions.
+    """
+    from ..functions.hll import cm_add_many, cm_estimate, cm_init, cm_merge
+
+    shortlist = 3 * k
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = batch[col].to_pylist()
+        sk = cm_add_many(cm_init(depth, width), vals)
+        counts: dict = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        cands = sorted(counts, key=lambda x: (-counts[x], str(x)))[:shortlist]
+        return pd.DataFrame(
+            {
+                "sketch": [sk.tobytes()],
+                "candidates": [list(map(str, cands))],
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = cm_init(depth, width)
+    cands: set = set()
+    for r in rows:
+        merged = cm_merge(
+            merged, np.frombuffer(r["sketch"], dtype=np.int64).reshape(depth, width)
+        )
+        cands.update(r["candidates"])
+    est = {c: cm_estimate(merged, c) for c in cands}
+    top = sorted(est, key=lambda x: (-est[x], x))[:k]
+    return pd.DataFrame({col: top, "approx_count": [est[t] for t in top]})

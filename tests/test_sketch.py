@@ -52,3 +52,43 @@ def test_approx_distinct_by_key():
     for k, n in truth.items():
         est = out.loc[k, "approx_distinct"]
         assert abs(est - n) / n < 0.1, (k, n, est)
+
+
+def test_cm_point_estimates_upper_bound():
+    from pdf_ocr_comparison_tool_ray.functions.hll import (
+        cm_add_many,
+        cm_estimate,
+        cm_init,
+        cm_merge,
+    )
+
+    truth = {"a": 500, "b": 100, "c": 7}
+    vals = [k for k, n in truth.items() for _ in range(n)]
+    half = len(vals) // 2
+    s1 = cm_add_many(cm_init(), vals[:half])
+    s2 = cm_add_many(cm_init(), vals[half:])
+    merged = cm_merge(s1, s2)
+    for k, n in truth.items():
+        est = cm_estimate(merged, k)
+        assert est >= n                      # CM never underestimates
+        assert est <= n + len(vals) * 0.02   # and error is bounded
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_topk_recovers_heavy_hitters():
+    import random
+
+    from pdf_ocr_comparison_tool_ray.stages.sketch import approx_topk
+
+    rng = random.Random(5)
+    vals = []
+    heavy = {f"hh{i}": 300 - 20 * i for i in range(5)}
+    for k, n in heavy.items():
+        vals += [k] * n
+    vals += [f"tail{rng.randrange(2000)}" for _ in range(3000)]
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"tok": vals})).repartition(6)
+    top = approx_topk(ds, "tok", k=5)
+    assert set(top["tok"]) == set(heavy)
+    for _, r in top.iterrows():
+        assert r["approx_count"] >= heavy[r["tok"]]
