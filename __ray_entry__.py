@@ -159,6 +159,26 @@ def _q_approx_distinct_by_lang(sf_dir: str):
     return approx_distinct_by(ds, "lang", "doc_id", p=12)
 
 
+def _q_approx_top_tokens(sf_dir: str):
+    """Count-Min heavy hitters over exploded document tokens —
+    shuffle-free approximate top-k (sketch partials + candidate union)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.sketch import approx_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(t.split())
+        return pd.DataFrame({"tok": out})
+
+    return approx_topk(ds.map_batches(toks, batch_format="pyarrow"), "tok", k=20)
+
+
 def _q_classify_cascade(sf_dir: str):
     """M11-M13: rule classifier with low-confidence rows refined by the
     (mock) LLM actor pool; filter-split + union topology."""
@@ -272,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_clusters": _q_dedup_clusters,
             "classify_cascade": _q_classify_cascade,
             "approx_distinct_by_lang": _q_approx_distinct_by_lang,
+            "approx_top_tokens": _q_approx_top_tokens,
         }
     )
     return out
