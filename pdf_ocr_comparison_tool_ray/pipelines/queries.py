@@ -978,23 +978,39 @@ def q_region_revenue(sf_dir: str):
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        nk = group.loc[group["nationkey"] >= 0, "nationkey"]
-        if nk.empty:  # order rows for an unknown customer: drop (inner join)
-            return pd.DataFrame(
-                {"nationkey": pd.Series(dtype="int64"),
-                 "rev_cents": pd.Series(dtype="int64"),
-                 "n_orders": pd.Series(dtype="int64")}
-            )
-        return pd.DataFrame(
-            {
-                "nationkey": [int(nk.iloc[0])],
-                "rev_cents": [int(group["rev_cents"].sum())],
-                "n_orders": [int(group["n_orders"].sum())],
-            }
-        )
+    # high-cardinality co-partition: NEVER groupby 15k customer keys
+    # directly (Ray's per-group machinery is Python-per-group); hash the
+    # key into ~128 buckets, groupby(bucket), and run a VECTORIZED pandas
+    # groupby inside each bucket — then pre-reduce to nation level so the
+    # bucket output is tiny.  This is the bucket-wise join pattern for any
+    # large-key co-shuffle.
+    N_BUCKETS = 128
 
-    per_cust = tagged.groupby("key").map_groups(join_group, batch_format="pandas")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        bucket = _pc.cast(
+            _pc.bit_wise_and(t["key"], N_BUCKETS - 1), pa.int32()
+        )
+        return t.append_column("bucket", bucket)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("key", as_index=False).agg(
+            nationkey=("nationkey", "max"),
+            rev_cents=("rev_cents", "sum"),
+            n_orders=("n_orders", "sum"),
+        )
+        agg = agg[agg["nationkey"] >= 0]  # inner join: drop unknown customers
+        out = agg.groupby("nationkey", as_index=False).agg(
+            rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum")
+        )
+        return out
+
+    per_cust = (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
     class AddRegion:
         def __init__(self):
