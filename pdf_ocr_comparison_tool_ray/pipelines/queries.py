@@ -541,7 +541,7 @@ WITH t AS (
   SELECT length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n FROM documents
 )
 SELECT count(*) AS n_docs,
-       sum(n) AS n_tokens,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
        CAST(sum(n) AS DOUBLE) / count(*) AS avg_tokens
 FROM t
 """
@@ -580,8 +580,8 @@ def q_lineitem_agg(sf_dir: str):
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -629,7 +629,7 @@ def q_nation_revenue(sf_dir: str):
 SQL_NATION_REVENUE = """
 SELECT n.n_name,
        count(*) AS n_orders,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -648,7 +648,7 @@ def q_doc_stats_by_lang_source(sf_dir: str):
 
 
 SQL_DOC_STATS = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents
 GROUP BY lang, source
@@ -691,7 +691,7 @@ SQL_EVENTS_DAILY = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1
 """
@@ -770,7 +770,7 @@ def q_top_users_by_value(sf_dir: str):
 
 SQL_TOP_USERS = """
 SELECT user_id,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        count(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -1036,7 +1036,7 @@ def q_region_revenue(sf_dir: str):
 SQL_REGION_REVENUE = """
 SELECT r.r_name,
        count(*) AS n_orders,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1171,7 +1171,7 @@ SQL_ORDER_EVENTS_1D = """
 SELECT o.o_orderkey,
        o.o_custkey AS user_id,
        count(e.event_id) AS n_events_1d,
-       COALESCE(sum(CAST(round(e.value * 100) AS BIGINT)), 0) AS value_cents_1d
+       CAST(COALESCE(sum(CAST(round(e.value * 100) AS BIGINT)), 0) AS BIGINT) AS value_cents_1d
 FROM orders o
 LEFT JOIN events e
   ON e.user_id = o.o_custkey
@@ -1236,7 +1236,7 @@ SQL_USER_HOURLY = """
 SELECT user_id,
        epoch_us(date_trunc('hour', ts)) AS hour_us,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -1331,7 +1331,7 @@ SELECT event_id,
        user_id,
        epoch_us(ts) AS ts_us,
        count(*) OVER w AS w_events,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS w_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_value_cents
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts

@@ -48,6 +48,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+STRICT = False  # --strict: require identical dtypes (the driver's value
+# hash is dtype-sensitive — int64 vs float64 mismatch even when equal)
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     if set(ray_df.columns) != set(sql_df.columns):
         print(f"  [{name}] SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
@@ -56,14 +60,23 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
         print(f"  [{name}] ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}")
         return False
     a, b = canon(ray_df), canon(sql_df)
-    # normalize integer-like columns to int64 on both sides
-    for c in a.columns:
-        if np.issubdtype(a[c].dtype, np.integer) or np.issubdtype(b[c].dtype, np.integer):
-            try:
-                a[c] = a[c].astype("int64")
-                b[c] = b[c].astype("int64")
-            except (ValueError, TypeError):
-                pass
+    if STRICT:
+        bad_dt = [
+            c for c in a.columns if a[c].dtype != b[c].dtype
+        ]
+        if bad_dt:
+            print(f"  [{name}] DTYPE MISMATCH: " + ", ".join(
+                f"{c}: ray={a[c].dtype} sql={b[c].dtype}" for c in bad_dt))
+            return False
+    else:
+        # normalize integer-like columns to int64 on both sides
+        for c in a.columns:
+            if np.issubdtype(a[c].dtype, np.integer) or np.issubdtype(b[c].dtype, np.integer):
+                try:
+                    a[c] = a[c].astype("int64")
+                    b[c] = b[c].astype("int64")
+                except (ValueError, TypeError):
+                    pass
     if not a.equals(b):
         neq = (a != b).any(axis=0)
         bad = [c for c in a.columns if neq.get(c, False)]
@@ -77,8 +90,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
