@@ -74,14 +74,19 @@ def cm_init(depth: int = 4, width: int = 2048) -> np.ndarray:
 
 
 def _cm_hashes(value, depth: int, width: int) -> np.ndarray:
+    """One independent column index per row.  md5 yields 16 bytes = 4
+    rows' worth; rows >= 4 rehash with the row index as a seed (the
+    naive ``digest[16:20]`` slice is empty -> every deep row would
+    collide on column 0)."""
     digest = hashlib.md5(str(value).encode()).digest()
-    return np.array(
-        [
-            int.from_bytes(digest[4 * i : 4 * i + 4], "big") % width
-            for i in range(depth)
-        ],
-        dtype=np.int64,
-    )
+    out = np.empty(depth, dtype=np.int64)
+    for i in range(depth):
+        if i < 4:
+            chunk = digest[4 * i : 4 * i + 4]
+        else:
+            chunk = hashlib.md5(f"{i}|{value}".encode()).digest()[:4]
+        out[i] = int.from_bytes(chunk, "big") % width
+    return out
 
 
 def cm_add_many(sketch: np.ndarray, values) -> np.ndarray:

@@ -228,7 +228,8 @@ def run_extraction_skew_aware(
         ocr_concurrency = (1, ocr_concurrency)
 
     normal_out = reassemble_local(
-        extract_spans(normal, ocr_concurrency=ocr_concurrency, batch_size=None)
+        extract_spans(normal, ocr_concurrency=ocr_concurrency, batch_size=None),
+        expect_dense_offsets=True,
     )
     giant_out = reassemble(
         extract_spans(
@@ -255,11 +256,22 @@ def reassemble(extracted: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def reassemble_local(extracted: ray.data.Dataset) -> ray.data.Dataset:
+def reassemble_local(
+    extracted: ray.data.Dataset, expect_dense_offsets: bool = False
+) -> ray.data.Dataset:
     """Shuffle-free reassembly for doc-local span blocks (see
-    ``reassemble_batch_local`` for the validity condition)."""
+    ``reassemble_batch_local`` for the validity condition).
+
+    ``expect_dense_offsets=True`` (spans derived by ``interleave`` carry
+    dense 0-based per-doc offsets) enables the exact block-split guard:
+    a document sliced across blocks by dynamic block splitting raises
+    instead of silently restarting its seq sequence.
+    """
     return extracted.map_batches(
-        reassemble_batch_local, batch_format="pyarrow", batch_size=None
+        reassemble_batch_local,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"expect_dense_offsets": expect_dense_offsets},
     )
 
 
@@ -288,7 +300,7 @@ def run_extraction(
         num_output_blocks=num_output_blocks,
     )
     if num_output_blocks is None and batch_size is None:
-        return reassemble_local(extracted)
+        return reassemble_local(extracted, expect_dense_offsets=True)
     return reassemble(extracted)
 
 

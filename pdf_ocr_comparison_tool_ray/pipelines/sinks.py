@@ -64,6 +64,22 @@ def _nest_batch(batch: pa.Table) -> pa.Table:
     """
     import numpy as np
 
+    if len(batch) == 0:
+        # empty block (empty input split / upstream filter): emit the
+        # explicit nested schema instead of indexing into nothing
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+                ("route", pa.string()),
+                ("score", pa.float64()),
+            ]
+        )
+        return pa.schema(
+            [("doc_id", batch.schema.field("doc_id").type), ("spans", pa.list_(span_t))]
+        ).empty_table()
     idx = pa.compute.sort_indices(
         batch, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
     )

@@ -31,6 +31,19 @@ _PROMPT = "è¯·åˆ¤æ–­ä»¥ä¸‹æ–‡æ¡£çš„ç±»åž‹ã€‚\nå€™é€‰ç±»åž‹: {types}\næ–‡æ¡£å†…å®
 _TYPE_RE = re.compile(r"ç±»åž‹[:ï¼š]\s*(\S+)")
 _CONF_RE = re.compile(r"ç½®ä¿¡åº¦[:ï¼š]\s*([0-9.]+)")
 
+# explicit output schema: union() requires block-schema equality, and an
+# empty filtered block would otherwise infer null for its string columns
+# (the match_shuffle._KEYED_SCHEMA hazard)
+def _out_schema(doc_id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", doc_id_type),
+            ("doc_type", pa.string()),
+            ("type_confidence", pa.float64()),
+            ("classifier", pa.string()),
+        ]
+    )
+
 
 class MockLLMClassifier:
     """Actor-pool stage; a real HF pipeline loads in ``__init__`` and
@@ -76,13 +89,14 @@ class MockLLMClassifier:
                 out_t.append(rt)
                 out_c.append(rc)
                 out_src.append("rule")
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "doc_type": pa.array(out_t),
-                "type_confidence": pa.array(out_c, type=pa.float64()),
-                "classifier": pa.array(out_src),
-            }
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_c, type=pa.float64()),
+                pa.array(out_src, type=pa.string()),
+            ],
+            schema=_out_schema(batch.schema.field("doc_id").type),
         )
 
 
@@ -105,7 +119,7 @@ def classify_cascade(
             {
                 "doc_id": batch["doc_id"],
                 "text": batch["text"],
-                "doc_type": pa.array(t),
+                "doc_type": pa.array(t, type=pa.string()),
                 "type_confidence": pa.array(c, type=pa.float64()),
             }
         )
@@ -115,7 +129,7 @@ def classify_cascade(
     def keep_confident(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.greater_equal(t["type_confidence"], llm_threshold))
         return kept.select(["doc_id", "doc_type", "type_confidence"]).append_column(
-            "classifier", pa.array(["rule"] * len(kept))
+            "classifier", pa.array(["rule"] * len(kept), type=pa.string())
         )
 
     confident = ruled.map_batches(keep_confident, batch_format="pyarrow")

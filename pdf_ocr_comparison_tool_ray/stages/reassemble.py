@@ -17,17 +17,26 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def reassemble_batch_local(batch: pa.Table) -> pa.Table:
+def reassemble_batch_local(
+    batch: pa.Table, expect_dense_offsets: bool = False
+) -> pa.Table:
     """Batch-local reassembly — shuffle-free fast path.
 
     Valid ONLY when every document's spans live entirely inside one
     batch.  That holds by construction straight after ``explode_spans``
     with batch==block (explode never splits a document across output
-    blocks) and no repartition between explode and here.  Any stage that
-    scatters a document's spans (skew repartition, reading a pre-exploded
-    span table) invalidates the assumption — use the ``groupby(doc_id)``
-    shuffle path then.  Output rows are identical to the shuffle path;
-    only block boundaries differ.
+    blocks) and no repartition between explode and here — EXCEPT that
+    Ray Data's dynamic block splitting can slice a task's output at
+    ``target_max_block_size`` regardless of batch boundaries, scattering
+    one document across two blocks.  ``expect_dense_offsets=True``
+    (set by the pipeline entry points, whose interleaved inputs carry
+    dense 0-based per-doc offsets) turns that silent corruption into a
+    loud error: a sliced document leaves at least one fragment whose
+    offsets are not exactly 0..n-1, and this check raises instead of
+    emitting two independent seq runs.  Any stage that scatters spans
+    on purpose (skew repartition, pre-exploded span tables) must use the
+    ``groupby(doc_id)`` shuffle path.  Output rows are identical to the
+    shuffle path; only block boundaries differ.
     """
     idx = pc.sort_indices(
         batch,
@@ -51,6 +60,17 @@ def reassemble_batch_local(batch: pa.Table) -> pa.Table:
     seq = np.arange(n, dtype=np.int64) - np.repeat(
         starts, np.diff(np.append(starts, n))
     )
+    if expect_dense_offsets:
+        off = np.asarray(g["offset"], dtype=np.int64)
+        bad = off != seq
+        if bad.any():
+            culprit = doc[bad][0]
+            raise ValueError(
+                f"doc {culprit!r}: spans in this block are not a complete "
+                "0-based offset run — a document was split across blocks "
+                "(dynamic block splitting?). Use the groupby(doc_id) "
+                "shuffle reassembly path for this input."
+            )
     return pa.table(
         {
             "doc_id": g["doc_id"],

@@ -40,13 +40,20 @@ def approx_distinct_by(
     then a ``groupby(key)`` that merges registers (elementwise max) — the
     shuffle moves one 2^p-byte row per (key, batch)."""
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        # explicit schema: an empty batch (or empty key set) must not emit
+        # null-typed columns — groupby requires block-schema equality
+        schema = pa.schema(
+            [(key_col, batch.schema.field(key_col).type), ("registers", pa.binary())]
+        )
         df = batch.to_pandas()
         out_keys, out_regs = [], []
         for k, g in df.groupby(key_col):
             out_keys.append(k)
             out_regs.append(hll_add_many(hll_init(p), g[col]).tobytes())
-        return pd.DataFrame({key_col: out_keys, "registers": out_regs})
+        return pa.Table.from_pydict(
+            {key_col: out_keys, "registers": out_regs}, schema=schema
+        )
 
     def merge_group(group: pd.DataFrame) -> pd.DataFrame:
         merged = hll_init(p)

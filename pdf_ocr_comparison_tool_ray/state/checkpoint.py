@@ -37,10 +37,12 @@ from ..pipelines.extraction import extract_spans, interleave, read_flat_document
 
 
 def input_fingerprint(path: str) -> str:
-    """md5(path|size|mtime) — the reference's cache key (ocr_cache.py:50-57).
-    A resume against a CHANGED input must not skip stale partitions."""
+    """md5(path|size|mtime_ns) — the reference's cache key (ocr_cache.py:50-57,
+    which uses the full float mtime).  Nanosecond mtime: a same-size rewrite
+    within the same wall-clock second must still change the fingerprint, or
+    a resume silently skips stale partitions."""
     st = os.stat(path)
-    return hashlib.md5(f"{path}|{st.st_size}|{int(st.st_mtime)}".encode()).hexdigest()
+    return hashlib.md5(f"{path}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()
 
 
 def partition_of(doc_id: str, num_partitions: int) -> int:
@@ -66,8 +68,10 @@ def completed_partitions(out_dir: str, input_fp: Optional[str] = None) -> List[i
             part_file = Path(out_dir) / entry["file"]
             if not part_file.is_file():
                 continue
-            if input_fp is not None and entry.get("input_fp") not in (None, input_fp):
-                continue  # stale: produced from a different input
+            if input_fp is not None and entry.get("input_fp") != input_fp:
+                # stale OR unverifiable: a manifest without a fingerprint
+                # cannot prove it came from this input — recompute it
+                continue
             done.append(int(entry["partition"]))
         except (ValueError, KeyError, OSError):
             continue

@@ -1,0 +1,152 @@
+"""Edge-case robustness: block-split detection in the shuffle-free
+reassembly, empty-block schema stability in union/groupby stages,
+checkpoint fingerprint sensitivity, deep Count-Min rows."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_ocr_comparison_tool_ray.functions.hll import (
+    _cm_hashes,
+    cm_add_many,
+    cm_estimate,
+    cm_init,
+)
+from pdf_ocr_comparison_tool_ray.stages.reassemble import reassemble_batch_local
+
+_SPAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+        ("route", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def _span_rows(doc_id, offsets):
+    return [
+        {
+            "doc_id": doc_id,
+            "kind": "text",
+            "text": f"t{o}",
+            "media_ref": "",
+            "offset": o,
+            "route": "native",
+            "score": 1.0,
+        }
+        for o in offsets
+    ]
+
+
+def test_local_reassembly_guard_detects_split_document():
+    """A block holding only the tail fragment of a document (offsets not
+    starting at 0 — what dynamic block splitting produces) must raise."""
+    tail = pa.Table.from_pylist(_span_rows("d1", [3, 4, 5]), schema=_SPAN_SCHEMA)
+    with pytest.raises(ValueError, match="split across blocks"):
+        reassemble_batch_local(tail, expect_dense_offsets=True)
+
+
+def test_local_reassembly_guard_detects_gap():
+    gap = pa.Table.from_pylist(_span_rows("d1", [0, 1, 3]), schema=_SPAN_SCHEMA)
+    with pytest.raises(ValueError, match="split across blocks"):
+        reassemble_batch_local(gap, expect_dense_offsets=True)
+
+
+def test_local_reassembly_guard_passes_dense_docs():
+    ok = pa.Table.from_pylist(
+        _span_rows("d1", [2, 0, 1]) + _span_rows("d0", [1, 0]), schema=_SPAN_SCHEMA
+    )
+    out = reassemble_batch_local(ok, expect_dense_offsets=True)
+    df = out.to_pandas()
+    assert df[df["doc_id"] == "d1"]["seq"].tolist() == [0, 1, 2]
+    # guard off: same rows accepted with arbitrary offsets
+    loose = pa.Table.from_pylist(_span_rows("d1", [10, 99]), schema=_SPAN_SCHEMA)
+    assert len(reassemble_batch_local(loose)) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_classify_cascade_homogeneous_blocks():
+    """Blocks where the filter leaves NO confident (or no doubtful) rows
+    must still union cleanly — null-typed empty columns would break the
+    block-schema equality requirement."""
+    from pdf_ocr_comparison_tool_ray.config import DOCUMENT_TYPES_EN
+    from pdf_ocr_comparison_tool_ray.stages.classify_cascade import classify_cascade
+
+    kw = next(iter(DOCUMENT_TYPES_EN.values()))["keywords"][0]
+    # many small blocks: some all-confident (keyword-rich), some all-doubtful
+    rows = [{"doc_id": i, "text": (kw + " ") * 30} for i in range(8)]
+    rows += [{"doc_id": 100 + i, "text": "zz qq ww"} for i in range(8)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(8)
+    out = classify_cascade(ds, doc_types=DOCUMENT_TYPES_EN).to_pandas()
+    assert len(out) == 16
+    assert set(out["classifier"]) == {"rule", "llm"}
+
+
+def test_nest_batch_empty_block():
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import _nest_batch
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("seq", pa.int32()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("route", pa.string()),
+            ("score", pa.float64()),
+        ]
+    ).empty_table()
+    out = _nest_batch(empty)
+    assert len(out) == 0
+    assert out.schema.field("spans").type.value_type.field("offset").type == pa.int32()
+
+
+def test_input_fingerprint_same_second_rewrite(tmp_path):
+    from pdf_ocr_comparison_tool_ray.state.checkpoint import input_fingerprint
+
+    f = tmp_path / "in.parquet"
+    f.write_bytes(b"x" * 64)
+    st = os.stat(f)
+    fp1 = input_fingerprint(str(f))
+    # same byte size, same whole second, different nanoseconds
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    fp2 = input_fingerprint(str(f))
+    assert fp1 != fp2
+
+
+def test_completed_partitions_missing_fp_is_stale(tmp_path):
+    import json
+
+    from pdf_ocr_comparison_tool_ray.state.checkpoint import completed_partitions
+
+    out = tmp_path / "out"
+    (out / "_manifest").mkdir(parents=True)
+    (out / "part-00000.parquet").write_bytes(b"pq")
+    (out / "_manifest" / "p0.json").write_text(
+        json.dumps({"partition": 0, "file": "part-00000.parquet"})
+    )
+    # no fingerprint requested -> data file present counts as done
+    assert completed_partitions(str(out)) == [0]
+    # fingerprint requested but manifest has none -> cannot verify, stale
+    assert completed_partitions(str(out), input_fp="abc") == []
+
+
+def test_cm_deep_rows_are_independent():
+    """depth > 4 rows must not all collapse to column 0."""
+    width = 512
+    cols = np.array([_cm_hashes(f"v{i}", 6, width)[4:] for i in range(50)])
+    assert (cols != 0).any()
+    assert len({tuple(c) for c in cols}) > 40  # distinct values hash apart
+    sk = cm_init(depth=6, width=width)
+    cm_add_many(sk, [f"v{i % 7}" for i in range(70)])
+    for i in range(7):
+        assert cm_estimate(sk, f"v{i}") >= 10  # upper-bound property holds
