@@ -229,6 +229,7 @@ def _q_doc_fingerprint(sf_dir: str):
 
 def _q_knn_ivf(sf_dir: str):
     import numpy as np
+    import pyarrow.compute as pc
     import ray.data
 
     from pdf_ocr_comparison_tool_ray.stages.knn import knn_cosine_ivf
@@ -236,7 +237,13 @@ def _q_knn_ivf(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     return knn_cosine_ivf(
         ds, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()), k=10
     )

@@ -38,8 +38,35 @@ _LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _DIGITS_RE = re.compile(r"^[0-9]+$")
 
 
+_READ_BLOCK_FLOOR_BYTES = 512 * 1024  # compressed parquet bytes per block
+_READ_MIN_BLOCKS = 8
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Size-aware read: block count scales with file size, capped at
+    2x cluster CPUs.
+
+    Ray's default targets ~2x CPUs blocks regardless of size; on the
+    megabyte-scale bench tables that means 64 blocks of ~100KB, and the
+    downstream sort shuffle's per-task scheduling (~128 map + merge
+    tasks) dominates wall time (measured 10.5s -> 1.1s on the asof query
+    by dropping 64 -> 16 read blocks).  Floor: 8 blocks (parallelism for
+    CPU-heavy per-batch work on small tables); cap: 2x CPUs (at real
+    scale every table hits the cap, and dynamic block splitting re-cuts
+    oversized read outputs at target_max_block_size downstream).
+    """
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    nb = None
+    try:
+        nbytes = os.path.getsize(path)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        by_size = -(-nbytes // _READ_BLOCK_FLOOR_BYTES)
+        nb = max(_READ_MIN_BLOCKS, min(2 * cpus, by_size))
+    except (OSError, ValueError):
+        pass
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
 def _prefix_key(text: str, k: int = 2) -> str:
@@ -89,19 +116,20 @@ def q_exact_dedup(sf_dir: str):
             doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
         )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_key": [group["content_key"].iloc[0]],
-                "doc_id": [group["doc_id"].min()],
-                "dup_count": [int(group["dup_count"].sum())],
-            }
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("content_key", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("dup_count", "sum")
         )
+        out["dup_count"] = out["dup_count"].astype("int64")
+        return out
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("content_key")
-        .map_groups(merge, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "content_key",
+        merge_bucket,
+        n_buckets=64,
     )
 
 
@@ -668,22 +696,23 @@ def q_events_daily(sf_dir: str):
             n_events=("user_id", "size"), value_cents=("value_cents", "sum")
         )
 
-    # one shuffle: batch-level (day, user) pre-agg, then a single groupby(day)
-    # whose group holds at most |distinct users| pre-aggregated rows.
-    def per_day(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "day": [group["day"].iloc[0]],
-                "n_events": [int(group["n_events"].sum())],
-                "n_users": [int(group["user_id"].nunique())],
-                "value_cents": [int(group["value_cents"].sum())],
-            }
+    # one shuffle: batch-level (day, user) pre-agg, then a bucketed
+    # groupby(day) whose buckets hold at most |distinct users| rows per day.
+    def days_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("day", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            n_users=("user_id", "nunique"),
+            value_cents=("value_cents", "sum"),
         )
+        for c in ("n_events", "n_users", "value_cents"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("day")
-        .map_groups(per_day, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"), "day", days_bucket,
+        n_buckets=16,
     )
 
 
@@ -700,27 +729,33 @@ GROUP BY 1
 # J6-analog: gaps-and-islands run merge over the events log
 # ---------------------------------------------------------------------------
 def q_sessionize_events(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def merge_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        rows = []
-        start = 0
-        for i in range(1, len(g) + 1):
-            if i == len(g) or g["event_type"].iloc[i] != g["event_type"].iloc[start]:
-                rows.append(
-                    {
-                        "user_id": int(g["user_id"].iloc[0]),
-                        "event_type": g["event_type"].iloc[start],
-                        "start_us": int(g["ts"].iloc[start].value // 1000),
-                        "end_us": int(g["ts"].iloc[i - 1].value // 1000),
-                        "n_events": i - start,
-                    }
-                )
-                start = i
-        return pd.DataFrame(rows)
+    def runs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # gaps-and-islands, vectorized across every user in the bucket:
+        # sort by (user, ts, event_id); a new run starts where user OR
+        # event_type changes; one groupby(run_id) aggregates all runs
+        g = bucket.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        new_run = (g["user_id"] != g["user_id"].shift()) | (
+            g["event_type"] != g["event_type"].shift()
+        )
+        out = g.groupby(new_run.cumsum(), sort=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            start_us=("ts_us", "first"),
+            end_us=("ts_us", "last"),
+            n_events=("ts_us", "size"),
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(merge_user, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", runs_bucket, n_buckets=64)
 
 
 SQL_SESSIONIZE = """
@@ -785,7 +820,13 @@ def q_knn_cosine(sf_dir: str):
     from ..stages.knn import knn_cosine
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     result = knn_cosine(
         ds, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()), k=10
     ).to_pandas()
@@ -904,21 +945,21 @@ def q_customers_without_orders(sf_dir: str):
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    _ANTI_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
-
-    def anti(group: pd.DataFrame) -> pa.Table:
-        cust_rows = group[~group["is_order"]]
-        if group["is_order"].any() or cust_rows.empty:
-            return _ANTI_SCHEMA.empty_table()
-        return pa.Table.from_pydict(
+    def anti_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized anti-join within the bucket: a customer row survives
+        # iff no order row shares its key
+        has_order = bucket.groupby("key")["is_order"].transform("any")
+        cust_rows = bucket[~bucket["is_order"] & ~has_order]
+        return pd.DataFrame(
             {
-                "c_custkey": [int(group["key"].iloc[0])],
-                "c_name": [cust_rows["c_name"].iloc[0]],
-            },
-            schema=_ANTI_SCHEMA,
+                "c_custkey": cust_rows["key"].astype("int64").to_numpy(),
+                "c_name": cust_rows["c_name"].to_numpy(),
+            }
         )
 
-    return tagged.groupby("key").map_groups(anti, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(tagged, "key", anti_bucket, n_buckets=64)
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
@@ -1140,8 +1181,15 @@ def q_order_events_1d(sf_dir: str):
     )
     DAY_US = 86_400_000_000
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        o = group[group["side"] == "O"]
+    def range_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Sorted prefix-sum range count for every user in the bucket.
+
+        Events sort by (k, ts_us) once; per-user searchsorted windows use
+        the user's slice of the global arrays (segment offsets from one
+        vectorized boundary scan) — the only Python loop is per USER
+        within the bucket, with numpy doing each user's work.
+        """
+        o = bucket[bucket["side"] == "O"]
         if o.empty:
             return pd.DataFrame(
                 {"o_orderkey": pd.Series(dtype="int64"),
@@ -1149,22 +1197,41 @@ def q_order_events_1d(sf_dir: str):
                  "n_events_1d": pd.Series(dtype="int64"),
                  "value_cents_1d": pd.Series(dtype="int64")}
             )
-        e = group[group["side"] == "E"].sort_values("ts_us", kind="mergesort")
+        e = bucket[bucket["side"] == "E"].sort_values(
+            ["k", "ts_us"], kind="mergesort"
+        )
+        ek = e["k"].to_numpy()
         ets = e["ts_us"].to_numpy()
         csum = np.concatenate([[0], np.cumsum(e["value_cents"].to_numpy())])
+        # user -> [start, end) slice of the sorted event arrays
+        starts = np.flatnonzero(np.diff(ek, prepend=ek[0] - 1) != 0) if len(ek) else np.array([], dtype=np.int64)
+        seg = {int(ek[s]): (int(s), int(ends)) for s, ends in zip(starts, np.append(starts[1:], len(ek)))} if len(ek) else {}
+        n_out = np.zeros(len(o), dtype=np.int64)
+        v_out = np.zeros(len(o), dtype=np.int64)
         ots = o["ts_us"].to_numpy()
-        lo = np.searchsorted(ets, ots, side="left")
-        hi = np.searchsorted(ets, ots + DAY_US, side="left")
+        ok = o["k"].to_numpy()
+        for u, idx in pd.Series(np.arange(len(o))).groupby(ok):
+            s_e = seg.get(int(u))
+            if s_e is None:
+                continue
+            s, t = s_e
+            ii = idx.to_numpy()
+            lo = np.searchsorted(ets[s:t], ots[ii], side="left") + s
+            hi = np.searchsorted(ets[s:t], ots[ii] + DAY_US, side="left") + s
+            n_out[ii] = hi - lo
+            v_out[ii] = csum[hi] - csum[lo]
         return pd.DataFrame(
             {
                 "o_orderkey": o["o_orderkey"].to_numpy(),
-                "user_id": o["k"].to_numpy(),
-                "n_events_1d": (hi - lo).astype("int64"),
-                "value_cents_1d": (csum[hi] - csum[lo]).astype("int64"),
+                "user_id": ok,
+                "n_events_1d": n_out,
+                "value_cents_1d": v_out,
             }
         )
 
-    return tagged.groupby("k").map_groups(per_user, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(tagged, "k", range_bucket, n_buckets=64)
 
 
 SQL_ORDER_EVENTS_1D = """
@@ -1257,22 +1324,24 @@ def q_user_value_median(sf_dir: str):
             }
         )
 
-    def median_group(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group["value_cents"].to_numpy())
-        n = len(v)
-        med = float(v[n // 2]) if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
-        return pd.DataFrame(
-            {
-                "user_id": [int(group["user_id"].iloc[0])],
-                "n_events": [int(n)],
-                "median_cents": [med],
-            }
+    def median_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # pandas median = mean of the two middle values on even counts —
+        # the same rule as the explicit sort-based formula
+        out = bucket.groupby("user_id", as_index=False).agg(
+            n_events=("value_cents", "size"),
+            median_cents=("value_cents", "median"),
         )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["median_cents"] = out["median_cents"].astype("float64")
+        return out
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(median_group, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        median_bucket,
+        n_buckets=64,
     )
 
 
@@ -1307,22 +1376,37 @@ def q_rolling_user_value(sf_dir: str):
 
     HOUR_US = 3_600_000_000
 
-    def window(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", "event_id"], kind="mergesort").reset_index(
-            drop=True
-        )
+    def window_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Per-user trailing windows for every user in the bucket: one
+        global sort by (user, ts), then per-user numpy searchsorted over
+        that user's slice (Python loop per USER, numpy per row)."""
+        g = bucket.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uk = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         csum = np.concatenate([[0], np.cumsum(g["value_cents"].to_numpy())])
-        lo = np.searchsorted(ts, ts - HOUR_US, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        g["w_events"] = (hi - lo).astype("int64")
-        g["w_value_cents"] = (csum[hi] - csum[lo]).astype("int64")
+        w_n = np.empty(len(g), dtype=np.int64)
+        w_v = np.empty(len(g), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(uk, prepend=uk[0] - 1) != 0) if len(uk) else np.array([], dtype=np.int64)
+        bounds = np.append(starts, len(uk))
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:t]
+            lo = np.searchsorted(seg, seg - HOUR_US, side="left") + s
+            hi = np.searchsorted(seg, seg, side="right") + s
+            w_n[s:t] = hi - lo
+            w_v[s:t] = csum[hi] - csum[lo]
+        g["w_events"] = w_n
+        g["w_value_cents"] = w_v
         return g[["event_id", "user_id", "ts_us", "w_events", "w_value_cents"]]
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(window, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        window_bucket,
+        n_buckets=64,
     )
 
 
@@ -1451,19 +1535,21 @@ def q_timeline(sf_dir: str):
             }
         )
 
-    def per_date(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "date": [group["date"].iloc[0]],
-                "occurrences": [int(group["occ"].sum())],
-                "n_docs": [int(group["doc_id"].nunique())],
-            }
+    def dates_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("date", as_index=False).agg(
+            occurrences=("occ", "sum"), n_docs=("doc_id", "nunique")
         )
+        out["occurrences"] = out["occurrences"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
 
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("date")
-        .map_groups(per_date, batch_format="pandas")
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "date",
+        dates_bucket,
+        n_buckets=32,
     )
 
 

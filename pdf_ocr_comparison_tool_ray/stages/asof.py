@@ -2,11 +2,12 @@
 its timestamp, per key.
 
 Ray Data has no asof primitive; the scalable composition is the same
-union-tag co-shuffle used by the match join: both sides shuffle once on
-the join key, and each key group runs a sorted two-pointer merge
-(``pd.merge_asof``).  Partitioning assumption: one KEY's rows fit a
-worker (keys here are users/customers — bounded); a hot key would need
-time-range bucketing on top.
+union-tag co-shuffle used by the match join: both sides shuffle ONCE on
+a hash bucket of the join key (~n_buckets groups, never one Python group
+per key — see ``stages/bucketed.py``), and each bucket runs one
+vectorized ``pd.merge_asof(..., by=key)`` across all of its keys.
+Partitioning assumption: one BUCKET's rows fit a worker; a hot key would
+need time-range bucketing on top.
 
 DuckDB's native ``ASOF JOIN`` is the oracle.  Ties on the right
 timestamp are broken deterministically by pre-reducing the right side to
@@ -19,6 +20,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from .bucketed import bucketed_map_groups
 
 
 def asof_join_backward(
@@ -63,13 +66,17 @@ def asof_join_backward(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["side"] == "L"].sort_values("ts_us", kind="mergesort")
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one hash bucket, merged in a single vectorized
+        ``merge_asof(by='k')`` call."""
+        l = bucket[bucket["side"] == "L"].sort_values(
+            ["ts_us", "k"], kind="mergesort"
+        )
         r = (
-            group[group["side"] == "R"][["ts_us", "rv"]]
-            .groupby("ts_us", as_index=False)
+            bucket[bucket["side"] == "R"][["k", "ts_us", "rv"]]
+            .groupby(["k", "ts_us"], as_index=False)
             .agg(rv=("rv", "max"))
-            .sort_values("ts_us", kind="mergesort")
+            .sort_values(["ts_us", "k"], kind="mergesort")
         )
         if l.empty:
             return pd.DataFrame(columns=["k"] + left_cols + ["ts_us", "matched"])
@@ -81,8 +88,9 @@ def asof_join_backward(
             l[["ts_us"] + left_cols + ["k"]],
             r.rename(columns={"rv": "matched"}),
             on="ts_us",
+            by="k",
             direction="backward",
         )
         return merged[["k"] + left_cols + ["ts_us", "matched"]]
 
-    return tagged.groupby("k").map_groups(merge_group, batch_format="pandas")
+    return bucketed_map_groups(tagged, "k", merge_bucket, n_buckets=64)

@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .bucketed import bucketed_drop_duplicates, bucketed_map_groups
+
 _EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
 
 
@@ -56,38 +58,42 @@ def _both_directions(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _star_round(edges: ray.data.Dataset, large: bool) -> ray.data.Dataset:
-    """One large- or small-star round: groupby(u) over both-direction edges."""
+    """One large- or small-star round, bucket-vectorized.
 
-    def star(group: pd.DataFrame) -> pa.Table:
-        u = group["u"].iloc[0]
-        neigh = set(group["v"])
-        m = min(neigh | {u})
+    Per node u: m = min(N(u) ∪ {u}).  Over a whole hash bucket of nodes
+    this is one pandas ``transform('min')`` plus elementwise masks — no
+    Python-per-node groups, which matters because every CC round touches
+    every node (``stages/bucketed.py``).  Within each edge row (u, v):
+    the node-local neighbor set is deduped first so a multi-edge doesn't
+    emit duplicate stars.
+    """
+
+    def star_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.drop_duplicates(["u", "v"])
+        mv = df.groupby("u")["v"].transform("min")
+        m = mv.where(mv < df["u"], df["u"])  # min over N(u) ∪ {u}
         if large:
-            out = [(v, m) for v in neigh if v > u and v != m]
-        else:
-            out = [(v, m) for v in neigh if v <= u and v != m]
-            if u != m:
-                out.append((u, m))
-        return pa.Table.from_pydict(
-            {"u": [a for a, _ in out], "v": [b for _, b in out]}, schema=_EDGE_SCHEMA
-        )
+            mask = (df["v"] > df["u"]) & (df["v"] != m)
+            return pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]})
+        mask = (df["v"] <= df["u"]) & (df["v"] != m)
+        out = pd.DataFrame({"u": df.loc[mask, "v"], "v": m[mask]})
+        # plus (u, m) once per node where u != m
+        firsts = pd.DataFrame({"u": df["u"], "m": m}).drop_duplicates("u")
+        extra = firsts[firsts["u"] != firsts["m"]].rename(columns={"m": "v"})
+        return pd.concat([out, extra], ignore_index=True)
 
-    stars = _both_directions(edges).groupby("u").map_groups(star, batch_format="pandas")
+    stars = bucketed_map_groups(_both_directions(edges), "u", star_bucket,
+                                n_buckets=64)
 
     # dedup edges batch-locally then globally (keeps the edge set from
-    # blowing up across rounds)
+    # blowing up across rounds); the global pass is a bucketed
+    # drop_duplicates — one Python group per BUCKET, not per edge
     def local_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, schema=_EDGE_SCHEMA, preserve_index=False)
 
     deduped = stars.map_batches(local_dedup, batch_format="pyarrow")
-    return (
-        deduped.groupby(["u", "v"])
-        .map_groups(
-            lambda g: g.iloc[:1],
-            batch_format="pandas",
-        )
-    )
+    return bucketed_drop_duplicates(deduped, ["u", "v"], n_buckets=64)
 
 
 def _edge_checksum(edges: ray.data.Dataset) -> tuple:
@@ -141,9 +147,7 @@ def label_components(
         )
 
     members = edges.map_batches(emit, batch_format="pyarrow")
-    return members.groupby(["doc_id", "cluster_id"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas"
-    )
+    return bucketed_drop_duplicates(members, ["doc_id", "cluster_id"], n_buckets=64)
 
 
 def label_components_local(pairs: List[tuple]) -> Dict[str, str]:
@@ -208,14 +212,28 @@ def dedup_keep_canonical(
         members.map_batches(tag_members, batch_format="pyarrow")
     )
 
-    def keep(group: pd.DataFrame) -> pd.DataFrame:
-        doc_id = group["key"].iloc[0]
-        clusters = [c for c in group["cluster_id"] if c]
-        survive = (not clusters) or (doc_id in clusters and doc_id == min(clusters))
-        # emit a (doc_id, keep) verdict row
-        return pd.DataFrame({"doc_id": [doc_id], "keep": [bool(survive)]})
+    def keep_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized survive rule per key: no membership rows, or the doc
+        IS the minimum of its clusters (cluster_id == doc_id == key on
+        some membership row, and no smaller cluster label exists)."""
+        members = bucket[bucket["cluster_id"] != ""]
+        g = members.groupby("key", sort=False)["cluster_id"]
+        min_cluster = g.min()
+        is_self = (
+            members.assign(_self=members["cluster_id"] == members["key"])
+            .groupby("key", sort=False)["_self"]
+            .any()
+        )
+        keys = bucket["key"].drop_duplicates()
+        clustered = keys.isin(min_cluster.index).to_numpy()
+        mc = keys.map(min_cluster)
+        sf = keys.map(is_self).fillna(False).astype(bool)
+        survive = ~clustered | (sf.to_numpy() & (keys.to_numpy() == mc.to_numpy()))
+        return pd.DataFrame(
+            {"doc_id": keys.to_numpy(), "keep": survive.astype(bool)}
+        )
 
-    verdicts = tagged.groupby("key").map_groups(keep, batch_format="pandas")
+    verdicts = bucketed_map_groups(tagged, "key", keep_bucket, n_buckets=64)
     kept = verdicts.map_batches(
         lambda t: t.filter(t["keep"]), batch_format="pyarrow"
     ).select_columns(["doc_id"])

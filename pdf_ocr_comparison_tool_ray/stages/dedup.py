@@ -34,6 +34,7 @@ from ..functions.fingerprint import (
 )
 from ..functions.textnorm import text_hash_many
 from ..functions.tokenize import tokenize
+from .bucketed import bucketed_drop_duplicates, bucketed_map_groups
 
 
 # ---------------------------------------------------------------------------
@@ -54,14 +55,12 @@ def _batch_local_first(batch: pa.Table) -> pa.Table:
                                 preserve_index=False)
 
 
-def _merge_hash_group(group: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "text_hash": [group["text_hash"].iloc[0]],
-            "doc_id": [group["doc_id"].min()],
-            "dup_count": [int(group["dup_count"].sum())],
-        }
+def _merge_hash_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    out = bucket.groupby("text_hash", as_index=False).agg(
+        doc_id=("doc_id", "min"), dup_count=("dup_count", "sum")
     )
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return out
 
 
 def exact_dedup(ds, text_col: str = "text"):
@@ -70,7 +69,7 @@ def exact_dedup(ds, text_col: str = "text"):
         lambda b: _batch_local_first(add_text_hash(b, text_col)),
         batch_format="pyarrow",
     )
-    return hashed.groupby("text_hash").map_groups(_merge_hash_group, batch_format="pandas")
+    return bucketed_map_groups(hashed, "text_hash", _merge_hash_bucket, n_buckets=64)
 
 
 # ---------------------------------------------------------------------------
@@ -121,17 +120,30 @@ def _bucket_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
                       threshold: float = 0.7):
-    """-> near-dup candidate pairs (doc_a, doc_b, est_jaccard), deduped."""
+    """-> near-dup candidate pairs (doc_a, doc_b, est_jaccard), deduped.
+
+    Both wide steps are hash-bucketed (``stages/bucketed.py``): the LSH
+    bucket count and the candidate-pair count each far exceed the worker
+    count, so one Ray group per bucket/pair would pay Python-per-group
+    overhead on billions of groups at corpus scale.
+    """
     banded = ds.map_batches(
         lambda b: _minhash_batch(b, text_col, ngram), batch_format="pyarrow"
     )
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_pairs(g, threshold)
+            for _, g in bucket.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_map_groups(
+        banded, ["band_id", "band_hash"], pairs_bucket, n_buckets=64
     )
-    # the same pair can surface from several bands -> dedup on (doc_a, doc_b)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # the same pair can surface from several bands with an identical
+    # signature estimate -> vectorized dedup on (doc_a, doc_b)
+    return bucketed_drop_duplicates(pairs, ["doc_a", "doc_b"], n_buckets=64)
 
 
 # ---------------------------------------------------------------------------
@@ -176,12 +188,18 @@ def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3):
     """-> near-dup pairs by SimHash banding (doc_a, doc_b, hamming)."""
     banded = ds.map_batches(lambda b: _simhash_batch(b, text_col), batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
+
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _simhash_pairs(g, max_hamming)
+            for _, g in bucket.groupby(["band_id", "band_key"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_map_groups(
+        banded, ["band_id", "band_key"], pairs_bucket, n_buckets=64
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return bucketed_drop_duplicates(pairs, ["doc_a", "doc_b"], n_buckets=64)
 
 
 # ---------------------------------------------------------------------------
@@ -256,6 +274,12 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     bucketed = ds.map_batches(
         lambda b: _hyperplane_bucket_batch(b, planes), batch_format="pandas"
     )
-    return bucketed.groupby("bucket").map_groups(
-        lambda g: _cosine_pairs_group(g, threshold), batch_format="pandas"
-    )
+
+    def pairs_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _cosine_pairs_group(g, threshold)
+            for _, g in chunk.groupby("bucket", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(bucketed, "bucket", pairs_bucket, n_buckets=32)

@@ -8,14 +8,18 @@ normalized amount.  At scale the build side doesn't fit one object, so
 the join is expressed as a key-exploded co-shuffle:
 
   1. both sides explode to (key, row) pairs — key ∈
-     {h:<text_hash>, d:<date>, a:<normalized amount>};
-  2. ``groupby(key)`` co-locates probe and build rows sharing a key;
-     each group emits probe×build candidate pairs;
-  3. ``groupby(probe)`` collects a probe's candidate build rows from all
-     key groups, dedups them, builds a *mini* ``PageIndex`` of just those
-     rows and runs the unchanged ``match_page`` — candidate-set equality
-     with the broadcast version is exact because a build row is a
-     candidate iff it shares a key with the probe;
+     {h:<text_hash>, d:<date>, a:<normalized amount>} — via a vectorized
+     pandas ``explode`` (no per-row dict rows);
+  2. a hash-bucketed groupby (``stages/bucketed.py``) co-locates probe
+     and build rows sharing a key; each BUCKET emits its keys'
+     probe×build candidate pairs with one vectorized equi-merge on key
+     (never one Python group per key);
+  3. a second bucketed groupby on (probe doc, offset) collects a probe's
+     candidate build rows from all key groups, dedups them, builds a
+     *mini* ``PageIndex`` of just those rows and runs the unchanged
+     ``match_page`` — candidate-set equality with the broadcast version
+     is exact because a build row is a candidate iff it shares a key
+     with the probe;
   4. probes with no co-keyed build rows fall back to the reference's
      deterministic first-100 pages (J3) — that set is tiny by
      construction and IS broadcast (``ray.put``), which is the only
@@ -42,6 +46,7 @@ import ray.data
 
 from ..config import MATCHING
 from ..functions.textnorm import normalize_amount
+from ..stages.bucketed import bucketed_map_groups
 from ..stages.match import _RESULT_SCHEMA, PageIndex, match_page
 
 _CARRY = ["doc_id", "offset", "text", "doc_type", "keywords", "dates", "amounts", "text_hash"]
@@ -101,40 +106,61 @@ def _explode_keys(batch: pa.Table, side: str, hot: dict | None = None,
     """
     df = _with_defaults(batch.to_pandas())
     hot = hot or {}
-    out_rows = []
-    for r in df.itertuples(index=False):
-        base = {c: getattr(r, c) for c in _CARRY}
-        base["side"] = side
-        for k in _row_keys(r):
-            if k in hot:
-                if side == "b":
-                    subs = [f"{k}#{_salt_of(r.doc_id, r.offset, factor)}"]
-                else:
-                    subs = [f"{k}#{i}" for i in range(factor)]
+    # vectorized explosion: per-row key set (h:/d:/a: families, set-deduped)
+    # built once, then one pandas explode — no per-row dict materialization
+    key_lists = [
+        sorted(
+            {"h:" + th}
+            | {"d:" + d for d in dates}
+            | {"a:" + normalize_amount(a) for a in amounts}
+        )
+        for th, dates, amounts in zip(df["text_hash"], df["dates"], df["amounts"])
+    ]
+    out = df[_CARRY].copy(deep=False)
+    out["side"] = side
+    out["key"] = key_lists
+    out = out.explode("key", ignore_index=True)
+    if hot:
+        is_hot = out["key"].isin(hot).to_numpy()
+        if is_hot.any():
+            cold = out[~is_hot]
+            hot_rows = out[is_hot]
+            if side == "b":
+                salts = [
+                    _salt_of(d, int(o), factor)
+                    for d, o in zip(hot_rows["doc_id"], hot_rows["offset"])
+                ]
+                hot_rows = hot_rows.assign(
+                    key=[f"{k}#{s}" for k, s in zip(hot_rows["key"], salts)]
+                )
+                out = pd.concat([cold, hot_rows], ignore_index=True)
             else:
-                subs = [k]
-            for sk in subs:
-                out_rows.append({**base, "key": sk})
-    return pa.Table.from_pylist(out_rows, schema=_KEYED_SCHEMA)
+                reps = [
+                    hot_rows.assign(key=hot_rows["key"] + f"#{i}")
+                    for i in range(factor)
+                ]
+                out = pd.concat([cold] + reps, ignore_index=True)
+    return pa.Table.from_pandas(out, schema=_KEYED_SCHEMA, preserve_index=False)
 
 
-def _pair_group(group: pd.DataFrame) -> pa.Table:
-    """One key's rows -> probe x build candidate pairs."""
-    probes = group[group["side"] == "p"]
-    builds = group[group["side"] == "b"]
+def _pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
+    """One hash bucket of keys -> probe x build candidate pairs for every
+    key in it, via a single vectorized hash merge on ``key`` (the per-key
+    cross product is exactly what an equi-merge on the key emits)."""
+    probes = bucket[bucket["side"] == "p"]
+    builds = bucket[bucket["side"] == "b"]
     if probes.empty or builds.empty:
         return _PAIR_SCHEMA.empty_table()
-    p = probes[_CARRY].add_prefix("p_")
-    b = builds[_CARRY].add_prefix("b_")
-    return pa.Table.from_pandas(
-        p.merge(b, how="cross"), schema=_PAIR_SCHEMA, preserve_index=False
-    )
+    p = probes[["key"] + _CARRY].rename(columns={c: f"p_{c}" for c in _CARRY})
+    b = builds[["key"] + _CARRY].rename(columns={c: f"b_{c}" for c in _CARRY})
+    merged = p.merge(b, on="key").drop(columns=["key"])
+    return pa.Table.from_pandas(merged, schema=_PAIR_SCHEMA, preserve_index=False)
 
 
 def _score_factory(cfg: dict, fallback_ref):
     fb_cache: List[Optional[PageIndex]] = [None]
 
-    def score_group(group: pd.DataFrame) -> pd.DataFrame:
+    def score_group(group: pd.DataFrame) -> pa.Table:
         """One probe's candidate rows (plus its seed row) -> one match row."""
         seed = group.iloc[0]
         probe = {
@@ -174,7 +200,17 @@ def _score_factory(cfg: dict, fallback_ref):
         row = match_page(index, probe, cfg)
         return pa.Table.from_pylist([row], schema=_RESULT_SCHEMA)
 
-    return score_group
+    def score_bucket(bucket: pd.DataFrame) -> pa.Table:
+        """All probes hashed into one bucket; ``match_page`` is inherently
+        per-probe Python, so the loop stays — but it is an in-process loop
+        over sub-groups, not one Ray group per probe span."""
+        tables = [
+            score_group(g)
+            for _, g in bucket.groupby(["p_doc_id", "p_offset"], sort=False)
+        ]
+        return pa.concat_tables(tables)
+
+    return score_bucket
 
 
 def _hot_keys(build_enriched: ray.data.Dataset, threshold: int) -> dict:
@@ -245,8 +281,8 @@ def run_match_shuffle(
         lambda b: _explode_keys(b, "b", hot=hot, factor=salt_factor),
         batch_format="pyarrow",
     )
-    pairs = keyed_p.union(keyed_b).groupby("key").map_groups(
-        _pair_group, batch_format="pandas"
+    pairs = bucketed_map_groups(
+        keyed_p.union(keyed_b), "key", _pairs_bucket, n_buckets=64
     )
 
     # seed rows guarantee every probe reaches scoring even with zero pairs
@@ -259,8 +295,9 @@ def run_match_shuffle(
         return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
 
     seeded = probe_enriched.map_batches(seeds, batch_format="pyarrow")
-    return (
-        pairs.union(seeded)
-        .groupby(["p_doc_id", "p_offset"])
-        .map_groups(_score_factory(cfg, fallback_ref), batch_format="pandas")
+    return bucketed_map_groups(
+        pairs.union(seeded),
+        ["p_doc_id", "p_offset"],
+        _score_factory(cfg, fallback_ref),
+        n_buckets=64,
     )
