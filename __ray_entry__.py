@@ -179,18 +179,6 @@ def _q_approx_top_tokens(sf_dir: str):
     return approx_topk(ds.map_batches(toks, batch_format="pyarrow"), "tok", k=20)
 
 
-def _q_classify_cascade(sf_dir: str):
-    """M11-M13: rule classifier with low-confidence rows refined by the
-    (mock) LLM actor pool; filter-split + union topology."""
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.config import DOCUMENT_TYPES_EN
-    from pdf_ocr_comparison_tool_ray.stages.classify_cascade import classify_cascade
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return classify_cascade(ds, doc_types=DOCUMENT_TYPES_EN)
-
-
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup pairs (MinHash-LSH) -> transitive-closure cluster labels
     via distributed large-star/small-star connected components."""
@@ -201,30 +189,6 @@ def _q_dedup_clusters(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return label_components(minhash_lsh_pairs(ds, threshold=0.5))
-
-
-def _q_doc_fingerprint(sf_dir: str):
-    import pandas as pd
-    import pyarrow as pa
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.functions.fingerprint import rolling_fingerprint
-    from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def body(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_pandas(),
-                "fingerprint": pd.Series(
-                    [rolling_fingerprint(tokenize(t)) for t in batch["text"].to_pylist()],
-                    dtype="int64",
-                ),
-            }
-        )
-
-    return ds.map_batches(body, batch_format="pyarrow")
 
 
 def _q_knn_ivf(sf_dir: str):
@@ -289,7 +253,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "compare_pipeline": _q_compare_pipeline,
             "minhash_lsh_pairs": _q_minhash_pairs,
             "simhash_pairs": _q_simhash_pairs,
-            "doc_fingerprint": _q_doc_fingerprint,
             "knn_cosine_ivf": _q_knn_ivf,
             "ngram_jaccard_pairs": _q_ngram_jaccard,
             "multimodal_features": _q_multimodal_features,
@@ -297,7 +260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "render_full_text": _q_render_full_text,
             "match_summary": _q_match_summary,
             "dedup_clusters": _q_dedup_clusters,
-            "classify_cascade": _q_classify_cascade,
             "approx_distinct_by_lang": _q_approx_distinct_by_lang,
             "approx_top_tokens": _q_approx_top_tokens,
         }

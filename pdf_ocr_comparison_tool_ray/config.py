@@ -64,7 +64,9 @@ DOCUMENT_TYPES_EN = {
 PROJECTS_EN = {
     "proj_alpha": {"sources": ["src0", "src1", "src2"], "keywords": ["spark", "vector"]},
     "proj_beta": {"sources": ["src3", "src4", "src5"], "keywords": ["customer", "order"]},
-    "proj_gamma": {"sources": ["src6", "src7"], "keywords": ["window", "stream"]},
+    # "src1*" is the F6 wildcard rule (project_detector.py:70-78): matches
+    # src10..src19; the exact "src1" above wins for src1 itself
+    "proj_gamma": {"sources": ["src6", "src7", "src1*"], "keywords": ["window", "stream"]},
 }
 DEFAULT_PROJECT = "unassigned"  # reference: "未分类"
 

@@ -42,3 +42,18 @@ def mock_confidence(text: str) -> float:
     """
     h = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
     return 0.90 + (h % 99) / 1000.0
+
+
+def decode_media_accurate(media_ref: str) -> str:
+    """The 'heavier second engine' slot (DeepSeek-OCR-2 analog,
+    deepseek_ocr2_engine.py:96-345): same deterministic payload decode —
+    a real deployment loads the slower, more accurate model here."""
+    return decode_media(media_ref)
+
+
+def mock_confidence_accurate(text: str) -> float:
+    """Second-engine confidence in [0.95, 0.999] — keyed differently from
+    ``mock_confidence`` so the rerun sometimes improves and sometimes
+    doesn't, exercising the keep-the-better-answer rule."""
+    h = int.from_bytes(hashlib.md5(b"ocr2|" + text.encode()).digest()[:4], "big")
+    return 0.95 + (h % 50) / 1000.0

@@ -12,6 +12,7 @@ paths; project config maps sources -> project (the path rule analog).
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Tuple
 
 from ..config import DEFAULT_PROJECT
@@ -21,9 +22,17 @@ class ProjectDetector:
     def __init__(self, projects: Dict[str, dict]):
         self.projects = projects
         self.source_to_project: Dict[str, str] = {}
+        # F6 wildcard rules (project_detector.py:70-78: '*' in a folder
+        # rule becomes '.*'); exact sources win over wildcards, wildcards
+        # apply in declaration order
+        self.wildcard_rules: List[Tuple[re.Pattern, str]] = []
         for name, cfg in projects.items():
             for src in cfg.get("sources", []):
-                self.source_to_project.setdefault(src.lower(), name)
+                if "*" in src:
+                    pat = ".*".join(re.escape(p) for p in src.lower().split("*"))
+                    self.wildcard_rules.append((re.compile(f"^{pat}$"), name))
+                else:
+                    self.source_to_project.setdefault(src.lower(), name)
         # (project, keyword_lower) pairs in declaration order
         self.keyword_rules: List[Tuple[str, str]] = [
             (name, kw.lower())
@@ -32,7 +41,14 @@ class ProjectDetector:
         ]
 
     def detect_by_source(self, source: str) -> str | None:
-        return self.source_to_project.get(source.lower())
+        s = source.lower()
+        hit = self.source_to_project.get(s)
+        if hit is not None:
+            return hit
+        for pat, name in self.wildcard_rules:
+            if pat.match(s):
+                return name
+        return None
 
     def detect_by_content(self, text: str) -> Tuple[str, float] | None:
         """Top-1 content match; score = count*len(kw) (project_detector.py:89-137)."""

@@ -170,6 +170,57 @@ def run_extraction_split(
     return reassemble(extracted)
 
 
+def run_extraction_hybrid_rerun(
+    docs: ray.data.Dataset,
+    *,
+    rerun_threshold: float = 0.93,
+    ocr_concurrency: Optional[int] = None,
+    rerun_concurrency=2,
+) -> ray.data.Dataset:
+    """Smart-mode extraction: first-pass engine for everything, then scan
+    spans whose confidence fell below ``rerun_threshold`` rerun through
+    the heavier second engine and the better answer wins.
+
+    Mirrors ``hybrid_ocr_engine.py:152-182`` (Paddle first, avg page
+    confidence < 0.85 -> DeepSeek rerun) as a filter-split: confident
+    spans never touch the second pool.  The mock first engine's
+    confidences live in [0.90, 0.998], so the demo threshold defaults
+    inside that range; a real deployment sets the reference's 0.85.
+
+    The union scatters a document's spans across confident/rerun blocks,
+    so reassembly takes the groupby(doc_id) shuffle path.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.extract import SecondPassExtractor
+
+    tune_context()
+    # the first-pass output feeds two branches; materialize at the fan-out
+    # so the extractor pool doesn't re-execute per branch (NOTES gotcha —
+    # at 100 TB this boundary is a checkpointed table instead)
+    extracted = extract_spans(
+        docs, ocr_concurrency=ocr_concurrency, batch_size=None
+    ).materialize()
+
+    def is_doubtful(t):
+        return pc.and_(
+            pc.equal(t["kind"], "scan"), pc.less(t["score"], rerun_threshold)
+        )
+
+    confident = extracted.map_batches(
+        lambda t: t.filter(pc.invert(is_doubtful(t))), batch_format="pyarrow"
+    )
+    doubtful = extracted.map_batches(
+        lambda t: t.filter(is_doubtful(t)), batch_format="pyarrow"
+    )
+    rerun = doubtful.map_batches(
+        SecondPassExtractor,
+        batch_format="pyarrow",
+        concurrency=rerun_concurrency,
+    )
+    return reassemble(confident.union(rerun))
+
+
 def run_extraction_skew_aware(
     docs: ray.data.Dataset,
     *,

@@ -355,10 +355,10 @@ FROM scored
 # M14–M16: project attribution (source-as-path rule, else content scoring)
 # ---------------------------------------------------------------------------
 def q_project_detect(sf_dir: str):
+    from ..functions.project import ProjectDetector
+
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    src_map = {
-        s: name for name, cfg in PROJECTS_EN.items() for s in cfg.get("sources", [])
-    }
+    detector = ProjectDetector(PROJECTS_EN)  # exact + F6 wildcard path rules
     rules = [
         (name, [(kw.lower(), len(kw)) for kw in cfg["keywords"]])
         for name, cfg in PROJECTS_EN.items()
@@ -367,7 +367,7 @@ def q_project_detect(sf_dir: str):
     def body(batch: pa.Table) -> pd.DataFrame:
         out_proj, out_mt = [], []
         for text, source in zip(batch["text"].to_pylist(), batch["source"].to_pylist()):
-            hit = src_map.get(source)
+            hit = detector.detect_by_source(source)
             if hit is not None:
                 out_proj.append(hit)
                 out_mt.append("path")
@@ -404,9 +404,17 @@ def _sql_proj_score(cfg) -> str:
 
 
 _P = list(PROJECTS_EN.items())
+# exact source cases first (they win), then F6 wildcard rules as LIKE
+# ('*' -> '%'), mirroring ProjectDetector's precedence
 _SRC_CASES = " ".join(
-    f"WHEN source IN ({', '.join(repr(s) for s in cfg['sources'])}) THEN '{name}'"
+    f"WHEN source IN ({', '.join(repr(s) for s in cfg['sources'] if '*' not in s)}) THEN '{name}'"
     for name, cfg in _P
+    if any("*" not in s for s in cfg["sources"])
+) + " " + " ".join(
+    f"WHEN source LIKE '{s.replace('*', '%')}' THEN '{name}'"
+    for name, cfg in _P
+    for s in cfg["sources"]
+    if "*" in s
 )
 SQL_PROJECT_DETECT = f"""
 WITH scored AS (
@@ -1566,6 +1574,110 @@ FROM m GROUP BY date
 """
 
 # ---------------------------------------------------------------------------
+# document fingerprinting: polynomial rolling hash over the token stream
+# (functions/fingerprint.py); DuckDB reproduces the fold exactly via
+# list_reduce over HUGEINT (the h*B+t intermediate exceeds int64)
+# ---------------------------------------------------------------------------
+def q_doc_fingerprint(sf_dir: str):
+    from ..functions.fingerprint import rolling_fingerprint
+    from ..functions.tokenize import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "fingerprint": pd.Series(
+                    [
+                        rolling_fingerprint(tokenize(t))
+                        for t in batch["text"].to_pylist()
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+             x -> CAST(CAST(concat('0x', substr(md5(x), 1, 16)) AS UBIGINT) AS HUGEINT))),
+         (h, x) -> (h * 1000003 + x) % 2305843009213693951
+       ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# M11-M13 classify cascade, oracled: the mock LLM is a deterministic
+# md5-keyed vote over the exact prompt string, so DuckDB can replay the
+# whole cascade — rule scores (case-insensitive regex counts), the
+# confidence split at 0.7, and the mock generate+parse for doubtful rows.
+# ---------------------------------------------------------------------------
+def q_classify_cascade(sf_dir: str):
+    from ..stages.classify_cascade import classify_cascade
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return classify_cascade(ds, doc_types=DOCUMENT_TYPES_EN)
+
+
+def _sql_ci_count(kw: str) -> str:
+    return f"length(regexp_extract_all(text, '{kw}', 0, 'i'))"
+
+
+def _sql_ci_type_score(cfg) -> str:
+    total = " + ".join(_sql_ci_count(kw) for kw in cfg["keywords"])
+    return f"(CASE WHEN ({total}) > 0 THEN ({total}) * (100 - {cfg['priority']}) ELSE 0 END)"
+
+
+_CASCADE_TYPES = "/".join(DOCUMENT_TYPES_EN)
+_CASCADE_PROMPT_SQL = (
+    "'请判断以下文档的类型。' || chr(10) || '候选类型: ' || "
+    f"'{_CASCADE_TYPES}' || chr(10) || '文档内容:' || chr(10) || "
+    "substr(text, 1, 2000) || chr(10)"
+)
+_CHOICE_CASE = " ".join(
+    f"WHEN b0 % {len(_T)} = {i} THEN '{name}'" for i, name in enumerate(DOCUMENT_TYPES_EN)
+)
+SQL_CLASSIFY_CASCADE = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {_sql_ci_type_score(_T[0][1])} AS s0,
+         {_sql_ci_type_score(_T[1][1])} AS s1,
+         {_sql_ci_type_score(_T[2][1])} AS s2,
+         {_sql_ci_type_score(_T[3][1])} AS s3
+  FROM documents
+), ruled AS (
+  SELECT doc_id, text,
+         CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0 THEN 'other'
+              WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN '{_T[0][0]}'
+              WHEN s1 >= s2 AND s1 >= s3 THEN '{_T[1][0]}'
+              WHEN s2 >= s3 THEN '{_T[2][0]}'
+              ELSE '{_T[3][0]}' END AS rule_type,
+         CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0 THEN 0.5
+              ELSE CAST(greatest(s0, s1, s2, s3) AS DOUBLE) / (s0 + s1 + s2 + s3)
+              END AS rule_conf
+  FROM scored
+), llm AS (
+  SELECT doc_id, rule_type, rule_conf,
+         CAST(concat('0x', substr(md5({_CASCADE_PROMPT_SQL}), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substr(md5({_CASCADE_PROMPT_SQL}), 3, 2)) AS INT) AS b1
+  FROM ruled
+)
+SELECT doc_id,
+       CASE WHEN rule_conf >= 0.7 THEN rule_type
+            ELSE (CASE {_CHOICE_CASE} END) END AS doc_type,
+       CASE WHEN rule_conf >= 0.7 THEN rule_conf
+            ELSE CAST('0.' || (80 + b1 % 20) AS DOUBLE) END AS type_confidence,
+       CASE WHEN rule_conf >= 0.7 THEN 'rule' ELSE 'llm' END AS classifier
+FROM llm
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -1600,4 +1712,6 @@ SQL_QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "user_hourly_activity": (q_user_hourly_activity, SQL_USER_HOURLY),
     "user_value_median": (q_user_value_median, SQL_USER_VALUE_MEDIAN),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "classify_cascade": (q_classify_cascade, SQL_CLASSIFY_CASCADE),
 }

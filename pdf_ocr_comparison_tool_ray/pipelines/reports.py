@@ -164,3 +164,66 @@ def doc_main_type(enriched: ray.data.Dataset) -> ray.data.Dataset:
     """Mode of per-span doc_type per document (main.py:305-306)."""
     light = enriched.select_columns(["doc_id", "doc_type"])
     return light.groupby("doc_id").map_groups(_doc_type_mode, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# S9: report artifact sink.  The reference writes one multi-sheet Excel
+# workbook (main.py:357-707) with a CSV fallback when the Excel stack is
+# missing (run_ocr.py:277-292); here each sheet is one CSV (or one xlsx
+# when openpyxl happens to be installed), written atomically.
+# ---------------------------------------------------------------------------
+def write_report(
+    out_dir: str,
+    match_results: "ray.data.Dataset | None" = None,
+    enriched: "ray.data.Dataset | None" = None,
+    group_col: str | None = None,
+    top_n_keywords: int = 50,
+) -> dict:
+    """Build the A1–A4 sheets from whichever inputs are given and write
+    them under ``out_dir``.  Returns {sheet_name: path}.
+
+    The aggregates are tiny (global rollups) — materializing them to
+    pandas for the file write is the bounded, deliberate driver-side step
+    (the raw span/match tables stay distributed and are written by the
+    parquet sinks, not here).
+    """
+    import os
+    from pathlib import Path
+
+    sheets: dict[str, pd.DataFrame] = {}
+    if match_results is not None:
+        match_results = match_results.materialize()  # consumed by 2 sheets
+        sheets["match_summary"] = match_summary(match_results)
+        if group_col is not None:
+            sheets["group_summary"] = (
+                group_summary(match_results, group_col)
+                .to_pandas()
+                .sort_values(group_col)
+                .reset_index(drop=True)
+            )
+    if enriched is not None:
+        enriched = enriched.materialize()
+        sheets["keyword_analysis"] = keyword_analysis(enriched, top_n=top_n_keywords)
+        sheets["timeline"] = timeline(enriched)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: dict = {}
+    try:  # multi-sheet workbook when the Excel stack exists
+        import openpyxl  # noqa: F401
+
+        book = out / "report.xlsx"
+        tmp = out / f".tmp-report-{os.getpid()}.xlsx"
+        with pd.ExcelWriter(tmp) as xw:
+            for name, df in sheets.items():
+                df.to_excel(xw, sheet_name=name[:31], index=False)
+        os.replace(tmp, book)
+        paths = {name: str(book) for name in sheets}
+    except ImportError:  # CSV fallback (run_ocr.py:277-292)
+        for name, df in sheets.items():
+            f = out / f"{name}.csv"
+            tmp = out / f".tmp-{name}-{os.getpid()}.csv"
+            df.to_csv(tmp, index=False)
+            os.replace(tmp, f)
+            paths[name] = str(f)
+    return paths

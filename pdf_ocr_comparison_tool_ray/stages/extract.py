@@ -19,7 +19,12 @@ import pyarrow.compute as pc
 
 from ..config import EXTRACTION
 from ..functions.html_strip import strip_html
-from ..functions.mock_ocr import decode_media, mock_confidence
+from ..functions.mock_ocr import (
+    decode_media,
+    decode_media_accurate,
+    mock_confidence,
+    mock_confidence_accurate,
+)
 from ..functions.pdf_parse import parse_text_layer
 from ..functions.similarity import agreement_ratio
 
@@ -176,5 +181,53 @@ class SpanExtractor:
                 "offset": batch["offset"],
                 "route": pa.array(routes),
                 "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+class SecondPassExtractor:
+    """Confidence-routed second-engine rerun — the heavy half of the
+    reference's smart mode (``hybrid_ocr_engine.py:152-182``: Paddle
+    first; a page whose average confidence falls below threshold reruns
+    on DeepSeek and the higher-confidence result wins).
+
+    Input batches hold only the low-confidence scan rows (the filter
+    split upstream guarantees it); each is re-decoded with the heavier
+    engine and the better of the two answers is kept, with ``route``
+    recording which engine won ("ocr" kept / "ocr2" rerun won).  A real
+    deployment loads the second model in ``__init__``.
+    """
+
+    def __init__(self):
+        self._ocr2 = decode_media_accurate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        scores = batch["score"].to_pylist()
+        out_t, out_r, out_s = [], [], []
+        for t0, ref, s0 in zip(texts, refs, scores):
+            try:
+                t2 = self._ocr2(ref)
+                s2 = mock_confidence_accurate(t2)
+            except Exception:
+                t2, s2 = t0, -1.0  # poison-row quarantine: keep pass 1
+            if s2 > s0:
+                out_t.append(t2)
+                out_r.append("ocr2")
+                out_s.append(s2)
+            else:
+                out_t.append(t0)
+                out_r.append("ocr")
+                out_s.append(s0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": batch["kind"],
+                "text": pa.array(out_t, type=pa.string()),
+                "media_ref": batch["media_ref"],
+                "offset": batch["offset"],
+                "route": pa.array(out_r, type=pa.string()),
+                "score": pa.array(out_s, type=pa.float64()),
             }
         )

@@ -193,6 +193,105 @@ class MediaFeaturizer:
         )
 
 
+class ImagePreprocessor:
+    """M2/M3 OCR image preprocessing: grayscale -> denoise -> contrast
+    enhance -> deskew, mirroring the reference chain
+    (``ocr_engine.py:75-161``: cv2 grayscale, fastNlMeansDenoising, CLAHE,
+    minAreaRect deskew) with numpy kernels the sandbox can run:
+
+    * grayscale: ITU-R 601 luma;
+    * denoise: 3x3 box blur (the NlMeans slot);
+    * contrast: 2-98 percentile stretch (the CLAHE slot);
+    * deskew: ``_estimate_skew_deg`` is the cv2 seam — here it returns
+      0.0 (payloads are synthetic, there is no line structure to
+      estimate), and rotation applies only for non-zero angles, so the
+      plumbing is exercised while the heavy kernel stays a marked seam.
+
+    Output payloads are re-encoded single-channel images; non-image rows
+    pass through untouched.  Runs as an ``__init__``-warmed actor pool —
+    a cv2/PIL deployment loads its kernels there.
+    """
+
+    def __init__(self, denoise: bool = True, contrast: bool = True,
+                 deskew: bool = True):
+        self.denoise = denoise
+        self.contrast = contrast
+        self.deskew = deskew
+        self._decode = _decode_payload
+
+    @staticmethod
+    def _grayscale(arr: np.ndarray) -> np.ndarray:
+        luma = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
+        return luma.astype(np.float64)
+
+    @staticmethod
+    def _box_blur(g: np.ndarray) -> np.ndarray:
+        p = np.pad(g, 1, mode="edge")
+        out = sum(
+            p[di : di + g.shape[0], dj : dj + g.shape[1]]
+            for di in range(3)
+            for dj in range(3)
+        )
+        return out / 9.0
+
+    @staticmethod
+    def _stretch(g: np.ndarray) -> np.ndarray:
+        lo, hi = np.percentile(g, (2.0, 98.0))
+        if hi <= lo:
+            return g
+        return np.clip((g - lo) * (255.0 / (hi - lo)), 0, 255)
+
+    @staticmethod
+    def _estimate_skew_deg(g: np.ndarray) -> float:  # cv2 seam
+        """minAreaRect-style skew estimation slot; 0.0 for the fake codec."""
+        return 0.0
+
+    @staticmethod
+    def _rotate(g: np.ndarray, deg: float) -> np.ndarray:
+        if abs(deg) < 0.05:
+            return g
+        # nearest-neighbour rotation about the center (the cv2
+        # warpAffine slot); bounds clamp keeps the canvas size
+        rad = np.deg2rad(deg)
+        h, w = g.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        sy = ((yy - cy) * np.cos(rad) - (xx - cx) * np.sin(rad) + cy).round()
+        sx = ((yy - cy) * np.sin(rad) + (xx - cx) * np.cos(rad) + cx).round()
+        sy = np.clip(sy, 0, h - 1).astype(np.int64)
+        sx = np.clip(sx, 0, w - 1).astype(np.int64)
+        return g[sy, sx]
+
+    def preprocess_one(self, arr: np.ndarray) -> np.ndarray:
+        g = self._grayscale(arr)
+        if self.denoise:
+            g = self._box_blur(g)
+        if self.contrast:
+            g = self._stretch(g)
+        if self.deskew:
+            g = self._rotate(g, self._estimate_skew_deg(g))
+        return np.rint(g).astype(np.uint8)[..., None]  # (h, w, 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_ch = [], []
+        for kind, payload in zip(
+            batch["media_type"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if kind != "image":
+                out_payloads.append(payload)
+                out_ch.append(0)
+                continue
+            _, arr, _ = self._decode(payload)
+            pre = self.preprocess_one(arr)
+            out_payloads.append(encode_image(np.ascontiguousarray(pre)))
+            out_ch.append(1)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["payload"] = pa.array(out_payloads, type=pa.binary())
+        if "channels" in batch.column_names:
+            cols["channels"] = pa.array(out_ch, type=pa.int32())
+        return pa.table(cols)
+
+
 class ImageResizer:
     """Nearest-neighbour resize of image payloads to (out_h, out_w).
 
@@ -280,6 +379,24 @@ def featurize_media(
     """
     return media.map_batches(
         MediaFeaturizer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def preprocess_media(
+    media: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 32,
+    **knobs,
+) -> ray.data.Dataset:
+    """Optional M2/M3 step before ``featurize_media`` / OCR: grayscale,
+    denoise, contrast, deskew over image payloads (actor pool, byte-sized
+    batches)."""
+    return media.map_batches(
+        ImagePreprocessor,
+        fn_constructor_kwargs=knobs,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -205,3 +205,67 @@ def test_poison_row_quarantine():
     assert out.iloc[0]["route"] == "error" and out.iloc[0]["score"] == 0.0
     assert out.iloc[0]["text"] == "bad payload"  # original preserved
     assert out.iloc[1]["route"] == "native" and out.iloc[1]["text"] == "fine"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hybrid_rerun_confidence_routing():
+    """Smart-mode rerun (hybrid_ocr_engine.py:152-182 analog): scan spans
+    below the confidence threshold rerun on the second engine, the better
+    answer wins, and extracted text is unchanged (the heavier engine reads
+    the same page)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        run_extraction,
+        run_extraction_hybrid_rerun,
+    )
+    from pdf_ocr_comparison_tool_ray.pipelines.reports import route_stats
+
+    flat = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 80)), batch_format="pyarrow"
+    )
+    thr = 0.93
+    base = (
+        run_extraction(interleave(flat), ocr_concurrency=2, batch_size=None)
+        .to_pandas()
+        .sort_values(["doc_id", "seq"])
+        .reset_index(drop=True)
+    )
+    rerun = (
+        run_extraction_hybrid_rerun(
+            interleave(flat), rerun_threshold=thr, ocr_concurrency=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "seq"])
+        .reset_index(drop=True)
+    )
+    # span-sequence equality on (doc_id, seq, kind, text, media_ref)
+    pd.testing.assert_frame_equal(
+        base[["doc_id", "seq", "kind", "text", "media_ref"]],
+        rerun[["doc_id", "seq", "kind", "text", "media_ref"]],
+    )
+    scans = base["kind"] == "scan"
+    doubtful = scans & (base["score"] < thr)
+    confident = ~doubtful
+    # confident spans untouched
+    pd.testing.assert_frame_equal(
+        base.loc[confident, ["route", "score"]].reset_index(drop=True),
+        rerun.loc[confident, ["route", "score"]].reset_index(drop=True),
+    )
+    # doubtful scans: better-or-equal score, route records the winner
+    assert doubtful.any()
+    assert (rerun.loc[doubtful, "score"] >= base.loc[doubtful, "score"]).all()
+    assert set(rerun.loc[doubtful, "route"]) <= {"ocr", "ocr2"}
+    assert (rerun.loc[doubtful, "route"] == "ocr2").any()
+    # route_stats surfaces the fallback ratio
+    stats = route_stats(
+        run_extraction_hybrid_rerun(
+            interleave(flat), rerun_threshold=thr, ocr_concurrency=2
+        )
+    )
+    ocr2 = stats.loc[stats["route"] == "ocr2", "route_ratio"]
+    assert len(ocr2) == 1 and 0.0 < float(ocr2.iloc[0]) < 1.0

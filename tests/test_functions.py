@@ -217,3 +217,25 @@ def test_classify_cascade_matches_oracle(ray_session):
         assert abs(row["type_confidence"] - exp_c) < 1e-12
         assert row["classifier"] == exp_src
     assert (got["classifier"] == "llm").any() or (got["type_confidence"] >= 0.7).all()
+
+
+def test_project_detector_wildcard_rules():
+    """F6 (project_detector.py:70-78): '*' in a source rule matches like
+    a glob; exact source matches win over wildcards; declaration order
+    breaks wildcard ties."""
+    from pdf_ocr_comparison_tool_ray.functions.project import ProjectDetector
+
+    det = ProjectDetector(
+        {
+            "p_exact": {"sources": ["src1"], "keywords": []},
+            "p_wild": {"sources": ["src1*"], "keywords": []},
+            "p_other": {"sources": ["src*"], "keywords": []},
+        }
+    )
+    assert det.detect_by_source("src1") == "p_exact"      # exact beats wildcard
+    assert det.detect_by_source("src15") == "p_wild"      # first wildcard wins
+    assert det.detect_by_source("src9") == "p_other"
+    assert det.detect_by_source("SRC15") == "p_wild"      # case-insensitive
+    assert det.detect_by_source("other") is None
+    proj, conf, mt = det.detect("src12", "")
+    assert (proj, conf, mt) == ("p_wild", 1.0, "path")

@@ -3,6 +3,7 @@ determinism, frame sampling and resize output layout."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from pdf_ocr_comparison_tool_ray.stages.multimodal import (
@@ -101,3 +102,60 @@ def test_frame_sample_then_featurize_chain(ray_session):
     assert len(feats) > 0
     assert (feats["media_type"] == "image").all()
     assert all(len(f) == MediaFeaturizer.N_BINS for f in feats["features"])
+
+
+def test_image_preprocessor_kernels():
+    """M2 kernels: grayscale output is single-channel, denoise smooths,
+    contrast stretch hits the full range, rotation is exercised."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import (
+        ImagePreprocessor,
+        _decode_payload,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(60, 180, (24, 24, 3), dtype=np.uint8)  # mid-range
+    pre = ImagePreprocessor()
+    out = pre.preprocess_one(arr)
+    assert out.shape == (24, 24, 1) and out.dtype == np.uint8
+    # percentile stretch expands a mid-range image toward [0, 255]
+    assert out.min() <= 10 and out.max() >= 245
+    # denoise reduces local variance vs plain grayscale
+    g = ImagePreprocessor._grayscale(arr)
+    blurred = ImagePreprocessor._box_blur(g)
+    assert np.diff(blurred, axis=0).std() < np.diff(g, axis=0).std()
+    # rotation kernel: 90-degree turn of an asymmetric pattern moves mass
+    ramp = np.tile(np.arange(16, dtype=np.float64), (16, 1))
+    rot = ImagePreprocessor._rotate(ramp, 90.0)
+    assert not np.allclose(rot, ramp)
+    assert np.allclose(ImagePreprocessor._rotate(ramp, 0.0), ramp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_preprocess_media_stage():
+    import numpy as np
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import (
+        _decode_payload,
+        featurize_media,
+        preprocess_media,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(n=24))
+    out = preprocess_media(media, concurrency=2, batch_size=8)
+    rows = out.take_all()
+    assert len(rows) == 24
+    for r in rows:
+        if r["media_type"] == "image":
+            kind, arr, meta = _decode_payload(r["payload"])
+            assert kind == "image" and meta["channels"] == 1
+            assert r["channels"] == 1
+        else:  # non-image rows pass through untouched
+            assert r["channels"] == 0 or r["media_type"] != "image"
+    # composes with the featurizer (schema contract held)
+    feats = featurize_media(out, concurrency=2, batch_size=8).take_all()
+    assert len(feats) == 24 and all(len(f["features"]) == 16 for f in feats)

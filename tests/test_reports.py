@@ -102,3 +102,47 @@ def test_route_stats():
     assert abs(got.loc["ocr", "mean_score"] - 0.93) < 1e-12
     assert abs(out.attrs["native_ratio"] - 0.5) < 1e-12
     assert abs(got["route_ratio"].sum() - 1.0) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_report_csv_artifact(tmp_path):
+    """S9 sink: A1/A2 + A3/A4 sheets land as CSV files whose contents
+    round-trip the in-memory aggregates (run_ocr.py:277-292 fallback)."""
+    import pandas as pd
+
+    from pdf_ocr_comparison_tool_ray.pipelines.reports import (
+        match_summary,
+        write_report,
+    )
+
+    match = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "match_status": ["exact", "partial", "none", "exact", "low"],
+                "similarity": [1.0, 0.8, 0.0, 0.97, 0.65],
+                "project": ["a", "a", "b", "b", "a"],
+            }
+        )
+    )
+    enriched = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1", "d2", "d3"],
+                "keywords": [["alpha", "beta"], ["alpha"], ["gamma", "alpha"]],
+                "dates": [["2024-01-02"], [], ["2024-01-02", "2024-03-04"]],
+            }
+        )
+    )
+    paths = write_report(
+        str(tmp_path), match_results=match, enriched=enriched, group_col="project"
+    )
+    assert set(paths) == {"match_summary", "group_summary", "keyword_analysis", "timeline"}
+    ms = pd.read_csv(paths["match_summary"])
+    assert int(ms["total"].iloc[0]) == 5 and int(ms["exact_matches"].iloc[0]) == 2
+    assert abs(float(ms["match_rate"].iloc[0]) - 0.6) < 1e-9
+    gs = pd.read_csv(paths["group_summary"])
+    assert gs.loc[gs["project"] == "a", "n_exact"].iloc[0] == 1
+    ka = pd.read_csv(paths["keyword_analysis"])
+    assert ka.iloc[0]["keyword"] == "alpha" and int(ka.iloc[0]["n_docs"]) == 3
+    tl = pd.read_csv(paths["timeline"])
+    assert tl.loc[tl["date"] == "2024-01-02", "n_docs"].iloc[0] == 2
