@@ -111,6 +111,22 @@ def _q_compare_pipeline_shuffle(sf_dir: str):
     return run_compare_shuffle(probe, build)
 
 
+def _q_extraction_hybrid_rerun(sf_dir: str):
+    """Smart-mode extraction: low-confidence scan spans rerun through the
+    second-engine actor pool, better answer wins (rows == extraction_pipeline
+    with only route/score differing on rerouted scans)."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        read_flat_documents,
+        run_extraction_hybrid_rerun,
+    )
+
+    docs = interleave(read_flat_documents(f"{sf_dir}/documents.parquet"))
+    return run_extraction_hybrid_rerun(docs, ocr_concurrency=4)
+
+
 def _q_render_full_text(sf_dir: str):
     """S8 analog: ordered reassembled spans -> framed per-doc full text."""
     from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
@@ -250,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(
         {
             "extraction_pipeline": _q_extraction_pipeline,
+            "extraction_hybrid_rerun": _q_extraction_hybrid_rerun,
             "compare_pipeline": _q_compare_pipeline,
             "minhash_lsh_pairs": _q_minhash_pairs,
             "simhash_pairs": _q_simhash_pairs,

@@ -103,3 +103,32 @@ def run_compare_shuffle(
         enrich_spans(probe_extracted), enrich_spans(reference_extracted), cfg
     )
     return merge_matches(results)
+
+
+# Build sides above this many span rows stop fitting the broadcast-index
+# topology comfortably (the index holds full texts; ~1-2 KB/row -> ~1 GB
+# at the default cap) and route to the shuffle join instead.
+BROADCAST_MAX_BUILD_ROWS = 500_000
+
+
+def run_compare_auto(
+    probe_extracted: ray.data.Dataset,
+    reference_extracted: ray.data.Dataset,
+    cfg: Optional[dict] = None,
+    broadcast_max_build_rows: int = BROADCAST_MAX_BUILD_ROWS,
+) -> ray.data.Dataset:
+    """Route by build-side size: broadcast-index join while the reference
+    side is small (the reference tool's in-memory topology), hash-shuffle
+    co-partition once it isn't.  Both paths are row-identical
+    (equivalence-tested), so the switch is purely a physical plan choice.
+
+    The count() is a cheap metadata pass on materialized/parquet inputs;
+    on a derived Dataset it executes the build-side pipeline once, which
+    the broadcast path would do anyway (build_index) — the shuffle path
+    re-executes it, the price of discovering the side is huge.
+    """
+    reference_extracted = reference_extracted.materialize()
+    n_build = reference_extracted.count()
+    if n_build <= broadcast_max_build_rows:
+        return run_compare(probe_extracted, reference_extracted, cfg)
+    return run_compare_shuffle(probe_extracted, reference_extracted, cfg)

@@ -1574,6 +1574,107 @@ FROM m GROUP BY date
 """
 
 # ---------------------------------------------------------------------------
+# supplier-side revenue rollup: fact table + two broadcast dims
+# (lineitem -> supplier -> nation), batch pre-agg before one tiny groupby
+# ---------------------------------------------------------------------------
+def q_supplier_nation_revenue(sf_dir: str):
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    supp_to_nation = dict(
+        zip(
+            supp["s_suppkey"],
+            supp["s_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    lookup_ref = ray.put(supp_to_nation)
+
+    class AddNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["n_name"] = df["l_suppkey"].map(self.lookup)
+            df["rev_cents"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+            return df.groupby("n_name", as_index=False).agg(
+                n_items=("l_suppkey", "size"), revenue_cents=("rev_cents", "sum")
+            )
+
+    items = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    return (
+        items.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_SUPPLIER_NATION_REVENUE = """
+SELECT n.n_name,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-flavored promo ratio: broadcast part-type map over the fact
+# table, conditional integer-cents partials, single-division final ratio
+# ---------------------------------------------------------------------------
+def q_promo_revenue_ratio(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_keys = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    ref = ray.put(promo_keys)
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            cents = np.rint(df["l_extendedprice"] * 100).astype("int64")
+            is_promo = df["l_partkey"].isin(self.promo)
+            return pd.DataFrame(
+                {
+                    "promo_cents": pd.Series([int(cents[is_promo].sum())], dtype="int64"),
+                    "total_cents": pd.Series([int(cents.sum())], dtype="int64"),
+                }
+            )
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    parts = (
+        items.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sum()
+    )
+    promo, total = int(parts["promo_cents"]), int(parts["total_cents"])
+    return pd.DataFrame(
+        {
+            "promo_cents": pd.Series([promo], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+            "promo_ratio": [100.0 * promo / total if total else 0.0],
+        }
+    )
+
+
+SQL_PROMO_REVENUE_RATIO = """
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       100.0 * CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE) AS promo_ratio
+FROM j
+"""
+
+# ---------------------------------------------------------------------------
 # document fingerprinting: polynomial rolling hash over the token stream
 # (functions/fingerprint.py); DuckDB reproduces the fold exactly via
 # list_reduce over HUGEINT (the h*B+t intermediate exceeds int64)
@@ -1714,4 +1815,6 @@ SQL_QUERIES = {
     "user_value_median": (q_user_value_median, SQL_USER_VALUE_MEDIAN),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "classify_cascade": (q_classify_cascade, SQL_CLASSIFY_CASCADE),
+    "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
+    "promo_revenue_ratio": (q_promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
 }

@@ -211,3 +211,30 @@ def test_compare_property_random_corpora(spec, seed):
                 "target_doc_id", "target_start", "target_end"]:
         assert df[col].tolist() == golden[col].tolist(), col
     assert (df["similarity"] - golden["similarity"]).abs().max() < 1e-9
+
+@pytest.mark.usefixtures("ray_session")
+def test_compare_auto_routes_by_build_size():
+    """run_compare_auto: broadcast path for small build sides, shuffle
+    path when the build side exceeds the cap — both row-identical."""
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare_auto
+
+    ref_docs = make_corpus(10, seed=60, skew_docs=0)
+    probe_docs = _probe_corpus(ref_docs)
+    probe_ex, ref_ex = _extracted(probe_docs), _extracted(ref_docs)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["source_doc_id", "source_start"])
+            .reset_index(drop=True)
+        )
+
+    base = norm(run_compare(probe_ex, ref_ex))
+    small = norm(run_compare_auto(probe_ex, ref_ex))  # broadcast route
+    forced = norm(
+        run_compare_auto(probe_ex, ref_ex, broadcast_max_build_rows=1)
+    )  # shuffle route
+    for got in (small, forced):
+        assert len(got) == len(base)
+        assert got["match_status"].tolist() == base["match_status"].tolist()
+        assert (got["similarity"] - base["similarity"]).abs().max() < 1e-12
