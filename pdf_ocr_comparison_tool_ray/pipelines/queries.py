@@ -1675,6 +1675,154 @@ FROM j
 """
 
 # ---------------------------------------------------------------------------
+# large-large equi join, row-level output: orders x lineitem co-partition
+# via the generic bucketed_equi_join (neither side broadcast/materalized)
+# ---------------------------------------------------------------------------
+def q_order_items(sf_dir: str):
+    from ..stages.bucketed import bucketed_equi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    # filter pushed below the shuffle: only high-value orders join
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_custkey"], 0)), batch_format="pyarrow"
+    )
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep_items(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "l_linenumber": df["l_linenumber"].astype("int64"),
+                "qty": df["l_quantity"].astype("int64"),
+                "price_cents": np.rint(df["l_extendedprice"] * 100).astype("int64"),
+            }
+        )
+
+    joined = bucketed_equi_join(
+        orders,
+        items.map_batches(prep_items, batch_format="pyarrow"),
+        on="o_orderkey",
+        how="inner",
+        n_buckets=64,
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        for c in ("o_orderkey", "o_custkey", "l_linenumber", "qty", "price_cents"):
+            df[c] = df[c].astype("int64")
+        return df[
+            ["o_orderkey", "o_custkey", "o_orderpriority", "l_linenumber", "qty", "price_cents"]
+        ]
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDER_ITEMS = """
+SELECT o.o_orderkey,
+       o.o_custkey,
+       o.o_orderpriority,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l.l_quantity AS BIGINT) AS qty,
+       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey > 0
+"""
+
+# ---------------------------------------------------------------------------
+# gap-based session window: a session breaks after > `gap` inactivity —
+# the streaming-window companion to the run-merge sessionization
+# ---------------------------------------------------------------------------
+def q_session_window(sf_dir: str, gap_minutes: int = 30):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    GAP_US = gap_minutes * 60_000_000
+
+    def sessions_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        g["value_cents"] = np.rint(g["value"] * 100).astype("int64")
+        new_user = g["user_id"] != g["user_id"].shift()
+        gap = (g["ts_us"] - g["ts_us"].shift()) > GAP_US
+        sid = (new_user | gap).cumsum()
+        out = g.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"),
+            start_us=("ts_us", "first"),
+            end_us=("ts_us", "last"),
+            n_events=("ts_us", "size"),
+            value_cents=("value_cents", "sum"),
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(ds, "user_id", sessions_bucket, n_buckets=64)
+
+
+SQL_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s
+GROUP BY user_id, sid
+"""
+
+# ---------------------------------------------------------------------------
+# exact two-phase distinct count (the exact counterpart of the HLL
+# sketch): batch-local pair dedup -> bucketed per-key distinct
+# ---------------------------------------------------------------------------
+def q_distinct_sources_by_lang(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def local_pairs(batch: pa.Table) -> pd.DataFrame:
+        # combiner: one row per (lang, source) per batch
+        return batch.to_pandas().drop_duplicates(["lang", "source"])
+
+    def count_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.drop_duplicates(["lang", "source"]).groupby(
+            "lang", as_index=False
+        ).agg(n_sources=("source", "size"))
+        out["n_sources"] = out["n_sources"].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        ds.map_batches(local_pairs, batch_format="pyarrow"),
+        "lang",
+        count_bucket,
+        n_buckets=8,
+    )
+
+
+SQL_DISTINCT_SOURCES_BY_LANG = """
+SELECT lang, count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
 # document fingerprinting: polynomial rolling hash over the token stream
 # (functions/fingerprint.py); DuckDB reproduces the fold exactly via
 # list_reduce over HUGEINT (the h*B+t intermediate exceeds int64)
@@ -1817,4 +1965,7 @@ SQL_QUERIES = {
     "classify_cascade": (q_classify_cascade, SQL_CLASSIFY_CASCADE),
     "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
     "promo_revenue_ratio": (q_promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
+    "order_items": (q_order_items, SQL_ORDER_ITEMS),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
 }

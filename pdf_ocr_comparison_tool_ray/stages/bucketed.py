@@ -98,3 +98,90 @@ def bucketed_drop_duplicates(
         return df.drop_duplicates(key_list)
 
     return bucketed_map_groups(ds, key_list, drop, n_buckets=n_buckets)
+
+
+def bucketed_equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    n_buckets: int = 64,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Large-large equi join as ONE hash co-partition shuffle.
+
+    Both sides union-tag into a superset schema (each side null-fills the
+    other side's columns — explicit arrow types, so empty/homogeneous
+    blocks keep schema equality), shuffle once on the bucketed key, and
+    each bucket runs a single vectorized ``pandas.merge``.  Right-side
+    non-key columns that collide with left names get ``suffix``.
+    ``how``: "inner" or "left".
+
+    This is the general form of the tag-union joins the queries use
+    (region_revenue, anti-join, asof): neither side is broadcast, rows
+    move exactly once, and the per-bucket work is vectorized.  Skew
+    caveat: one KEY still lands in one bucket — salt hot keys upstream
+    (see stages/match_shuffle.py) when a key's rows exceed a worker.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only inner/left supported")
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = [c for c in l_schema.names if c not in keys]
+    r_cols_src = [c for c in r_schema.names if c not in keys]
+    rename_r = {
+        c: (c + suffix if c in set(l_cols) else c) for c in r_cols_src
+    }
+    r_cols = [rename_r[c] for c in r_cols_src]
+
+    def _arrow(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # pandas-block schemas expose numpy dtypes
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            return pa.string()  # object columns: scalar strings assumed
+
+    def _types_of(schema) -> dict:
+        if isinstance(schema, pa.Schema):
+            return {f.name: f.type for f in schema}
+        if hasattr(schema, "base_schema") and isinstance(schema.base_schema, pa.Schema):
+            return {f.name: f.type for f in schema.base_schema}
+        return {n: _arrow(t) for n, t in zip(schema.names, schema.types)}
+
+    lt, rt = _types_of(l_schema), _types_of(r_schema)
+    l_types = {c: lt[c] for c in keys + l_cols}
+    r_types = {rename_r[c]: rt[c] for c in r_cols_src}
+    union_schema = pa.schema(
+        [(k, l_types[k]) for k in keys]
+        + [(c, l_types[c]) for c in l_cols]
+        + [(c, r_types[c]) for c in r_cols]
+        + [("_side", pa.string())]
+    )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arrays = [batch[k] for k in keys] + [batch[c] for c in l_cols]
+        arrays += [pa.nulls(n, type=r_types[c]) for c in r_cols]
+        arrays.append(pa.array(["L"] * n, type=pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arrays = [batch[k] for k in keys]
+        arrays += [pa.nulls(n, type=l_types[c]) for c in l_cols]
+        arrays += [batch[c] for c in r_cols_src]
+        arrays.append(pa.array(["R"] * n, type=pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket.loc[bucket["_side"] == "L", keys + l_cols]
+        r = bucket.loc[bucket["_side"] == "R", keys + r_cols]
+        return l.merge(r, on=keys, how=how)
+
+    return bucketed_map_groups(tagged, keys, join_bucket, n_buckets=n_buckets)

@@ -150,3 +150,37 @@ def test_cm_deep_rows_are_independent():
     cm_add_many(sk, [f"v{i % 7}" for i in range(70)])
     for i in range(7):
         assert cm_estimate(sk, f"v{i}") >= 10  # upper-bound property holds
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_equi_join_inner_left_and_collisions():
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40], "tag": list("abcd")})
+    ).repartition(3)
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 2, 3, 9], "v": [200, 201, 300, 900], "w": [5, 6, 7, 8]})
+    ).repartition(2)
+
+    inner = (
+        bucketed_equi_join(left, right, on="k", how="inner", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v_r"])
+        .reset_index(drop=True)
+    )
+    # k=2 joins twice, k=3 once; right 'v' collides -> suffixed
+    assert inner["k"].tolist() == [2, 2, 3]
+    assert inner["v"].tolist() == [20, 20, 30]
+    assert inner["v_r"].tolist() == [200, 201, 300]
+    assert inner["w"].tolist() == [5, 6, 7]
+
+    outer = (
+        bucketed_equi_join(left, right, on="k", how="left", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v_r"])
+        .reset_index(drop=True)
+    )
+    assert len(outer) == 5  # 1,4 unmatched + the three inner rows
+    unmatched = outer[outer["w"].isna()]
+    assert sorted(unmatched["k"].tolist()) == [1, 4]
