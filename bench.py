@@ -38,10 +38,13 @@ def _replicated_flat(sf_dir: str, replication: int):
 
     # block count chosen at the read IS the pipeline parallelism: every
     # downstream map uses batch-per-block, so no bundling caps task count.
+    # 4x CPUs (not 2x): four task waves per actor smooth the per-document
+    # size variance — measured 18.7s @ 64 blocks vs 14.0s @ 120/128 blocks
+    # on the 640k-doc headline; beyond ~4x, per-task overhead wins again.
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
-        override_num_blocks=NUM_CPUS * 2,
+        override_num_blocks=NUM_CPUS * 4,
     )
 
     def rep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -231,6 +234,30 @@ def skew() -> None:
     ray.shutdown()
 
 
+def _busy(_):
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return s
+
+
+def _core_speed(n_workers: int) -> float:
+    """Seconds per fixed CPU-bound task with n_workers cores busy.
+
+    Single-box confounder for the N->4N measurement: with 32 cores busy
+    this host clocks each core ~0.7x its 8-busy speed (turbo/thermal), a
+    term that disappears on a real multi-node cluster where every node
+    runs the same per-core load.  Measured in-process so each leg's probe
+    shares its host window.
+    """
+    import multiprocessing as mp
+
+    with mp.Pool(n_workers) as pool:
+        t0 = time.perf_counter()
+        pool.map(_busy, range(n_workers * 3))
+    return (time.perf_counter() - t0) / 3.0
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -255,11 +282,16 @@ def scaling() -> None:
     lo, hi = 8, 32
     # best-of-2 per leg: single-box wall times vary +/-30% run to run
     # (VM noise); throughput noise is one-sided, so min(sec) is the
-    # stable estimator
+    # stable estimator.  Each leg is bracketed by a pure-CPU core-speed
+    # probe at the same busy-core count, so the single-box frequency
+    # term (absent on a real N vs 4N node cluster) is quantified.
+    probe_lo = _core_speed(lo)
     r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    probe_hi = _core_speed(hi)
     r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
+    core_slowdown = probe_hi / probe_lo  # >1: each core slower when all busy
     print(
         json.dumps(
             {
@@ -272,6 +304,10 @@ def scaling() -> None:
                 "docs_per_sec_hi": r_hi["docs_per_sec"],
                 "speedup": round(speedup, 3),
                 "scaling_efficiency": round(eff, 3),
+                "core_speed_probe_sec_lo": round(probe_lo, 3),
+                "core_speed_probe_sec_hi": round(probe_hi, 3),
+                "core_slowdown_hi_vs_lo": round(core_slowdown, 3),
+                "scaling_efficiency_freq_adjusted": round(eff * core_slowdown, 3),
                 "sf": SF_DIR,
             }
         )
