@@ -72,9 +72,17 @@ def match_spans(
 
 
 def merge_matches(match_results: ray.data.Dataset) -> ray.data.Dataset:
-    """J6: consecutive-run merge per source document (ordered shuffle)."""
-    return match_results.groupby("source_doc_id").map_groups(
-        merge_match_group, batch_format="pyarrow"
+    """J6: consecutive-run merge per source document — bucket-wise
+    co-partition (one shuffle, ~64 Python calls; ``merge_match_group``
+    breaks runs at document boundaries, so many docs share a call)."""
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        match_results,
+        "source_doc_id",
+        merge_match_group,
+        n_buckets=64,
+        batch_format="pyarrow",
     )
 
 

@@ -22,7 +22,7 @@ from ..config import STAGE
 from ..sources.interleave import derive_documents_batch
 from ..stages.explode import explode_spans
 from ..stages.extract import SpanExtractor
-from ..stages.reassemble import reassemble_batch_local, reassemble_group
+from ..stages.reassemble import reassemble_batch_local
 
 
 def tune_context() -> None:
@@ -296,14 +296,24 @@ def run_extraction_skew_aware(
 def reassemble(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """Extracted span rows -> ordered span sequences (the output invariant).
 
-    The general path: a ``groupby(doc_id)`` shuffle co-locates a
-    document's spans wherever they live, then the in-group sort(offset)
-    orders them.  Required whenever spans were scattered (skew
-    repartition, pre-exploded inputs).
+    The general path: a hash co-partition on ``doc_id`` co-locates a
+    document's spans wherever they live, then each BUCKET runs the
+    vectorized multi-document sort+dense-seq kernel (the same kernel the
+    fast path uses — ``reassemble_batch_local`` handles many docs per
+    table).  One shuffle, ~n_buckets Python invocations instead of one
+    per document (``stages/bucketed.py``).  Required whenever spans were
+    scattered (skew repartition, pre-exploded inputs, filter-split
+    unions).
     """
+    from ..stages.bucketed import bucketed_map_groups
+
     tune_context()
-    return extracted.groupby("doc_id").map_groups(
-        reassemble_group, batch_format="pyarrow"
+    return bucketed_map_groups(
+        extracted,
+        "doc_id",
+        reassemble_batch_local,
+        n_buckets=64,
+        batch_format="pyarrow",
     )
 
 

@@ -153,17 +153,27 @@ def route_stats(extracted: ray.data.Dataset) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # A8: per-document main-type vote (mode of span doc_types)
 # ---------------------------------------------------------------------------
-def _doc_type_mode(group: pd.DataFrame) -> pd.DataFrame:
-    counts = group.groupby("doc_type").size()
-    # deterministic argmax: count desc, type asc
-    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-    return pd.DataFrame({"doc_id": [group["doc_id"].iloc[0]], "main_type": [best]})
+def doc_type_mode_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-doc mode with the deterministic tiebreak
+    (count desc, type asc) for every document in the frame."""
+    counts = df.groupby(["doc_id", "doc_type"], as_index=False).size()
+    counts = counts.sort_values(
+        ["doc_id", "size", "doc_type"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    best = counts.drop_duplicates("doc_id")
+    return pd.DataFrame(
+        {"doc_id": best["doc_id"].to_numpy(), "main_type": best["doc_type"].to_numpy()}
+    )
 
 
 def doc_main_type(enriched: ray.data.Dataset) -> ray.data.Dataset:
-    """Mode of per-span doc_type per document (main.py:305-306)."""
+    """Mode of per-span doc_type per document (main.py:305-306) —
+    bucket-wise co-partition, vectorized mode per bucket."""
+    from ..stages.bucketed import bucketed_map_groups
+
     light = enriched.select_columns(["doc_id", "doc_type"])
-    return light.groupby("doc_id").map_groups(_doc_type_mode, batch_format="pandas")
+    return bucketed_map_groups(light, "doc_id", doc_type_mode_frame, n_buckets=64)
 
 
 # ---------------------------------------------------------------------------

@@ -20,23 +20,30 @@ import ray.data
 from .extraction import tune_context
 
 
-def _vote_main_type(group: pa.Table) -> pa.Table:
-    """A8 vote (main.py:305-306): mode of span doc_types, deterministic
-    tiebreak (count desc, name asc); every span row re-emitted with the
-    doc-level ``main_type`` column for the partitioned write.  Pyarrow
-    in/out: list columns (dates/keywords/...) pass through zero-copy."""
-    from collections import Counter
+def _vote_main_type(bucket: pa.Table) -> pa.Table:
+    """A8 vote (main.py:305-306): mode of span doc_types per document,
+    deterministic tiebreak (count desc, name asc); every span row
+    re-emitted with the doc-level ``main_type`` column for the
+    partitioned write.  Handles MANY documents per table (bucket-wise
+    co-partition); pyarrow in/out so list columns (dates/keywords/...)
+    pass through zero-copy while the vote runs on two scalar columns."""
+    from .reports import doc_type_mode_frame
 
-    counts = Counter(group["doc_type"].to_pylist())
-    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-    return group.append_column("main_type", pa.array([best] * len(group)))
+    light = bucket.select(["doc_id", "doc_type"]).to_pandas()
+    best = doc_type_mode_frame(light)
+    main = light["doc_id"].map(dict(zip(best["doc_id"], best["main_type"])))
+    return bucket.append_column(
+        "main_type", pa.array(main.to_numpy(), type=pa.string())
+    )
 
 
 def categorize(enriched: ray.data.Dataset) -> ray.data.Dataset:
     """Enriched span rows -> same rows + doc-level ``main_type``."""
+    from ..stages.bucketed import bucketed_map_groups
+
     tune_context()
-    return enriched.groupby("doc_id").map_groups(
-        _vote_main_type, batch_format="pyarrow"
+    return bucketed_map_groups(
+        enriched, "doc_id", _vote_main_type, n_buckets=64, batch_format="pyarrow"
     )
 
 
@@ -127,23 +134,26 @@ def write_documents(reassembled: ray.data.Dataset, path: str) -> None:
 _PAGE_FRAME = "=== 第{n}页 ==="  # run_ocr.py:60-70 framing
 
 
-def _render_doc(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("seq")
-    parts = []
-    for _, r in g.iterrows():
-        parts.append(_PAGE_FRAME.format(n=int(r["seq"]) + 1))
-        parts.append(r["text"])
-    return pd.DataFrame(
-        {
-            "doc_id": [g["doc_id"].iloc[0]],
-            "full_text": ["\n".join(parts)],
-            "n_spans": pd.Series([len(g)], dtype="int64"),
-        }
+def _render_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized framing for every document in the bucket: per-row
+    framed strings built column-wise, one string-join per doc."""
+    g = bucket.sort_values(["doc_id", "seq"], kind="mergesort")
+    pre, post = _PAGE_FRAME.split("{n}")
+    framed = pre + (g["seq"].astype("int64") + 1).astype(str) + post + "\n" + g["text"]
+    out = (
+        g.assign(_part=framed)
+        .groupby("doc_id", sort=False, as_index=False)
+        .agg(full_text=("_part", "\n".join), n_spans=("_part", "size"))
     )
+    out["n_spans"] = out["n_spans"].astype("int64")
+    return out
 
 
 def render_full_text(reassembled: ray.data.Dataset) -> ray.data.Dataset:
-    """S8 analog: ordered span rows -> one framed full-text row per doc."""
+    """S8 analog: ordered span rows -> one framed full-text row per doc
+    (bucket-wise co-partition; framing from run_ocr.py:60-70)."""
+    from ..stages.bucketed import bucketed_map_groups
+
     tune_context()
     light = reassembled.select_columns(["doc_id", "seq", "text"])
-    return light.groupby("doc_id").map_groups(_render_doc, batch_format="pandas")
+    return bucketed_map_groups(light, "doc_id", _render_bucket, n_buckets=64)

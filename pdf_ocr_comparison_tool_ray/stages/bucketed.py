@@ -46,6 +46,7 @@ def bucketed_map_groups(
     keys: Union[str, Sequence[str]],
     bucket_fn: Callable[[pd.DataFrame], Union[pd.DataFrame, pa.Table]],
     n_buckets: int = 64,
+    batch_format: str = "pandas",
 ) -> ray.data.Dataset:
     """``groupby(keys)``-equivalent co-partition with vectorized buckets.
 
@@ -54,6 +55,9 @@ def bucketed_map_groups(
     per-key logic vectorized (``df.groupby(keys)`` inside the bucket).
     One all-to-all shuffle, exactly ``n_buckets`` Python group
     invocations regardless of key cardinality.
+
+    ``batch_format``: "pandas" (default) or "pyarrow" — the format the
+    bucket_fn receives (pyarrow keeps nested/list columns zero-copy).
     """
     key_list: List[str] = [keys] if isinstance(keys, str) else list(keys)
 
@@ -68,13 +72,17 @@ def bucketed_map_groups(
             BUCKET_COL, pa.array((h % n_buckets).to_numpy(), type=pa.int64())
         )
 
-    def run(group: pd.DataFrame):
-        return bucket_fn(group.drop(columns=[BUCKET_COL]))
+    if batch_format == "pandas":
+        def run(group: pd.DataFrame):
+            return bucket_fn(group.drop(columns=[BUCKET_COL]))
+    else:
+        def run(group: pa.Table):
+            return bucket_fn(group.drop_columns([BUCKET_COL]))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby(BUCKET_COL)
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format=batch_format)
     )
 
 

@@ -168,16 +168,26 @@ class PageMatcher:
 
 
 def merge_match_group(group: pa.Table) -> pa.Table:
-    """J6 ordered run-merge for one source document's match rows."""
+    """J6 ordered run-merge — handles one or MANY source documents per
+    table (rows sort by (source_doc_id, source_offset); a doc change
+    always breaks the run), so it serves both the per-group form and the
+    bucket-wise co-partition (one Python call per hash bucket of docs,
+    not per document)."""
     import pyarrow.compute as pc
 
-    g = group.take(pc.sort_indices(group, sort_keys=[("source_offset", "ascending")]))
+    g = group.take(
+        pc.sort_indices(
+            group,
+            sort_keys=[("source_doc_id", "ascending"), ("source_offset", "ascending")],
+        )
+    )
     rows = g.to_pylist()
     merged: List[dict] = []
     cur: List[dict] = [rows[0]]
     for prev, curr in zip(rows, rows[1:]):
         can_merge = (
-            prev["target_doc_id"] == curr["target_doc_id"]
+            prev["source_doc_id"] == curr["source_doc_id"]
+            and prev["target_doc_id"] == curr["target_doc_id"]
             and prev["match_status"] == curr["match_status"]
             and prev["target_doc_id"] != ""
             and curr["target_offset"] == prev["target_offset"] + 1
