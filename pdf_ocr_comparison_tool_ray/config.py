@@ -100,3 +100,60 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "du"],
     "de": ["der", "die", "und", "das", "von", "den", "im", "des", "mit", "ein"],
 }
+
+
+# ---------------------------------------------------------------------------
+# §2.10 auto-config: the reference's ModelOptimizer picks per-engine
+# presets from a detected GPU tier (model_optimizer.py:80-95 classify by
+# VRAM >=16/>=10/>=6 GB -> HIGH/MEDIUM/LOW/CPU; :101-157 tier presets for
+# dpi/batch_size/fp16).  The cluster analog tiers on per-WORKER resources
+# and emits the Ray-stage knobs: extractor batch size, actor-pool size,
+# per-actor CPU share, and the raster-dpi / fp16 pass-through a real OCR
+# engine would consume.
+# ---------------------------------------------------------------------------
+RESOURCE_TIERS = {
+    # min_mem_gb_per_cpu -> stage preset (ordered strongest first)
+    "high":   {"min_mem_gb_per_cpu": 4.0, "ocr_batch_size": 512, "dpi": 200, "use_fp16": True},
+    "medium": {"min_mem_gb_per_cpu": 2.0, "ocr_batch_size": 256, "dpi": 150, "use_fp16": True},
+    "low":    {"min_mem_gb_per_cpu": 0.0, "ocr_batch_size": 64,  "dpi": 100, "use_fp16": False},
+}
+
+
+def classify_tier(num_cpus: int, mem_gb: float) -> str:
+    """Resource tier by memory-per-core (the VRAM-threshold analog)."""
+    per_cpu = mem_gb / max(1, num_cpus)
+    for name, cfg in RESOURCE_TIERS.items():
+        if per_cpu >= cfg["min_mem_gb_per_cpu"]:
+            return name
+    return "low"
+
+
+def auto_stage_config(num_cpus: int | None = None, mem_gb: float | None = None) -> dict:
+    """-> STAGE-shaped knobs tuned to the detected (or given) resources.
+
+    Detection reads ``ray.cluster_resources()`` when available (the
+    torch.cuda.get_device_properties analog); explicit args override for
+    tests/offline planning.  The pool reserves CPUs-2 at most so the
+    read/shuffle stages are never starved, mirroring extract_spans'
+    autoscaling cap.
+    """
+    if num_cpus is None or mem_gb is None:
+        try:
+            import ray
+
+            res = ray.cluster_resources()
+            num_cpus = num_cpus or int(res.get("CPU", 4))
+            mem_gb = mem_gb or res.get("memory", 8 * 1024**3) / 1024**3
+        except Exception:
+            num_cpus, mem_gb = num_cpus or 4, mem_gb or 8.0
+    tier = classify_tier(num_cpus, mem_gb)
+    preset = RESOURCE_TIERS[tier]
+    return {
+        "tier": tier,
+        "ocr_batch_size": preset["ocr_batch_size"],
+        "ocr_concurrency": max(2, num_cpus - 2),
+        "num_cpus_per_actor": 1,
+        "dpi": preset["dpi"],
+        "use_fp16": preset["use_fp16"],
+        "read_blocks": num_cpus * 4,  # wave-aligned (BASELINE.md measurement)
+    }

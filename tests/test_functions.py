@@ -239,3 +239,19 @@ def test_project_detector_wildcard_rules():
     assert det.detect_by_source("other") is None
     proj, conf, mt = det.detect("src12", "")
     assert (proj, conf, mt) == ("p_wild", 1.0, "path")
+
+
+def test_auto_stage_config_tiers():
+    """§2.10 auto-config (model_optimizer.py:80-157 analog): tiers by
+    memory-per-core, explicit args override detection."""
+    from pdf_ocr_comparison_tool_ray.config import auto_stage_config, classify_tier
+
+    assert classify_tier(32, 256) == "high"     # 8 GB/core
+    assert classify_tier(32, 96) == "medium"    # 3 GB/core
+    assert classify_tier(32, 32) == "low"       # 1 GB/core
+    hi = auto_stage_config(num_cpus=32, mem_gb=256)
+    assert hi["tier"] == "high" and hi["ocr_batch_size"] == 512
+    assert hi["ocr_concurrency"] == 30 and hi["read_blocks"] == 128
+    lo = auto_stage_config(num_cpus=4, mem_gb=4)
+    assert lo["tier"] == "low" and lo["use_fp16"] is False
+    assert lo["ocr_concurrency"] == 2
