@@ -157,3 +157,64 @@ def render_full_text(reassembled: ray.data.Dataset) -> ray.data.Dataset:
     tune_context()
     light = reassembled.select_columns(["doc_id", "seq", "text"])
     return bucketed_map_groups(light, "doc_id", _render_bucket, n_buckets=64)
+
+
+def merge_by_category(enriched: ray.data.Dataset) -> ray.data.Dataset:
+    """S6 analog (``pdf_processor.py:370-420`` ``PDFMerger.merge``): one
+    merged, ordered artifact per category.
+
+    Spans vote a doc-level ``main_type`` (A8), documents render to framed
+    text in span order, and each category concatenates its documents in
+    doc_id order with a per-document header — the text equivalent of the
+    reference's per-category combined PDF.  -> (main_type, merged_text,
+    n_docs).
+
+    Scale note: a merged category artifact is inherently ONE sequential
+    file (the reference has the same constraint); at corpus scale, shard
+    the category into doc_id ranges upstream and merge per shard.
+    """
+    from ..stages.bucketed import bucketed_map_groups
+
+    cat = categorize(enriched)
+    light = cat.select_columns(["doc_id", "offset", "text", "main_type"])
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "offset"], kind="mergesort")
+        pre, post = _PAGE_FRAME.split("{n}")
+        seq = g.groupby("doc_id", sort=False).cumcount()
+        part = pre + (seq + 1).astype(str) + post + "\n" + g["text"]
+        docs = (
+            g.assign(_p=part)
+            .groupby("doc_id", sort=False)
+            .agg(main_type=("main_type", "first"), body=("_p", "\n".join))
+            .reset_index()
+            .sort_values("doc_id", kind="mergesort")
+        )
+        docs["_doc"] = "--- " + docs["doc_id"].astype(str) + " ---\n" + docs["body"]
+        out = docs.groupby("main_type", as_index=False).agg(
+            merged_text=("_doc", "\n".join), n_docs=("doc_id", "size")
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return bucketed_map_groups(light, "main_type", merge_bucket, n_buckets=8)
+
+
+def write_merged_by_category(enriched: ray.data.Dataset, out_dir: str) -> dict:
+    """Write each category's merged artifact as one text file (atomic
+    rename; the per-category file is the resume unit).  Returns
+    {main_type: path}."""
+    import os
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: dict = {}
+    for row in merge_by_category(enriched).iter_rows():
+        name = row["main_type"]
+        f = out / f"{name}.txt"
+        tmp = out / f".tmp-{name}-{os.getpid()}.txt"
+        tmp.write_text(row["merged_text"])
+        os.replace(tmp, f)
+        paths[name] = str(f)
+    return paths

@@ -123,7 +123,8 @@ def bucketed_equi_join(
     blocks keep schema equality), shuffle once on the bucketed key, and
     each bucket runs a single vectorized ``pandas.merge``.  Right-side
     non-key columns that collide with left names get ``suffix``.
-    ``how``: "inner" or "left".
+    ``how``: "inner", "left", "right" or "outer" (pandas merge semantics
+    per bucket; co-partition makes the per-bucket merge globally exact).
 
     This is the general form of the tag-union joins the queries use
     (region_revenue, anti-join, asof): neither side is broadcast, rows
@@ -131,8 +132,8 @@ def bucketed_equi_join(
     caveat: one KEY still lands in one bucket — salt hot keys upstream
     (see stages/match_shuffle.py) when a key's rows exceed a worker.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only inner/left supported")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"how={how!r}: inner/left/right/outer supported")
     keys: List[str] = [on] if isinstance(on, str) else list(on)
 
     l_schema, r_schema = left.schema(), right.schema()

@@ -184,3 +184,27 @@ def test_bucketed_equi_join_inner_left_and_collisions():
     assert len(outer) == 5  # 1,4 unmatched + the three inner rows
     unmatched = outer[outer["w"].isna()]
     assert sorted(unmatched["k"].tolist()) == [1, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_equi_join_outer_modes():
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": [10, 20]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [2, 3], "b": [200, 300]}))
+    full = (
+        bucketed_equi_join(left, right, on="k", how="outer", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert full["k"].tolist() == [1, 2, 3]
+    assert full.loc[full["k"] == 3, "a"].isna().all()
+    assert full.loc[full["k"] == 1, "b"].isna().all()
+    rj = (
+        bucketed_equi_join(left, right, on="k", how="right", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert rj["k"].tolist() == [2, 3]

@@ -81,3 +81,41 @@ def test_nest_round_trip():
         back = ray.data.read_parquet(d).to_pandas()
         assert len(back) == len(nested)
         assert set(back.columns) == {"doc_id", "spans"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_by_category_artifact(tmp_path):
+    """S6 analog: per-category merged text carries every doc of the
+    category, in doc_id order, with per-doc headers and page framing."""
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import (
+        merge_by_category,
+        write_merged_by_category,
+    )
+
+    out = _extracted(n=12, seed=7)
+    spans = out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
+        ),
+        batch_format="pyarrow",
+    )
+    enriched = enrich_spans(spans)
+    merged = merge_by_category(enriched).to_pandas()
+    docs = enriched.to_pandas()
+    n_docs_total = docs["doc_id"].nunique()
+    assert merged["n_docs"].sum() == n_docs_total
+    # every document's header appears exactly once across artifacts
+    for doc_id in docs["doc_id"].unique():
+        hits = merged["merged_text"].str.count(f"--- {doc_id} ---").sum()
+        assert hits == 1
+    # headers are in doc_id order within each artifact
+    for _, row in merged.iterrows():
+        import re
+
+        ids = re.findall(r"--- (\S+) ---", row["merged_text"])
+        assert ids == sorted(ids)
+    paths = write_merged_by_category(enriched, str(tmp_path))
+    assert set(paths) == set(merged["main_type"])
+    for name, p in paths.items():
+        body = open(p).read()
+        assert body == merged.set_index("main_type").loc[name, "merged_text"]
