@@ -1317,6 +1317,57 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# hopping window: 1-hour windows starting every 30 minutes — each event
+# lands in exactly two windows.  Ray side: per-batch replicate to the two
+# window starts + pre-agg, one small groupby; oracle: unnest the two
+# starts per event.
+# ---------------------------------------------------------------------------
+def q_hopping_window(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    HOP_US = 1_800_000_000  # 30 min
+    WIDTH_WINDOWS = 2       # width = 2 * hop
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        cents = np.rint(df["value"] * 100).astype("int64")
+        base = ts // HOP_US * HOP_US
+        parts = []
+        for i in range(WIDTH_WINDOWS):
+            parts.append(pd.DataFrame({"window_start_us": base - i * HOP_US,
+                                       "value_cents": cents}))
+        rep = pd.concat(parts, ignore_index=True)
+        return rep.groupby("window_start_us", as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+SQL_HOPPING_WINDOW = """
+WITH w AS (
+  SELECT unnest([
+           epoch_us(ts) // 1800000000 * 1800000000,
+           epoch_us(ts) // 1800000000 * 1800000000 - 1800000000
+         ]) AS window_start_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT window_start_us,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM w
+GROUP BY window_start_us
+"""
+
+# ---------------------------------------------------------------------------
 # per-group exact median (quantile operator): in-group sort on integer
 # cents — deterministic, SQL median() on BIGINT matches exactly
 # ---------------------------------------------------------------------------
@@ -1966,6 +2017,7 @@ SQL_QUERIES = {
     "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
     "promo_revenue_ratio": (q_promo_revenue_ratio, SQL_PROMO_REVENUE_RATIO),
     "order_items": (q_order_items, SQL_ORDER_ITEMS),
+    "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
 }

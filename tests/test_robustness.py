@@ -208,3 +208,43 @@ def test_bucketed_equi_join_outer_modes():
         .reset_index(drop=True)
     )
     assert rj["k"].tolist() == [2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_map_groups_property():
+    """The bucket-wise co-partition must equal a plain per-key
+    groupby-apply for any per-key computation, regardless of block
+    layout or bucket count (hypothesis over random frames)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_map_groups
+
+    @st.composite
+    def frames(draw):
+        n = draw(st.integers(1, 60))
+        keys = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+        vals = draw(st.lists(st.integers(-100, 100), min_size=n, max_size=n))
+        return pd.DataFrame({"k": keys, "v": vals})
+
+    def per_key(df):
+        out = df.groupby("k", as_index=False).agg(
+            s=("v", "sum"), mn=("v", "min"), n=("v", "size")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(frames(), st.integers(1, 7), st.integers(1, 5))
+    def check(df, n_buckets, n_blocks):
+        ds = ray.data.from_pandas(df).repartition(n_blocks)
+        got = (
+            bucketed_map_groups(ds, "k", per_key, n_buckets=n_buckets)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = per_key(df).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
