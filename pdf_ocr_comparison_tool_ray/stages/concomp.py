@@ -85,15 +85,18 @@ def _star_round(edges: ray.data.Dataset, large: bool) -> ray.data.Dataset:
     stars = bucketed_map_groups(_both_directions(edges), "u", star_bucket,
                                 n_buckets=64)
 
-    # dedup edges batch-locally then globally (keeps the edge set from
-    # blowing up across rounds); the global pass is a bucketed
-    # drop_duplicates — one Python group per BUCKET, not per edge
+    # block-local dedup only: a duplicate (u, v) always co-locates in the
+    # NEXT round's u-bucket (hash co-partition), where star_bucket's
+    # leading drop_duplicates makes the logical edge set exact — so a
+    # separate global dedup shuffle per round is redundant; the cheap
+    # local pass just bounds shuffle bytes.  (Cross-block duplicates can
+    # survive a round physically; the checksum fixpoint is on a
+    # deterministic function of the logical set, so termination holds.)
     def local_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, schema=_EDGE_SCHEMA, preserve_index=False)
 
-    deduped = stars.map_batches(local_dedup, batch_format="pyarrow")
-    return bucketed_drop_duplicates(deduped, ["u", "v"], n_buckets=64)
+    return stars.map_batches(local_dedup, batch_format="pyarrow")
 
 
 def _edge_checksum(edges: ray.data.Dataset) -> tuple:
@@ -118,12 +121,36 @@ def label_components(
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_rounds: int = 20,
+    local_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """Candidate pairs -> (doc_id, cluster_id) rows, cluster_id = the
     lexicographic minimum member.  Only cluster MEMBERS are emitted;
     un-paired documents are implicitly their own cluster.
+
+    Size-routed like ``run_compare_auto``: an edge set below
+    ``local_threshold`` rows runs the driver union-find directly (a
+    distributed round costs several fixed-price shuffles — pure overhead
+    for small pair sets); above it, the large-star/small-star rounds.
+    Both paths produce identical labels (the union-find is also the
+    star-rounds test oracle).
     """
     edges = _normalize_pairs(pairs, col_a, col_b).materialize()
+    if edges.count() <= local_threshold:
+        labels = label_components_local(
+            [(r["u"], r["v"]) for r in edges.take_all()]
+        )
+        items = sorted(labels.items())
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [d for d, _ in items],
+                    "cluster_id": [c for _, c in items],
+                },
+                schema=pa.schema(
+                    [("doc_id", pa.string()), ("cluster_id", pa.string())]
+                ),
+            )
+        )
     prev = None
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True).materialize()

@@ -20,8 +20,12 @@ def _pairs_ds(pairs):
     )
 
 
-def _clusters_from_ray(pairs):
-    df = label_components(_pairs_ds(pairs)).to_pandas()
+def _clusters_from_ray(pairs, **kw):
+    # local_threshold=0 forces the distributed star-rounds path (the
+    # size router would otherwise send these tiny graphs to the driver
+    # union-find, leaving the scale path untested)
+    kw.setdefault("local_threshold", 0)
+    df = label_components(_pairs_ds(pairs), **kw).to_pandas()
     return dict(zip(df["doc_id"], df["cluster_id"]))
 
 
@@ -54,3 +58,16 @@ def test_dedup_keep_canonical():
     pairs = _pairs_ds([("x0", "x1"), ("x1", "x2"), ("x7", "x5")])
     kept = sorted(dedup_keep_canonical(docs, pairs).to_pandas()["doc_id"])
     assert kept == ["x0", "x3", "x4", "x5", "x6", "x8", "x9"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_components_size_router_paths_agree():
+    """The driver union-find route (small edge sets) and the star-rounds
+    route must emit identical membership rows."""
+    rng = random.Random(3)
+    nodes = [f"m{i:03d}" for i in range(60)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    local = _clusters_from_ray(pairs, local_threshold=10**6)
+    distributed = _clusters_from_ray(pairs, local_threshold=0)
+    assert local == distributed
