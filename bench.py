@@ -38,13 +38,20 @@ def _replicated_flat(sf_dir: str, replication: int):
 
     # block count chosen at the read IS the pipeline parallelism: every
     # downstream map uses batch-per-block, so no bundling caps task count.
-    # 4x CPUs (not 2x): four task waves per actor smooth the per-document
-    # size variance — measured 18.7s @ 64 blocks vs 14.0s @ 120/128 blocks
-    # on the 640k-doc headline; beyond ~4x, per-task overhead wins again.
+    # Size it by corpus: ~1250 docs per task (per-task dispatch overhead is
+    # ~60-80ms, so smaller tasks drown in fixed costs — 40k docs measured
+    # 3.3s @ 32 blocks vs 11s @ 128), clamped to [CPUs, 4x CPUs] (four
+    # waves smooth per-document size variance on big corpora — 640k docs
+    # measured 14.0s @ 128 blocks vs 18.7s @ 64).
+    import pyarrow.parquet as pq
+
+    base_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    total_docs = base_docs * replication
+    nblocks = max(NUM_CPUS, min(NUM_CPUS * 4, total_docs // 1250))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
-        override_num_blocks=NUM_CPUS * 4,
+        override_num_blocks=nblocks,
     )
 
     def rep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -104,6 +111,9 @@ def run_queries() -> dict:
         "rolling_user_value",
         "asof_event_order",
         "knn_cosine",
+        "order_items",
+        "session_window",
+        "hopping_window",
     ]
     times = {}
     for name in picks:

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from ..config import DOCUMENT_TYPES_EN, LANG_STOPWORDS, PROJECTS_EN
 from ..functions.quality import quality_ok, quality_signals
@@ -40,6 +40,23 @@ _DIGITS_RE = re.compile(r"^[0-9]+$")
 
 _READ_BLOCK_FLOOR_BYTES = 512 * 1024  # compressed parquet bytes per block
 _READ_MIN_BLOCKS = 8
+
+
+def _driver_reduce(partials, keys, sum_cols, int_cols=None):
+    """Tiny final reduce for FIXED-small-cardinality groups.
+
+    When the group count is bounded by construction (return flags,
+    nations, regions, lang x source), the batch-level partials are
+    ``n_blocks x n_groups`` tiny rows — collecting them and reducing on
+    the driver is the scale-correct shape (the HLL-partials pattern); a
+    distributed sort-shuffle would cost more in fixed per-block work than
+    the whole reduce.  NOT for open-cardinality keys (tokens, users).
+    """
+    df = partials.to_pandas()
+    out = df.groupby(keys, as_index=False).agg({c: "sum" for c in sum_cols})
+    for c in int_cols or sum_cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -603,14 +620,10 @@ def q_lineitem_agg(sf_dir: str):
             n=("qty", "size"),
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price_cents", alias_name="sum_price_cents"),
-            Sum("n", alias_name="n"),
-        )
+    return _driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price_cents", "n"],
     )
 
 
@@ -652,13 +665,10 @@ def q_nation_revenue(sf_dir: str):
             )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (
-        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
-        .groupby("n_name")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+    return _driver_reduce(
+        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2)),
+        ["n_name"],
+        ["n_orders", "revenue_cents"],
     )
 
 
@@ -675,12 +685,27 @@ GROUP BY n.n_name
 
 def q_doc_stats_by_lang_source(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
-    return ds.groupby(["lang", "source"]).aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="total_chars"),
-        Min("n_chars", alias_name="min_chars"),
-        Max("n_chars", alias_name="max_chars"),
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        )
+
+    # lang x source is fixed-small (5 x 20): batch partials + driver merge
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "source"], as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        total_chars=("total_chars", "sum"),
+        min_chars=("min_chars", "min"),
+        max_chars=("max_chars", "max"),
     )
+    for c in ("n_docs", "total_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
 SQL_DOC_STATS = """
@@ -1072,13 +1097,10 @@ def q_region_revenue(sf_dir: str):
                 n_orders=("n_orders", "sum"), revenue_cents=("rev_cents", "sum")
             )
 
-    return (
-        per_cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2))
-        .groupby("r_name")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+    return _driver_reduce(
+        per_cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2)),
+        ["r_name"],
+        ["n_orders", "revenue_cents"],
     )
 
 
@@ -1652,13 +1674,10 @@ def q_supplier_nation_revenue(sf_dir: str):
             )
 
     items = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
-    return (
-        items.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2))
-        .groupby("n_name")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+    return _driver_reduce(
+        items.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2)),
+        ["n_name"],
+        ["n_items", "revenue_cents"],
     )
 
 

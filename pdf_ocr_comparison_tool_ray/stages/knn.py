@@ -26,29 +26,44 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _topk_frame(q_id_arr, out_qi, out_v, out_s, id_dtype) -> pd.DataFrame:
+    """dtype-stable partial frame: empty batches / no-probe batches must
+    emit the SAME schema as full ones (object-typed empty columns would
+    otherwise diverge block schemas before the groupby)."""
+    return pd.DataFrame(
+        {
+            "query_id": q_id_arr[np.asarray(out_qi, dtype=np.int64)],
+            "vec_id": np.asarray(out_v, dtype=id_dtype),
+            "cosine": np.asarray(out_s, dtype=np.float64),
+        }
+    )
+
+
 class _BatchTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
 
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref)
-        self.q_ids = q["query_id"]
+        self.q_id_arr = np.asarray(q["query_id"])
         self.q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _topk_frame(self.q_id_arr, [], [], [], ids.dtype)
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         sims = _unit(vecs) @ self.q_unit.T  # (n, nq)
-        out_q, out_v, out_s = [], [], []
+        out_qi, out_v, out_s = [], [], []
         k = min(self.k, len(ids))
-        for qi, q_id in enumerate(self.q_ids):
+        for qi in range(len(self.q_id_arr)):
             col = sims[:, qi]
             part = np.argpartition(-col, k - 1)[:k]
             for i in part:
-                out_q.append(q_id)
+                out_qi.append(qi)
                 out_v.append(ids[i])
                 out_s.append(col[i])
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_s})
+        return _topk_frame(self.q_id_arr, out_qi, out_v, out_s, ids.dtype)
 
 
 def _reduce_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -98,7 +113,7 @@ class _IVFBatchTopK:
 
     def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int):
         q = ray.get(queries_ref)
-        self.q_ids = q["query_id"]
+        self.q_id_arr = np.asarray(q["query_id"])
         self.q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
         self.centroids = ray.get(centroids_ref)
         self.k = k
@@ -108,12 +123,14 @@ class _IVFBatchTopK:
         self.probed = [set(row.tolist()) for row in order]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _topk_frame(self.q_id_arr, [], [], [], ids.dtype)
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         unit = _unit(vecs)
         cells = (unit @ self.centroids.T).argmax(axis=1)
-        out_q, out_v, out_s = [], [], []
-        for qi, q_id in enumerate(self.q_ids):
+        out_qi, out_v, out_s = [], [], []
+        for qi in range(len(self.q_id_arr)):
             mask = np.isin(cells, list(self.probed[qi]))
             if not mask.any():
                 continue
@@ -122,10 +139,10 @@ class _IVFBatchTopK:
             k = min(self.k, len(sub_ids))
             part = np.argpartition(-col, k - 1)[:k]
             for i in part:
-                out_q.append(q_id)
+                out_qi.append(qi)
                 out_v.append(sub_ids[i])
                 out_s.append(col[i])
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_s})
+        return _topk_frame(self.q_id_arr, out_qi, out_v, out_s, ids.dtype)
 
 
 def knn_cosine_ivf(ds, query_ids, query_matrix, k: int = 10, ncells: int = 16,
