@@ -232,14 +232,28 @@ def q_keyword_topk(sf_dir: str):
              "occurrences": pd.Series(list(counts.values()), dtype="int64")}
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("keyword")
-        .aggregate(Sum("occurrences", alias_name="occurrences"))
-    )
-    df = agg.to_pandas()
+    # open-cardinality key (vocabulary): bucket-wise sum + per-bucket
+    # local top-50, so only n_buckets x 50 rows ever reach the driver —
+    # a to_pandas() of the full vocabulary would not survive corpus scale
+    from ..stages.bucketed import bucketed_map_groups
+
+    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("keyword", as_index=False).agg(
+            occurrences=("occurrences", "sum")
+        )
+        out["occurrences"] = out["occurrences"].astype("int64")
+        return out.sort_values(
+            ["occurrences", "keyword"], ascending=[False, True]
+        ).head(50)
+
+    cand = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "keyword",
+        bucket_top,
+        n_buckets=32,
+    ).to_pandas()
     return (
-        df.sort_values(["occurrences", "keyword"], ascending=[False, True])
+        cand.sort_values(["occurrences", "keyword"], ascending=[False, True])
         .head(50)
         .reset_index(drop=True)
     )
@@ -820,17 +834,28 @@ def q_top_users_by_value(sf_dir: str):
             value_cents=("value_cents", "sum"), n_events=("user_id", "size")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("value_cents", alias_name="value_cents"),
-            Sum("n_events", alias_name="n_events"),
+    # open-cardinality key (users): bucket-wise sum + local top-20, tiny
+    # driver merge (never to_pandas() the full per-user aggregate)
+    from ..stages.bucketed import bucketed_map_groups
+
+    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("user_id", as_index=False).agg(
+            value_cents=("value_cents", "sum"), n_events=("n_events", "sum")
         )
-        .to_pandas()
-    )
+        for c in ("value_cents", "n_events"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(
+            ["value_cents", "user_id"], ascending=[False, True]
+        ).head(20)
+
+    cand = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        bucket_top,
+        n_buckets=32,
+    ).to_pandas()
     return (
-        agg.sort_values(["value_cents", "user_id"], ascending=[False, True])
+        cand.sort_values(["value_cents", "user_id"], ascending=[False, True])
         .head(20)
         .reset_index(drop=True)
     )
@@ -1319,13 +1344,22 @@ def q_user_hourly_activity(sf_dir: str):
             n_events=("value", "size"), value_cents=("value_cents", "sum")
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_us"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
+    # open cardinality (user x hour): bucket-wise vectorized sum
+    from ..stages.bucketed import bucketed_map_groups
+
+    def bucket_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby(["user_id", "hour_us"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_cents=("value_cents", "sum")
         )
+        for c in ("n_events", "value_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "hour_us"],
+        bucket_sum,
+        n_buckets=32,
     )
 
 
