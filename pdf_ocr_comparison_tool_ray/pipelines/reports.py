@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 
 # ---------------------------------------------------------------------------

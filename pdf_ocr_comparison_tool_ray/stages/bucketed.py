@@ -188,9 +188,22 @@ def bucketed_equi_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
+    # outer modes null-fill the unmatched side; promote that side's integer
+    # columns to float64 in EVERY bucket, or a fully-matched bucket would
+    # emit int64 blocks while others emit float64 (block-dtype divergence)
+    promote = []
+    if how in ("left", "outer"):
+        promote += r_cols
+    if how in ("right", "outer"):
+        promote += l_cols
+
     def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         l = bucket.loc[bucket["_side"] == "L", keys + l_cols]
         r = bucket.loc[bucket["_side"] == "R", keys + r_cols]
-        return l.merge(r, on=keys, how=how)
+        out = l.merge(r, on=keys, how=how)
+        for c in promote:
+            if pd.api.types.is_integer_dtype(out[c]):
+                out[c] = out[c].astype("float64")
+        return out
 
     return bucketed_map_groups(tagged, keys, join_bucket, n_buckets=n_buckets)

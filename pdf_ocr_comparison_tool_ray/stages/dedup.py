@@ -19,12 +19,9 @@ Scale notes baked into each shape:
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.fingerprint import (
     lsh_bands,
