@@ -292,13 +292,17 @@ def scaling() -> None:
     lo, hi = 8, 32
     # best-of-2 per leg: single-box wall times vary +/-30% run to run
     # (VM noise); throughput noise is one-sided, so min(sec) is the
-    # stable estimator.  Each leg is bracketed by a pure-CPU core-speed
-    # probe at the same busy-core count, so the single-box frequency
-    # term (absent on a real N vs 4N node cluster) is quantified.
-    probe_lo = _core_speed(lo)
+    # stable estimator.  Each leg is BRACKETED (probe before AND after,
+    # averaged) by a pure-CPU core-speed probe at the same busy-core
+    # count, so the single-box frequency term (absent on a real N vs 4N
+    # node cluster) is quantified without host-drift between probe and
+    # leg biasing the ratio.
+    p = _core_speed(lo)
     r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
-    probe_hi = _core_speed(hi)
+    probe_lo = (p + _core_speed(lo)) / 2.0
+    p = _core_speed(hi)
     r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
+    probe_hi = (p + _core_speed(hi)) / 2.0
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     core_slowdown = probe_hi / probe_lo  # >1: each core slower when all busy

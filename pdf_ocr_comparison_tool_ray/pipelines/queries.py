@@ -1003,16 +1003,22 @@ def q_customers_without_orders(sf_dir: str):
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def anti_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    _ANTI_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+
+    def anti_bucket(bucket: pd.DataFrame) -> pa.Table:
         # vectorized anti-join within the bucket: a customer row survives
-        # iff no order row shares its key
+        # iff no order row shares its key.  Explicit arrow schema: an
+        # all-matched bucket emits zero rows, and an empty object-typed
+        # c_name would otherwise infer a null arrow type and diverge from
+        # the non-empty buckets' string schema.
         has_order = bucket.groupby("key")["is_order"].transform("any")
         cust_rows = bucket[~bucket["is_order"] & ~has_order]
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
                 "c_custkey": cust_rows["key"].astype("int64").to_numpy(),
-                "c_name": cust_rows["c_name"].to_numpy(),
-            }
+                "c_name": cust_rows["c_name"].astype(str).tolist(),
+            },
+            schema=_ANTI_SCHEMA,
         )
 
     from ..stages.bucketed import bucketed_map_groups

@@ -216,6 +216,8 @@ def write_report(
         sheets["keyword_analysis"] = keyword_analysis(enriched, top_n=top_n_keywords)
         sheets["timeline"] = timeline(enriched)
 
+    if not sheets:
+        return {}
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths: dict = {}
@@ -224,10 +226,13 @@ def write_report(
 
         book = out / "report.xlsx"
         tmp = out / f".tmp-report-{os.getpid()}.xlsx"
-        with pd.ExcelWriter(tmp) as xw:
-            for name, df in sheets.items():
-                df.to_excel(xw, sheet_name=name[:31], index=False)
-        os.replace(tmp, book)
+        try:
+            with pd.ExcelWriter(tmp) as xw:
+                for name, df in sheets.items():
+                    df.to_excel(xw, sheet_name=name[:31], index=False)
+            os.replace(tmp, book)
+        finally:
+            tmp.unlink(missing_ok=True)  # no-op after the rename
         paths = {name: str(book) for name in sheets}
     except ImportError:  # CSV fallback (run_ocr.py:277-292)
         for name, df in sheets.items():

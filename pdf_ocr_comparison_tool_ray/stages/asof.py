@@ -79,7 +79,11 @@ def asof_join_backward(
             .sort_values(["ts_us", "k"], kind="mergesort")
         )
         if l.empty:
-            return pd.DataFrame(columns=["k"] + left_cols + ["ts_us", "matched"])
+            # dtype-stable empty: slice the bucket's typed columns instead
+            # of building an all-object frame (block-schema divergence)
+            out = bucket.iloc[0:0][["k"] + left_cols + ["ts_us"]].copy()
+            out["matched"] = pd.Series(dtype="float64")
+            return out
         if r.empty:
             out = l[["k"] + left_cols + ["ts_us"]].copy()
             out["matched"] = pd.Series([None] * len(out), dtype="float64")

@@ -27,18 +27,15 @@ from pandas.util import hash_pandas_object
 BUCKET_COL = "_bucket"
 
 
-def add_bucket(
-    df: pd.DataFrame, keys: Sequence[str], n_buckets: int
-) -> pd.DataFrame:
-    """Append a deterministic hash-bucket column for ``keys``.
+def bucket_of(df: pd.DataFrame, keys: Sequence[str], n_buckets: int) -> pd.Series:
+    """Deterministic hash-bucket id per row for ``keys``.
 
     ``hash_pandas_object`` is stable across processes (fixed hash key, no
     PYTHONHASHSEED dependence), which resume/recompute determinism needs.
+    The single source of bucket assignment — every tagger delegates here.
     """
     h = hash_pandas_object(df[list(keys)], index=False)
-    df = df.copy(deep=False)
-    df[BUCKET_COL] = (h % n_buckets).astype("int64")
-    return df
+    return (h % n_buckets).astype("int64")
 
 
 def bucketed_map_groups(
@@ -67,9 +64,9 @@ def bucketed_map_groups(
         # (object ndarrays of ndarrays); only the key columns are
         # converted to pandas for the hash
         kdf = batch.select(key_list).to_pandas()
-        h = hash_pandas_object(kdf, index=False)
+        b = bucket_of(kdf, key_list, n_buckets)
         return batch.append_column(
-            BUCKET_COL, pa.array((h % n_buckets).to_numpy(), type=pa.int64())
+            BUCKET_COL, pa.array(b.to_numpy(), type=pa.int64())
         )
 
     if batch_format == "pandas":

@@ -85,18 +85,18 @@ def _star_round(edges: ray.data.Dataset, large: bool) -> ray.data.Dataset:
     stars = bucketed_map_groups(_both_directions(edges), "u", star_bucket,
                                 n_buckets=64)
 
-    # block-local dedup only: a duplicate (u, v) always co-locates in the
-    # NEXT round's u-bucket (hash co-partition), where star_bucket's
-    # leading drop_duplicates makes the logical edge set exact — so a
-    # separate global dedup shuffle per round is redundant; the cheap
-    # local pass just bounds shuffle bytes.  (Cross-block duplicates can
-    # survive a round physically; the checksum fixpoint is on a
-    # deterministic function of the logical set, so termination holds.)
+    # dedup edges batch-locally then globally.  The global pass is load-
+    # bearing for TERMINATION, not correctness: star_bucket dedups its
+    # input, so labels would be right either way, but the fixpoint
+    # checksum compares physical row multisets — cross-block duplicates
+    # surviving a round would make the checksum depend on Ray's batch
+    # composition and could defeat early stopping (burning max_rounds).
     def local_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, schema=_EDGE_SCHEMA, preserve_index=False)
 
-    return stars.map_batches(local_dedup, batch_format="pyarrow")
+    deduped = stars.map_batches(local_dedup, batch_format="pyarrow")
+    return bucketed_drop_duplicates(deduped, ["u", "v"], n_buckets=64)
 
 
 def _edge_checksum(edges: ray.data.Dataset) -> tuple:

@@ -221,6 +221,8 @@ class ImagePreprocessor:
 
     @staticmethod
     def _grayscale(arr: np.ndarray) -> np.ndarray:
+        if arr.shape[-1] == 1:  # already single-channel (e.g. our own output)
+            return arr[..., 0].astype(np.float64)
         luma = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
         return luma.astype(np.float64)
 

@@ -91,7 +91,8 @@ def main() -> None:
     ).materialize()
     wall = time.perf_counter() - t0
     n = out.count()
-    for op in parse_stats(out.stats()):
+    ops = parse_stats(out.stats())
+    for op in ops:
         print(json.dumps(op))
     print(
         json.dumps(
@@ -102,9 +103,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "replication": REPLICATION,
                 "useful_cpu_utilization": round(
-                    sum(o["cpu_sec"] for o in parse_stats(out.stats()))
-                    / (wall * NUM_CPUS),
-                    3,
+                    sum(o["cpu_sec"] for o in ops) / (wall * NUM_CPUS), 3
                 ),
             }
         )

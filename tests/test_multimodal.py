@@ -159,3 +159,18 @@ def test_preprocess_media_stage():
     # composes with the featurizer (schema contract held)
     feats = featurize_media(out, concurrency=2, batch_size=8).take_all()
     assert len(feats) == 24 and all(len(f["features"]) == 16 for f in feats)
+
+
+def test_image_preprocessor_idempotent_on_single_channel():
+    """The preprocessor's own (h,w,1) output must be a legal input —
+    composing the stage twice (or feeding 1-channel payloads) works."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import ImagePreprocessor
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    pre = ImagePreprocessor()
+    once = pre.preprocess_one(arr)
+    twice = pre.preprocess_one(once)
+    assert twice.shape == (12, 12, 1) and twice.dtype == np.uint8
