@@ -232,31 +232,20 @@ def q_keyword_topk(sf_dir: str):
              "occurrences": pd.Series(list(counts.values()), dtype="int64")}
         )
 
-    # open-cardinality key (vocabulary): bucket-wise sum + per-bucket
-    # local top-50, so only n_buckets x 50 rows ever reach the driver —
-    # a to_pandas() of the full vocabulary would not survive corpus scale
-    from ..stages.bucketed import bucketed_map_groups
+    # open-cardinality key (vocabulary): exact distributed top-k — only
+    # n_buckets x 50 candidate rows ever reach the driver
+    from ..stages.bucketed import bucketed_topk
 
-    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = bucket.groupby("keyword", as_index=False).agg(
-            occurrences=("occurrences", "sum")
-        )
-        out["occurrences"] = out["occurrences"].astype("int64")
-        return out.sort_values(
-            ["occurrences", "keyword"], ascending=[False, True]
-        ).head(50)
-
-    cand = bucketed_map_groups(
+    out = bucketed_topk(
         ds.map_batches(partial, batch_format="pyarrow"),
         "keyword",
-        bucket_top,
-        n_buckets=32,
-    ).to_pandas()
-    return (
-        cand.sort_values(["occurrences", "keyword"], ascending=[False, True])
-        .head(50)
-        .reset_index(drop=True)
+        {"occurrences": ("occurrences", "sum")},
+        order_by=["occurrences", "keyword"],
+        ascending=[False, True],
+        k=50,
     )
+    out["occurrences"] = out["occurrences"].astype("int64")
+    return out
 
 
 SQL_KEYWORD_TOPK = """
@@ -834,31 +823,21 @@ def q_top_users_by_value(sf_dir: str):
             value_cents=("value_cents", "sum"), n_events=("user_id", "size")
         )
 
-    # open-cardinality key (users): bucket-wise sum + local top-20, tiny
-    # driver merge (never to_pandas() the full per-user aggregate)
-    from ..stages.bucketed import bucketed_map_groups
+    # open-cardinality key (users): exact distributed top-k, tiny driver
+    # merge (never to_pandas() the full per-user aggregate)
+    from ..stages.bucketed import bucketed_topk
 
-    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = bucket.groupby("user_id", as_index=False).agg(
-            value_cents=("value_cents", "sum"), n_events=("n_events", "sum")
-        )
-        for c in ("value_cents", "n_events"):
-            out[c] = out[c].astype("int64")
-        return out.sort_values(
-            ["value_cents", "user_id"], ascending=[False, True]
-        ).head(20)
-
-    cand = bucketed_map_groups(
+    out = bucketed_topk(
         ds.map_batches(partial, batch_format="pyarrow"),
         "user_id",
-        bucket_top,
-        n_buckets=32,
-    ).to_pandas()
-    return (
-        cand.sort_values(["value_cents", "user_id"], ascending=[False, True])
-        .head(20)
-        .reset_index(drop=True)
+        {"value_cents": ("value_cents", "sum"), "n_events": ("n_events", "sum")},
+        order_by=["value_cents", "user_id"],
+        ascending=[False, True],
+        k=20,
     )
+    for c in ("value_cents", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 SQL_TOP_USERS = """

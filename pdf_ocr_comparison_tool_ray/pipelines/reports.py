@@ -92,19 +92,36 @@ def _explode_keyword_pairs(batch: pa.Table) -> pd.DataFrame:
 def keyword_analysis(enriched: ray.data.Dataset, top_n: int = 50) -> pd.DataFrame:
     """Top-N keywords by occurrence with distinct-doc counts (main.py:645-666).
 
-    Two-phase exact distinct: dedup (keyword, doc) pairs, then count.
+    Two-phase exact distinct, then an exact distributed top-N: the bucket
+    holds every (keyword, doc) pair of its keywords, so the per-bucket
+    dedup + count + local top-N is globally exact and only
+    ``n_buckets x top_n`` candidate rows reach the driver (the vocabulary
+    is open-cardinality — never collect the full ranking).
     """
+    from ..stages.bucketed import bucketed_map_groups
+
     pairs = enriched.map_batches(_explode_keyword_pairs, batch_format="pyarrow")
-    deduped = pairs.groupby(["keyword", "doc_id"]).aggregate(Sum("occ", alias_name="occ"))
-    ranked = (
-        deduped.groupby("keyword")
-        .aggregate(Sum("occ", alias_name="occurrences"), Count(alias_name="n_docs"))
-        .to_pandas()
+
+    def bucket_rank(bucket: pd.DataFrame) -> pd.DataFrame:
+        per_pair = bucket.groupby(["keyword", "doc_id"], as_index=False).agg(
+            occ=("occ", "sum")
+        )
+        out = per_pair.groupby("keyword", as_index=False).agg(
+            occurrences=("occ", "sum"), n_docs=("doc_id", "size")
+        )
+        for c in ("occurrences", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(
+            ["occurrences", "keyword"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+
+    cand = bucketed_map_groups(pairs, "keyword", bucket_rank, n_buckets=32).to_pandas()
+    return (
+        cand.sort_values(["occurrences", "keyword"], ascending=[False, True],
+                         kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
     )
-    ranked = ranked.sort_values(
-        ["occurrences", "keyword"], ascending=[False, True]
-    ).head(top_n)
-    return ranked.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -204,3 +204,38 @@ def bucketed_equi_join(
         return out
 
     return bucketed_map_groups(tagged, keys, join_bucket, n_buckets=n_buckets)
+
+
+def bucketed_topk(
+    ds: ray.data.Dataset,
+    group_keys: Union[str, Sequence[str]],
+    agg_spec: dict,
+    order_by: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Exact distributed top-k over an OPEN-cardinality group key.
+
+    Sums partial rows per key inside each hash bucket (a key's rows all
+    land in one bucket, so its total is bucket-local), keeps the bucket's
+    local top-k, and merges only ``n_buckets x k`` candidate rows on the
+    driver — any global top-k member ranks <= k within its own bucket, so
+    the result is exact.  ``agg_spec``: {out_col: (in_col, "sum")}-style
+    pandas agg mapping applied per key.  Never collects the full per-key
+    aggregate (a ``to_pandas()`` of an open vocabulary / user set does
+    not survive corpus scale).
+    """
+    keys: List[str] = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+
+    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby(keys, as_index=False).agg(**agg_spec)
+        return out.sort_values(list(order_by), ascending=list(ascending),
+                               kind="mergesort").head(k)
+
+    cand = bucketed_map_groups(ds, keys, bucket_top, n_buckets=n_buckets).to_pandas()
+    return (
+        cand.sort_values(list(order_by), ascending=list(ascending), kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
