@@ -165,3 +165,43 @@ def test_job_cli_contract(tmp_path):
     second = run()
     assert second["partitions_skipped_resume"] == 3
     assert second["partitions_processed"] == 0
+
+
+def test_compare_job_cli_contract(tmp_path):
+    """jobs/compare_job.py: full extract-and-compare via the real CLI in
+    a subprocess — match parquet written, report CSVs present, JSON
+    summary contract."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    ref = make_corpus(8, seed=11, skew_docs=0)
+    # probe = the same docs (exact matches guaranteed) plus two novel ones
+    probe = [
+        {"doc_id": f"p_{d['doc_id']}", "text": d["text"]} for d in ref[:6]
+    ] + [{"doc_id": "p_novel1", "text": "zz yy xx ww vv uu tt ss rr qq"},
+         {"doc_id": "p_novel2", "text": "aa bb cc dd ee ff gg hh ii jj"}]
+    ref_p, probe_p, out = tmp_path / "ref.parquet", tmp_path / "probe.parquet", tmp_path / "cmp"
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(ref)[["doc_id", "text"]]), ref_p)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(probe)[["doc_id", "text"]]), probe_p)
+
+    env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    p = subprocess.run(
+        [sys.executable, "jobs/compare_job.py", "--probe", str(probe_p),
+         "--reference", str(ref_p), "--output", str(out),
+         "--ocr-concurrency", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["job"] == "compare" and summary["n_match_rows"] > 0
+    assert 0.0 < summary["match_rate"] <= 1.0
+    back = pd.read_parquet(out)
+    assert len(back) == summary["n_match_rows"]
+    assert (tmp_path / "cmp_report" / "match_summary.csv").is_file()
