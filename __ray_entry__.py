@@ -257,6 +257,64 @@ def _q_multimodal_features(sf_dir: str):
     return featurize_media(media, concurrency=2, batch_size=64)
 
 
+def _q_multimodal_preprocessed(sf_dir: str):
+    """M2/M3 in the chain: decode -> grayscale/denoise/contrast/deskew ->
+    featurize, all actor-pool stages over binary payloads."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import (
+        featurize_media,
+        media_from_text_batch,
+        preprocess_media,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    return featurize_media(
+        preprocess_media(media, concurrency=2, batch_size=64),
+        concurrency=2,
+        batch_size=64,
+    )
+
+
+def _q_embedding_dup_lsh(sf_dir: str):
+    """Scale path of embedding near-dup: random-hyperplane LSH buckets +
+    in-bucket cosine (the exact all-pairs variant is the `embedding_dup`
+    oracle)."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dup_pairs(ds, threshold=0.45, n_planes=6)
+
+
+def _q_merge_by_category(sf_dir: str):
+    """S6 analog: per-category ordered document concatenation over the
+    extracted + enriched corpus (bounded: one row per category)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import enrich_spans
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        run_extraction_from_flat,
+    )
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import merge_by_category
+
+    out = run_extraction_from_flat(f"{sf_dir}/documents.parquet")
+    spans = out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
+        ),
+        batch_format="pyarrow",
+    )
+    return merge_by_category(enrich_spans(spans))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
 
@@ -273,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_cosine_ivf": _q_knn_ivf,
             "ngram_jaccard_pairs": _q_ngram_jaccard,
             "multimodal_features": _q_multimodal_features,
+            "multimodal_preprocessed": _q_multimodal_preprocessed,
+            "embedding_dup_lsh": _q_embedding_dup_lsh,
+            "merge_by_category": _q_merge_by_category,
             "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
             "render_full_text": _q_render_full_text,
             "match_summary": _q_match_summary,
