@@ -290,7 +290,7 @@ def _q_embedding_dup_lsh(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_dup_pairs(ds, threshold=0.45, n_planes=6)
+    return embedding_dup_pairs(ds, threshold=0.45, n_planes=6, n_tables=8)
 
 
 def _q_merge_by_category(sf_dir: str):

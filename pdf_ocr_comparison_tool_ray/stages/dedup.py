@@ -233,14 +233,31 @@ def ngram_jaccard_pairs(ds, group_col: str, ngram: int = 2, threshold: float = 0
 # Embedding-cosine near-dup (random-hyperplane LSH buckets)
 # ---------------------------------------------------------------------------
 def _hyperplane_bucket_batch(batch: pd.DataFrame, planes: np.ndarray) -> pd.DataFrame:
+    """Emit one row per (vector, table); bucket = (table_id << n_planes) | bits.
+
+    ``planes`` has shape (n_tables, n_planes, dim) — the standard
+    multi-table LSH construction: a true near-dup pair only needs to
+    collide in ONE table, so recall ≈ 1 - (1 - p^k)^L instead of p^k.
+    """
     vecs = np.stack(batch["embedding"].to_numpy())
-    bits = (vecs @ planes.T) > 0  # (n, n_planes)
-    keys = np.zeros(len(batch), dtype=np.int64)
-    for b in range(planes.shape[0]):
-        keys |= bits[:, b].astype(np.int64) << b
-    return pd.DataFrame(
-        {"vec_id": batch["vec_id"], "bucket": keys, "embedding": batch["embedding"]}
-    )
+    n_tables, n_planes, _ = planes.shape
+    frames = []
+    for t in range(n_tables):
+        bits = (vecs @ planes[t].T) > 0  # (n, n_planes)
+        keys = np.zeros(len(batch), dtype=np.int64)
+        for b in range(n_planes):
+            keys |= bits[:, b].astype(np.int64) << b
+        keys |= np.int64(t) << n_planes
+        frames.append(
+            pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": keys,
+                    "embedding": batch["embedding"],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def _cosine_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -263,11 +280,19 @@ def _cosine_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
-                        dim: int | None = None, seed: int = 11):
-    """Near-dup embedding pairs via hyperplane-LSH bucketing + in-bucket cosine."""
+                        n_tables: int = 1, dim: int | None = None,
+                        seed: int = 11):
+    """Near-dup embedding pairs via hyperplane-LSH bucketing + in-bucket
+    cosine.
+
+    ``n_tables`` independent plane sets trade compute for recall (a pair
+    needs one collision across tables); a pair surfacing from several
+    tables is deduped vectorized, so semantics stay set-of-pairs.  Work
+    scales linearly in tables — rows replicate, never all-pairs.
+    """
     sample = ds.take(1)
     d = dim or len(sample[0]["embedding"])
-    planes = np.random.RandomState(seed).normal(size=(n_planes, d))
+    planes = np.random.RandomState(seed).normal(size=(n_tables, n_planes, d))
     bucketed = ds.map_batches(
         lambda b: _hyperplane_bucket_batch(b, planes), batch_format="pandas"
     )
@@ -279,4 +304,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
         ]
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_map_groups(bucketed, "bucket", pairs_bucket, n_buckets=32)
+    pairs = bucketed_map_groups(bucketed, "bucket", pairs_bucket, n_buckets=32)
+    if n_tables == 1:
+        return pairs  # no cross-table duplicates possible
+    return bucketed_drop_duplicates(pairs, ["vec_a", "vec_b"], n_buckets=32)

@@ -59,3 +59,34 @@ def test_ivf_recall_against_brute_force():
         # the trivially-correct self hit
         assert len(got & set(brute[q])) >= 6
         assert q in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_multi_table_recall():
+    """Planted near-identical vectors must be recovered by multi-table
+    LSH with high recall at a realistic threshold; multi-table output is
+    a superset of single-table, with pairs deduped across tables."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # plant 10 near-duplicates: tiny perturbations of vectors 0..9
+    for i in range(10):
+        rows.append(
+            {"vec_id": 100 + i, "embedding": (base[i] + rng.normal(scale=0.01, size=16)).tolist()}
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    multi = embedding_dup_pairs(ds, threshold=0.95, n_planes=6, n_tables=8).to_pandas()
+    found = {(a, b) for a, b in zip(multi["vec_a"], multi["vec_b"])}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(planted & found) >= 8  # >= 80% recall on planted dups
+    assert len(found) == len(set(found))  # cross-table dedup held
+
+    single = embedding_dup_pairs(ds, threshold=0.95, n_planes=6, n_tables=1).to_pandas()
+    single_pairs = {(a, b) for a, b in zip(single["vec_a"], single["vec_b"])}
+    assert single_pairs <= found  # multi-table is a superset
