@@ -29,8 +29,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--probe", required=True, help="probe (voucher) documents parquet")
-    ap.add_argument("--reference", required=True, help="reference documents parquet")
+    ap.add_argument("--probe", help="probe (voucher) documents parquet")
+    ap.add_argument("--reference", help="reference documents parquet")
+    ap.add_argument("--probe-spans", default=None,
+                    help="pre-extracted probe span dir (an extract_job output) — "
+                    "skips the probe-side extraction; composes the two jobs "
+                    "so a resumed extraction is never recomputed")
+    ap.add_argument("--reference-spans", default=None,
+                    help="pre-extracted reference span dir (extract_job output)")
     ap.add_argument("--output", required=True, help="match-result parquet directory")
     ap.add_argument("--report-dir", default=None,
                     help="directory for the A1/A3/A4 report CSVs (default: <output>_report, a SIBLING of the parquet dir — recursive parquet readers must not trip over CSVs)")
@@ -67,11 +73,7 @@ def main() -> int:
     tune_context()
     oc = args.ocr_concurrency or None
 
-    def extract_side(path: str):
-        out = run_extraction(
-            interleave(read_flat_documents(path), seed=args.seed),
-            ocr_concurrency=oc,
-        )
+    def rename_spans(out):
         # match stages key on `offset` (the reassembled seq IS the order)
         return out.map_batches(
             lambda t: t.rename_columns(
@@ -80,10 +82,26 @@ def main() -> int:
             batch_format="pyarrow",
         )
 
+    def side(docs_path, spans_dir):
+        if spans_dir:
+            from pdf_ocr_comparison_tool_ray.state.checkpoint import (
+                read_checkpointed_output,
+            )
+
+            return rename_spans(read_checkpointed_output(spans_dir))
+        if not docs_path:
+            raise SystemExit("need --probe/--reference or --*-spans for each side")
+        return rename_spans(
+            run_extraction(
+                interleave(read_flat_documents(docs_path), seed=args.seed),
+                ocr_concurrency=oc,
+            )
+        )
+
     t0 = time.perf_counter()
     results = run_compare_auto(
-        extract_side(args.probe),
-        extract_side(args.reference),
+        side(args.probe, args.probe_spans),
+        side(args.reference, args.reference_spans),
         broadcast_max_build_rows=args.broadcast_max_rows or BROADCAST_MAX_BUILD_ROWS,
     ).materialize()  # consumed by the sink AND the report
 
@@ -97,8 +115,8 @@ def main() -> int:
         json.dumps(
             {
                 "job": "compare",
-                "probe": args.probe,
-                "reference": args.reference,
+                "probe": args.probe or args.probe_spans,
+                "reference": args.reference or args.reference_spans,
                 "output": args.output,
                 "n_match_rows": int(results.count()),
                 "match_rate": float(summary["match_rate"].iloc[0]),

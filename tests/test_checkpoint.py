@@ -205,3 +205,46 @@ def test_compare_job_cli_contract(tmp_path):
     back = pd.read_parquet(out)
     assert len(back) == summary["n_match_rows"]
     assert (tmp_path / "cmp_report" / "match_summary.csv").is_file()
+
+
+def test_compare_job_composes_with_extract_job(tmp_path):
+    """Job composability: extract_job writes the resumable span table,
+    compare_job consumes it via --probe-spans (no re-extraction of that
+    side) and still matches."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    ref = make_corpus(6, seed=21, skew_docs=0)
+    probe = [{"doc_id": f"p_{d['doc_id']}", "text": d["text"]} for d in ref[:4]]
+    ref_p, probe_p = tmp_path / "ref.parquet", tmp_path / "probe.parquet"
+    spans_dir, out = tmp_path / "probe_spans", tmp_path / "cmp"
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(ref)[["doc_id", "text"]]), ref_p)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(probe)[["doc_id", "text"]]), probe_p)
+    env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+
+    p1 = subprocess.run(
+        [sys.executable, "jobs/extract_job.py", "--input", str(probe_p),
+         "--output", str(spans_dir), "--partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=240,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+
+    p2 = subprocess.run(
+        [sys.executable, "jobs/compare_job.py", "--probe-spans", str(spans_dir),
+         "--reference", str(ref_p), "--output", str(out),
+         "--ocr-concurrency", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    summary = json.loads(p2.stdout.strip().splitlines()[-1])
+    # span chunking is seeded by doc_id, so the renamed probe docs chunk
+    # differently from their reference twins — matches come from the
+    # date/amount candidate paths, not guaranteed exact-hash hits
+    assert summary["n_match_rows"] > 0 and summary["match_rate"] > 0.2
