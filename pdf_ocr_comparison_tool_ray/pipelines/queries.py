@@ -2016,6 +2016,113 @@ FROM llm
 """
 
 # ---------------------------------------------------------------------------
+# the composed training-data curation pipeline — the canonical corpus
+# cleaning pass at 100 TB: quality gate -> language keep -> exact-dedup
+# canonical, one batch map + one bucketed dedup shuffle end to end
+# ---------------------------------------------------------------------------
+def q_curation_pipeline(sf_dir: str):
+    from ..functions.textnorm import text_hash_many
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lang_pats = [
+        (lang, re.compile(r"\b(?:" + "|".join(words) + r")\b"))
+        for lang, words in _LANGS
+    ]
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rows = []
+        for did, text in zip(doc_ids, texts):
+            sig = quality_signals(text)
+            if not quality_ok(sig):
+                continue
+            lowered = text.lower()
+            best_lang, best_hits = "unknown", 0
+            for lang, pat in lang_pats:
+                hits = len(pat.findall(lowered))
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            if best_lang == "unknown":
+                continue
+            rows.append((did, best_lang, int(sig["n_words"]), text))
+        # explicit schema: a fully-filtered batch must not emit null-typed
+        # string columns (block-schema equality at the dedup shuffle)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [r[0] for r in rows],
+                "lang_pred": [r[1] for r in rows],
+                "n_words": [r[2] for r in rows],
+                "text_hash": text_hash_many([r[3] for r in rows]),
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang_pred", pa.string()),
+                    ("n_words", pa.int64()),
+                    ("text_hash", pa.string()),
+                ]
+            ),
+        )
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    def canonical_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # keep the min-doc_id row per normalized-text hash
+        return bucket.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            "text_hash"
+        )
+
+    return bucketed_map_groups(gated, "text_hash", canonical_bucket, n_buckets=64)
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+         length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), sig AS (
+  SELECT doc_id, text,
+         length(words) AS n_words,
+         CASE WHEN length(words) > 0
+              THEN CAST(length(array_to_string(words, '')) AS DOUBLE) / length(words)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+  FROM base
+), ok AS (
+  SELECT doc_id, text, n_words FROM sig
+  WHERE n_words >= 10 AND punct_ratio <= 0.3
+    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+), hits AS (
+  SELECT doc_id, text, n_words,
+         {_sql_lang_hits(_LANGS[0][1])} AS h0,
+         {_sql_lang_hits(_LANGS[1][1])} AS h1,
+         {_sql_lang_hits(_LANGS[2][1])} AS h2,
+         {_sql_lang_hits(_LANGS[3][1])} AS h3
+  FROM ok
+), langd AS (
+  SELECT doc_id, n_words,
+         CASE WHEN h0 = 0 AND h1 = 0 AND h2 = 0 AND h3 = 0 THEN 'unknown'
+              WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 THEN '{_LANGS[0][0]}'
+              WHEN h1 >= h2 AND h1 >= h3 THEN '{_LANGS[1][0]}'
+              WHEN h2 >= h3 THEN '{_LANGS[2][0]}'
+              ELSE '{_LANGS[3][0]}' END AS lang_pred,
+         md5(regexp_replace(lower(text), '\\s', '', 'g')) AS text_hash
+  FROM hits
+), ranked AS (
+  SELECT doc_id, lang_pred, n_words, text_hash,
+         row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rk
+  FROM langd
+  WHERE lang_pred <> 'unknown'
+)
+SELECT doc_id, lang_pred, n_words, text_hash FROM ranked WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -2058,4 +2165,5 @@ SQL_QUERIES = {
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
 }
