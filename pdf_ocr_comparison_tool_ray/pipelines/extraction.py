@@ -40,17 +40,46 @@ def tune_context() -> None:
 
 
 def read_flat_documents(
-    path: str, columns=("doc_id", "text"), num_blocks: Optional[int] = None
+    path: str,
+    columns=("doc_id", "text"),
+    num_blocks: Optional[int] = None,
+    fmt: str = "auto",
 ) -> ray.data.Dataset:
-    """Read a flat documents parquet, pruned to the needed columns.
+    """Read a flat documents table, pruned to the needed columns.
+
+    ``fmt``: "auto" (by extension), "parquet", "csv", "json" (newline-
+    delimited), or "lance" (when installed).  Parquet/lance prune columns
+    at the scan; csv/json read whole rows then project (documented cost —
+    row formats cannot push projections).
 
     ``num_blocks`` sets the read parallelism (cheap SplitBlocks, no
     shuffle); downstream stages use batch-per-block so the block count
     chosen here IS the pipeline's parallelism.  Aim for >= 2-4x the
     worker slots.
     """
-    return ray.data.read_parquet(
-        path, columns=list(columns), override_num_blocks=num_blocks
+    cols = list(columns)
+    if fmt == "auto":
+        low = path.rstrip("/").lower()
+        if low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith((".json", ".jsonl", ".ndjson")):
+            fmt = "json"
+        elif low.endswith(".lance"):
+            fmt = "lance"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=cols, override_num_blocks=num_blocks)
+    if fmt == "lance":
+        return ray.data.read_lance(path, columns=cols)
+    if fmt == "csv":
+        ds = ray.data.read_csv(path, override_num_blocks=num_blocks)
+    elif fmt == "json":
+        ds = ray.data.read_json(path, override_num_blocks=num_blocks)
+    else:
+        raise ValueError(f"unknown documents format {fmt!r}")
+    return ds.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
     )
 
 

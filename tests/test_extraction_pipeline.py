@@ -269,3 +269,44 @@ def test_hybrid_rerun_confidence_routing():
     )
     ocr2 = stats.loc[stats["route"] == "ocr2", "route_ratio"]
     assert len(ocr2) == 1 and 0.0 < float(ocr2.iloc[0]) < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_flat_documents_formats(tmp_path):
+    """S1 source surface: csv / json / parquet inputs produce identical
+    extraction output (row formats project after the read; parquet prunes
+    at the scan)."""
+    import pandas as pd
+
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        interleave,
+        read_flat_documents,
+        run_extraction,
+    )
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    docs = pd.DataFrame(make_corpus(8, seed=31, skew_docs=0))[["doc_id", "text"]]
+    pq_p = tmp_path / "d.parquet"
+    csv_p = tmp_path / "d.csv"
+    json_p = tmp_path / "d.jsonl"
+    docs.to_parquet(pq_p)
+    docs.to_csv(csv_p, index=False)
+    docs.to_json(json_p, orient="records", lines=True)
+
+    def run(path):
+        return (
+            run_extraction(
+                interleave(read_flat_documents(str(path))), ocr_concurrency=2
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "seq"])
+            .reset_index(drop=True)
+        )
+
+    base = run(pq_p)
+    for alt in (csv_p, json_p):
+        got = run(alt)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "seq", "kind", "text", "media_ref"]],
+            base[["doc_id", "seq", "kind", "text", "media_ref"]],
+        )
