@@ -1,0 +1,70 @@
+"""Broadcast (map-side) hash join — the small-side pattern as a public
+operator.
+
+Reference J7 (``project_detector.py:49-87`` keyword/folder maps held in
+memory) and every dim-table lookup in the queries (nation/region/
+supplier maps) share one topology: ``ray.put`` the small side ONCE, read
+it in each map task's ``__init__``, and join per batch with a vectorized
+``pandas.merge`` — zero shuffle, the large side streams.  This module is
+that pattern as a reusable stage; `bucketed_equi_join` is the
+co-partition alternative when neither side is small.
+
+Size guard: the small side must fit each worker's heap (it is
+materialized per actor).  ``BROADCAST_MAX_ROWS`` raises early instead of
+letting a million-row "small" side OOM the pool at deploy time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+BROADCAST_MAX_ROWS = 5_000_000
+
+
+def broadcast_hash_join(
+    large: ray.data.Dataset,
+    small: Union[pd.DataFrame, pa.Table],
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    suffix: str = "_r",
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Join a streaming Dataset against an in-memory small side.
+
+    ``how``: "inner" or "left" (right/full would need small-side match
+    bookkeeping across tasks — use ``bucketed_equi_join`` for those).
+    Small-side columns colliding with large-side names get ``suffix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: broadcast join supports inner/left; use "
+            "bucketed_equi_join for right/outer"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    small_df = small.to_pandas() if isinstance(small, pa.Table) else small.copy()
+    if len(small_df) > BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"broadcast side has {len(small_df)} rows (> {BROADCAST_MAX_ROWS}); "
+            "use bucketed_equi_join (co-partition) instead"
+        )
+    rename = {
+        c: c + suffix
+        for c in small_df.columns
+        if c not in keys and c in set(large.schema().names)
+    }
+    small_df = small_df.rename(columns=rename)
+    small_ref = ray.put(small_df)
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(small_ref)  # once per actor, not per batch
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=keys, how=how)
+
+    return large.map_batches(Probe, batch_format="pandas", concurrency=concurrency)

@@ -248,3 +248,36 @@ def test_bucketed_map_groups_property():
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     check()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_hash_join_matches_bucketed():
+    """The broadcast map-side join and the co-partition join must agree
+    on inner and left semantics (they are the two physical plans for the
+    same logical join)."""
+    from pdf_ocr_comparison_tool_ray.stages.broadcast import broadcast_hash_join
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    large = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2, 3, 9], "v": [10, 20, 21, 30, 90]})
+    ).repartition(3)
+    small = pd.DataFrame({"k": [1, 2, 4], "name": ["a", "b", "d"], "v": [7, 8, 9]})
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        b = norm(broadcast_hash_join(large, small, on="k", how=how))
+        c = norm(
+            bucketed_equi_join(
+                large, ray.data.from_pandas(small), on="k", how=how, n_buckets=4
+            )
+        )
+        assert set(b.columns) == set(c.columns) == {"k", "v", "name", "v_r"}
+        assert len(b) == len(c)
+        pd.testing.assert_frame_equal(b[sorted(b.columns)], c[sorted(c.columns)],
+                                      check_dtype=False)
+
+    with pytest.raises(ValueError, match="inner/left"):
+        broadcast_hash_join(large, small, on="k", how="outer")
