@@ -2016,6 +2016,83 @@ FROM llm
 """
 
 # ---------------------------------------------------------------------------
+# repeated-ngram (exact-substring) duplication detector — the
+# substring-level counterpart of document dedup (cf. "Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022: repeated
+# spans inflate memorization): k-token windows, hashed + bucketed count,
+# emit grams occurring >= min_count times with doc spread.
+# ---------------------------------------------------------------------------
+_NGRAM_K = 8
+_NGRAM_MIN = 2
+
+
+def q_repeated_ngrams(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pd.DataFrame:
+        out_g, out_d = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(text)
+            for i in range(len(toks) - _NGRAM_K + 1):
+                out_g.append(" ".join(toks[i : i + _NGRAM_K]))
+                out_d.append(did)
+        # batch-local pre-agg: one row per (gram, doc, count) — the shuffle
+        # moves gram HASHES at scale; the md5 here doubles as the oracle key
+        df = pd.DataFrame({"gram": out_g, "doc_id": out_d})
+        agg = df.groupby(["gram", "doc_id"], as_index=False).size()
+        # explicit schema: a batch of only-short docs emits zero windows
+        return pa.Table.from_pydict(
+            {
+                "gram_hash": [
+                    hashlib.md5(g.encode()).hexdigest() for g in agg["gram"]
+                ],
+                "doc_id": agg["doc_id"].astype("int64").to_numpy(),
+                "size": agg["size"].astype("int64").to_numpy(),
+            },
+            schema=pa.schema(
+                [("gram_hash", pa.string()), ("doc_id", pa.int64()), ("size", pa.int64())]
+            ),
+        )
+
+    def count_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        per_pair = bucket.groupby(["gram_hash", "doc_id"], as_index=False).agg(
+            n=("size", "sum")
+        )
+        out = per_pair.groupby("gram_hash", as_index=False).agg(
+            n_occurrences=("n", "sum"), n_docs=("doc_id", "size")
+        )
+        out = out[out["n_occurrences"] >= _NGRAM_MIN]
+        for c in ("n_occurrences", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        "gram_hash",
+        count_bucket,
+        n_buckets=32,
+    )
+
+
+SQL_REPEATED_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i + 1, i + {_NGRAM_K}), ' ')) AS gram_hash
+  FROM toks, unnest(range(0, greatest(length(ts) - {_NGRAM_K} + 1, 0))) AS t(i)
+)
+SELECT gram_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM g
+GROUP BY gram_hash
+HAVING count(*) >= {_NGRAM_MIN}
+"""
+
+# ---------------------------------------------------------------------------
 # the composed training-data curation pipeline — the canonical corpus
 # cleaning pass at 100 TB: quality gate -> language keep -> exact-dedup
 # canonical, one batch map + one bucketed dedup shuffle end to end
@@ -2166,4 +2243,5 @@ SQL_QUERIES = {
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
 }
