@@ -2093,6 +2093,87 @@ HAVING count(*) >= {_NGRAM_MIN}
 """
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination: which corpus documents share k-token windows
+# with a (small) eval set — the standard pre-training contamination check.
+# Eval gram hashes broadcast once (eval sets are small by construction);
+# the corpus streams through a per-batch membership filter, then a
+# bucketed per-doc rollup.
+# ---------------------------------------------------------------------------
+def q_contamination(sf_dir: str, eval_max_doc_id: int = 10):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(text: str):
+        toks = _TOKEN_RE.findall(text)
+        return [
+            hashlib.md5(" ".join(toks[i : i + _NGRAM_K]).encode()).hexdigest()
+            for i in range(len(toks) - _NGRAM_K + 1)
+        ]
+
+    # eval side: tiny by construction -> driver-built broadcast set
+    eval_df = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], eval_max_doc_id)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    eval_grams = set()
+    for text in eval_df["text"]:
+        eval_grams.update(grams_of(text))
+    eval_ref = ray.put(eval_grams)
+
+    class Probe:
+        def __init__(self):
+            self.eval_grams = ray.get(eval_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_d, out_g = [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                if did < eval_max_doc_id:
+                    continue  # eval docs are not their own contamination
+                for gh in grams_of(text):
+                    if gh in self.eval_grams:
+                        out_d.append(did)
+                        out_g.append(gh)
+            return pa.Table.from_pydict(
+                {"doc_id": out_d, "gram_hash": out_g},
+                schema=pa.schema([("doc_id", pa.int64()), ("gram_hash", pa.string())]),
+            )
+
+    hits = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 2))
+
+    def rollup(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("doc_id", as_index=False).agg(
+            n_shared_grams=("gram_hash", "size"),
+            n_distinct_shared=("gram_hash", "nunique"),
+        )
+        for c in ("n_shared_grams", "n_distinct_shared"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_map_groups(hits, "doc_id", rollup, n_buckets=32)
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i + 1, i + {_NGRAM_K}), ' ')) AS gram_hash
+  FROM toks, unnest(range(0, greatest(length(ts) - {_NGRAM_K} + 1, 0))) AS t(i)
+), eval_g AS (
+  SELECT DISTINCT gram_hash FROM g WHERE doc_id < 10
+)
+SELECT g.doc_id,
+       count(*) AS n_shared_grams,
+       count(DISTINCT g.gram_hash) AS n_distinct_shared
+FROM g JOIN eval_g USING (gram_hash)
+WHERE g.doc_id >= 10
+GROUP BY g.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # the composed training-data curation pipeline — the canonical corpus
 # cleaning pass at 100 TB: quality gate -> language keep -> exact-dedup
 # canonical, one batch map + one bucketed dedup shuffle end to end
@@ -2244,4 +2325,5 @@ SQL_QUERIES = {
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
 }
