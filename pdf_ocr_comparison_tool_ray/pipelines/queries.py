@@ -424,6 +424,17 @@ def _sql_proj_score(cfg) -> str:
 
 
 _P = list(PROJECTS_EN.items())
+
+
+def _like_pattern(rule: str) -> str:
+    """F6 wildcard rule -> LIKE pattern with literal segments escaped.
+
+    ProjectDetector re.escape()s the literal parts, so a rule containing
+    '%' or '_' must match them literally here too (ESCAPE '!' clause)."""
+    esc = lambda seg: seg.replace("!", "!!").replace("%", "!%").replace("_", "!_")  # noqa: E731
+    return "%".join(esc(seg) for seg in rule.split("*"))
+
+
 # exact source cases first (they win), then F6 wildcard rules as LIKE
 # ('*' -> '%'), mirroring ProjectDetector's precedence
 _SRC_CASES = " ".join(
@@ -431,7 +442,7 @@ _SRC_CASES = " ".join(
     for name, cfg in _P
     if any("*" not in s for s in cfg["sources"])
 ) + " " + " ".join(
-    f"WHEN source LIKE '{s.replace('*', '%')}' THEN '{name}'"
+    f"WHEN source LIKE '{_like_pattern(s)}' ESCAPE '!' THEN '{name}'"
     for name, cfg in _P
     for s in cfg["sources"]
     if "*" in s
@@ -2099,7 +2110,10 @@ HAVING count(*) >= {_NGRAM_MIN}
 # the corpus streams through a per-batch membership filter, then a
 # bucketed per-doc rollup.
 # ---------------------------------------------------------------------------
-def q_contamination(sf_dir: str, eval_max_doc_id: int = 10):
+_EVAL_MAX_DOC_ID = 10  # the one value both engine and oracle key on
+
+
+def q_contamination(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
     from ..stages.bucketed import bucketed_map_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2163,13 +2177,13 @@ WITH toks AS (
          md5(array_to_string(list_slice(ts, i + 1, i + {_NGRAM_K}), ' ')) AS gram_hash
   FROM toks, unnest(range(0, greatest(length(ts) - {_NGRAM_K} + 1, 0))) AS t(i)
 ), eval_g AS (
-  SELECT DISTINCT gram_hash FROM g WHERE doc_id < 10
+  SELECT DISTINCT gram_hash FROM g WHERE doc_id < {_EVAL_MAX_DOC_ID}
 )
 SELECT g.doc_id,
        count(*) AS n_shared_grams,
        count(DISTINCT g.gram_hash) AS n_distinct_shared
 FROM g JOIN eval_g USING (gram_hash)
-WHERE g.doc_id >= 10
+WHERE g.doc_id >= {_EVAL_MAX_DOC_ID}
 GROUP BY g.doc_id
 """
 

@@ -59,12 +59,24 @@ def broadcast_hash_join(
     }
     small_df = small_df.rename(columns=rename)
     small_ref = ray.put(small_df)
+    # left mode: promote small-side integer columns to float64 in EVERY
+    # batch — an all-matched batch would otherwise emit int64 blocks while
+    # a batch with unmatched keys emits float64 (NaN fill), diverging
+    # block dtypes across the Dataset (same hazard bucketed_equi_join's
+    # promote step fixes)
+    promote = (
+        [c for c in small_df.columns if c not in keys] if how == "left" else []
+    )
 
     class Probe:
         def __init__(self):
             self.small = ray.get(small_ref)  # once per actor, not per batch
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=keys, how=how)
+            out = batch.merge(self.small, on=keys, how=how)
+            for c in promote:
+                if pd.api.types.is_integer_dtype(out[c]):
+                    out[c] = out[c].astype("float64")
+            return out
 
     return large.map_batches(Probe, batch_format="pandas", concurrency=concurrency)

@@ -194,16 +194,26 @@ def bucketed_equi_join(
     if how in ("right", "outer"):
         promote += l_cols
 
-    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket.loc[bucket["_side"] == "L", keys + l_cols]
-        r = bucket.loc[bucket["_side"] == "R", keys + r_cols]
+    def join_bucket(bucket: pa.Table) -> pd.DataFrame:
+        # split sides while still in Arrow: each side's own columns carry
+        # no nulls, so int64 survives to_pandas intact (the union-tagged
+        # frame would coerce every null-filled int column to float64,
+        # silently corrupting >2^53 hash/fingerprint values even on inner
+        # joins)
+        import pyarrow.compute as pc
+
+        side = bucket["_side"]
+        l = bucket.filter(pc.equal(side, "L")).select(keys + l_cols).to_pandas()
+        r = bucket.filter(pc.equal(side, "R")).select(keys + r_cols).to_pandas()
         out = l.merge(r, on=keys, how=how)
         for c in promote:
             if pd.api.types.is_integer_dtype(out[c]):
                 out[c] = out[c].astype("float64")
         return out
 
-    return bucketed_map_groups(tagged, keys, join_bucket, n_buckets=n_buckets)
+    return bucketed_map_groups(
+        tagged, keys, join_bucket, n_buckets=n_buckets, batch_format="pyarrow"
+    )
 
 
 def bucketed_topk(
