@@ -235,11 +235,11 @@ def _q_ngram_jaccard(sf_dir: str):
     from pdf_ocr_comparison_tool_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    # group_col bounds the O(n^2) in-group comparison; `source` keeps
-    # groups ~n/10 here — at scale use an LSH bucket as the group key
-    return ngram_jaccard_pairs(ds, group_col="source", ngram=2, threshold=0.5)
+    # default = the scale path: MinHash-LSH banding generates candidates,
+    # exact shingle-set Jaccard verifies each (O(candidates), not O(n^2))
+    return ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
 
 
 def _q_multimodal_features(sf_dir: str):

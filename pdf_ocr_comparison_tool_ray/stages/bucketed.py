@@ -194,12 +194,23 @@ def bucketed_equi_join(
     if how in ("right", "outer"):
         promote += l_cols
 
-    def join_bucket(bucket: pa.Table) -> pd.DataFrame:
+    def _out_type(c: str, t: pa.DataType) -> pa.DataType:
+        return pa.float64() if c in promote and pa.types.is_integer(t) else t
+
+    out_schema = pa.schema(
+        [(k, l_types[k]) for k in keys]
+        + [(c, _out_type(c, l_types[c])) for c in l_cols]
+        + [(c, _out_type(c, r_types[c])) for c in r_cols]
+    )
+
+    def join_bucket(bucket: pa.Table) -> pa.Table:
         # split sides while still in Arrow: each side's own columns carry
         # no nulls, so int64 survives to_pandas intact (the union-tagged
         # frame would coerce every null-filled int column to float64,
         # silently corrupting >2^53 hash/fingerprint values even on inner
-        # joins)
+        # joins).  Output goes back through the EXPLICIT schema — an
+        # all-unmatched bucket otherwise emits empty object columns that
+        # infer null arrow types and diverge from other buckets' blocks.
         import pyarrow.compute as pc
 
         side = bucket["_side"]
@@ -209,7 +220,9 @@ def bucketed_equi_join(
         for c in promote:
             if pd.api.types.is_integer_dtype(out[c]):
                 out[c] = out[c].astype("float64")
-        return out
+        return pa.Table.from_pandas(
+            out[out_schema.names], schema=out_schema, preserve_index=False
+        )
 
     return bucketed_map_groups(
         tagged, keys, join_bucket, n_buckets=n_buckets, batch_format="pyarrow"

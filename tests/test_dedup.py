@@ -1,0 +1,154 @@
+"""Near-dup suite: planted-duplicate recall, shuffle-volume bounds, and
+the subquadratic candidate-growth property of the LSH-blocked paths."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+VOCAB = [f"tok{i}" for i in range(200)]
+
+
+def _corpus(n_base: int, n_dups: int, seed: int = 5):
+    """n_base random docs + n_dups near-copies of the first docs.
+
+    Returns (DataFrame, planted) where planted = [(orig_id, dup_id)].
+    """
+    rng = random.Random(seed)
+    rows, planted = [], []
+    for i in range(n_base):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    for j in range(n_dups):
+        src = rows[j]["text"].split()
+        mutated = list(src)
+        for _ in range(3):  # ~5% of words changed -> jaccard stays high
+            mutated[rng.randrange(len(mutated))] = rng.choice(VOCAB)
+        did = n_base + j
+        rows.append({"doc_id": did, "text": " ".join(mutated)})
+        planted.append((j, did))
+    return pd.DataFrame(rows), planted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_recall_on_planted_dups():
+    from pdf_ocr_comparison_tool_ray.stages.dedup import minhash_lsh_pairs
+
+    df, planted = _corpus(40, 10)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    for a, b in planted:
+        assert (a, b) in pairs, f"planted near-dup ({a},{b}) missed"
+    # estimates are signature Jaccard in [0, 1], above threshold
+    assert (got["est_jaccard"] >= 0.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_band_table_carries_no_signature():
+    """Round-2 verdict item 2: the banding shuffle input must be
+    signature-free — >=10x fewer bytes than band rows that carry the
+    64-perm signature."""
+    import pyarrow as pa
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import (
+        NUM_BANDS,
+        _bands_batch,
+        minhash_signatures,
+    )
+
+    df, _ = _corpus(60, 0)
+    ds = ray.data.from_pandas(df)
+    sig_tbl = pa.Table.from_pandas(
+        minhash_signatures(ds).to_pandas(), preserve_index=False
+    )
+    bands = _bands_batch(sig_tbl)
+    assert "signature" not in bands.column_names
+    assert len(bands) == len(sig_tbl) * NUM_BANDS
+    # old shape = band rows each carrying the signature payload
+    old_bytes = bands.nbytes + len(bands) * 64 * 8
+    assert old_bytes > 10 * bands.nbytes
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_default_blocking_is_subquadratic():
+    """Doubling the corpus (fixed near-dup rate) must ~double the LSH
+    candidate set — not quadruple it like all-pairs would."""
+    from pdf_ocr_comparison_tool_ray.stages.dedup import (
+        _candidate_pairs,
+        minhash_signatures,
+    )
+
+    def n_candidates(n_base):
+        df, _ = _corpus(n_base, n_base // 4)
+        sigs = minhash_signatures(ray.data.from_pandas(df), ngram=2)
+        return _candidate_pairs(sigs).count(), len(df)
+
+    c1, n1 = n_candidates(40)
+    c2, n2 = n_candidates(80)
+    allpairs_ratio = (n2 * (n2 - 1)) / (n1 * (n1 - 1))  # ~4x
+    assert c1 >= 10  # the planted dups produce candidates at all
+    assert c2 <= 3 * c1, (c1, c2)  # ~linear growth, far under the ~4x of all-pairs
+    assert allpairs_ratio > 3.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_values_match_direct_computation():
+    from pdf_ocr_comparison_tool_ray.functions.fingerprint import shingles
+    from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize
+    from pdf_ocr_comparison_tool_ray.stages.dedup import ngram_jaccard_pairs
+
+    df, planted = _corpus(30, 8)
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = ngram_jaccard_pairs(ds, ngram=2, threshold=0.5).to_pandas()
+    by_pair = {(a, b): j for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for a, b in planted:
+        assert (a, b) in by_pair, f"planted pair ({a},{b}) missed"
+        sa = frozenset(shingles(tokenize(texts[a]), 2))
+        sb = frozenset(shingles(tokenize(texts[b]), 2))
+        expect = len(sa & sb) / len(sa | sb)
+        assert by_pair[(a, b)] == pytest.approx(expect, abs=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_explicit_group_col_parity():
+    """The explicit-blocking path must equal brute-force all-pairs within
+    each group."""
+    from pdf_ocr_comparison_tool_ray.functions.fingerprint import shingles
+    from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize
+    from pdf_ocr_comparison_tool_ray.stages.dedup import ngram_jaccard_pairs
+
+    df, _ = _corpus(24, 8)
+    df["grp"] = df["doc_id"] % 4
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        ngram_jaccard_pairs(ds, group_col="grp", ngram=2, threshold=0.3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for _, g in df.groupby("grp"):
+        recs = g.sort_values("doc_id").to_dict("records")
+        sets = [frozenset(shingles(tokenize(r["text"]), 2)) for r in recs]
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                u = len(sets[i] | sets[j])
+                s = (len(sets[i] & sets[j]) / u) if u else 0.0
+                if s >= 0.3:
+                    rows.append(
+                        {"doc_a": recs[i]["doc_id"], "doc_b": recs[j]["doc_id"],
+                         "jaccard": s}
+                    )
+    want = (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    got = got.drop(columns=["grp"], errors="ignore")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
