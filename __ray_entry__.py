@@ -30,15 +30,6 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
-def _q_extraction_pipeline(sf_dir: str):
-    """Full flagship extraction over interleaved docs derived from sf_dir."""
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        run_extraction_from_flat,
-    )
-
-    return run_extraction_from_flat(f"{sf_dir}/documents.parquet")
-
-
 def _q_compare_pipeline(sf_dir: str):
     """Extract-and-compare: even doc_ids are the reference side, odd the probe."""
     import pyarrow.compute as pc
@@ -111,57 +102,11 @@ def _q_compare_pipeline_shuffle(sf_dir: str):
     return run_compare_shuffle(probe, build)
 
 
-def _q_extraction_hybrid_rerun(sf_dir: str):
-    """Smart-mode extraction: low-confidence scan spans rerun through the
-    second-engine actor pool, better answer wins (rows == extraction_pipeline
-    with only route/score differing on rerouted scans)."""
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        interleave,
-        read_flat_documents,
-        run_extraction_hybrid_rerun,
-    )
-
-    docs = interleave(read_flat_documents(f"{sf_dir}/documents.parquet"))
-    return run_extraction_hybrid_rerun(docs, ocr_concurrency=4)
-
-
-def _q_render_full_text(sf_dir: str):
-    """S8 analog: ordered reassembled spans -> framed per-doc full text."""
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        run_extraction_from_flat,
-    )
-    from pdf_ocr_comparison_tool_ray.pipelines.sinks import render_full_text
-
-    return render_full_text(
-        run_extraction_from_flat(f"{sf_dir}/documents.parquet")
-    )
-
-
 def _q_match_summary(sf_dir: str):
     """A1: global match-status rollup over the compare pipeline output."""
     from pdf_ocr_comparison_tool_ray.pipelines.reports import match_summary
 
     return match_summary(_q_compare_pipeline(sf_dir))
-
-
-def _q_minhash_pairs(sf_dir: str):
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.stages.dedup import minhash_lsh_pairs
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
-
-
-def _q_simhash_pairs(sf_dir: str):
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.stages.dedup import simhash_pairs
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=8)
 
 
 def _q_approx_distinct_by_lang(sf_dir: str):
@@ -193,53 +138,6 @@ def _q_approx_top_tokens(sf_dir: str):
         return pd.DataFrame({"tok": out})
 
     return approx_topk(ds.map_batches(toks, batch_format="pyarrow"), "tok", k=20)
-
-
-def _q_dedup_clusters(sf_dir: str):
-    """Near-dup pairs (MinHash-LSH) -> transitive-closure cluster labels
-    via distributed large-star/small-star connected components."""
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.stages.concomp import label_components
-    from pdf_ocr_comparison_tool_ray.stages.dedup import minhash_lsh_pairs
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return label_components(minhash_lsh_pairs(ds, threshold=0.5))
-
-
-def _q_knn_ivf(sf_dir: str):
-    import numpy as np
-    import pyarrow.compute as pc
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.stages.knn import knn_cosine_ivf
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qdf = (
-        ds.map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    return knn_cosine_ivf(
-        ds, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()), k=10
-    )
-
-
-def _q_ngram_jaccard(sf_dir: str):
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.stages.dedup import ngram_jaccard_pairs
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    # default = the scale path: MinHash-LSH banding generates candidates,
-    # exact shingle-set Jaccard verifies each (O(candidates), not O(n^2))
-    return ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -293,28 +191,6 @@ def _q_embedding_dup_lsh(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.45, n_planes=6, n_tables=8)
 
 
-def _q_merge_by_category(sf_dir: str):
-    """S6 analog: per-category ordered document concatenation over the
-    extracted + enriched corpus (bounded: one row per category)."""
-    import pyarrow.compute as pc
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.pipelines.compare import enrich_spans
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        run_extraction_from_flat,
-    )
-    from pdf_ocr_comparison_tool_ray.pipelines.sinks import merge_by_category
-
-    out = run_extraction_from_flat(f"{sf_dir}/documents.parquet")
-    spans = out.map_batches(
-        lambda t: t.rename_columns(
-            ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
-        ),
-        batch_format="pyarrow",
-    )
-    return merge_by_category(enrich_spans(spans))
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
 
@@ -323,21 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     out.update(
         {
-            "extraction_pipeline": _q_extraction_pipeline,
-            "extraction_hybrid_rerun": _q_extraction_hybrid_rerun,
             "compare_pipeline": _q_compare_pipeline,
-            "minhash_lsh_pairs": _q_minhash_pairs,
-            "simhash_pairs": _q_simhash_pairs,
-            "knn_cosine_ivf": _q_knn_ivf,
-            "ngram_jaccard_pairs": _q_ngram_jaccard,
             "multimodal_features": _q_multimodal_features,
             "multimodal_preprocessed": _q_multimodal_preprocessed,
             "embedding_dup_lsh": _q_embedding_dup_lsh,
-            "merge_by_category": _q_merge_by_category,
             "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
-            "render_full_text": _q_render_full_text,
             "match_summary": _q_match_summary,
-            "dedup_clusters": _q_dedup_clusters,
             "approx_distinct_by_lang": _q_approx_distinct_by_lang,
             "approx_top_tokens": _q_approx_top_tokens,
         }

@@ -114,8 +114,16 @@ def extract_spans(
     ocr_concurrency: Optional[int] = None,
     batch_size="auto",
     num_output_blocks: Optional[int] = None,
+    agreement_threshold: Optional[float] = None,
 ) -> ray.data.Dataset:
-    """Interleaved documents -> extracted (unordered) span rows."""
+    """Interleaved documents -> extracted (unordered) span rows.
+
+    ``agreement_threshold`` overrides the native-vs-OCR route choice for
+    pdf spans (None -> config default).  A value > 1 forces the OCR
+    route everywhere — the single-engine "deepseek_only" analog of the
+    reference's mode switch (``hybrid_ocr_engine.py:250-264``), and the
+    mode whose output is an exact media round-trip (used by the
+    ``extraction_pipeline`` driver oracle)."""
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     if num_output_blocks:
         # spread media-heavy documents' spans across tasks (skew defusal);
@@ -137,6 +145,7 @@ def extract_spans(
         batch_format="pyarrow",
         batch_size=STAGE["ocr_batch_size"] if batch_size == "auto" else batch_size,
         concurrency=ocr_concurrency,
+        fn_constructor_kwargs={"agreement_threshold": agreement_threshold},
     )
 
 
@@ -205,6 +214,7 @@ def run_extraction_hybrid_rerun(
     rerun_threshold: float = 0.93,
     ocr_concurrency: Optional[int] = None,
     rerun_concurrency=2,
+    agreement_threshold: Optional[float] = None,
 ) -> ray.data.Dataset:
     """Smart-mode extraction: first-pass engine for everything, then scan
     spans whose confidence fell below ``rerun_threshold`` rerun through
@@ -228,7 +238,10 @@ def run_extraction_hybrid_rerun(
     # so the extractor pool doesn't re-execute per branch (NOTES gotcha —
     # at 100 TB this boundary is a checkpointed table instead)
     extracted = extract_spans(
-        docs, ocr_concurrency=ocr_concurrency, batch_size=None
+        docs,
+        ocr_concurrency=ocr_concurrency,
+        batch_size=None,
+        agreement_threshold=agreement_threshold,
     ).materialize()
 
     def is_doubtful(t):
@@ -371,6 +384,7 @@ def run_extraction(
     ocr_concurrency: Optional[int] = None,
     batch_size="auto",
     num_output_blocks: Optional[int] = None,
+    agreement_threshold: Optional[float] = None,
 ) -> ray.data.Dataset:
     """Full flagship pipeline over an interleaved documents Dataset.
 
@@ -388,6 +402,7 @@ def run_extraction(
         ocr_concurrency=ocr_concurrency,
         batch_size=batch_size,
         num_output_blocks=num_output_blocks,
+        agreement_threshold=agreement_threshold,
     )
     if num_output_blocks is None and batch_size is None:
         return reassemble_local(extracted, expect_dense_offsets=True)
@@ -402,6 +417,7 @@ def run_extraction_from_flat(
     batch_size="auto",
     num_output_blocks: Optional[int] = None,
     num_read_blocks: Optional[int] = None,
+    agreement_threshold: Optional[float] = None,
 ) -> ray.data.Dataset:
     """Convenience: flat documents parquet -> interleave -> extract -> reassemble."""
     docs = interleave(
@@ -412,4 +428,5 @@ def run_extraction_from_flat(
         ocr_concurrency=ocr_concurrency,
         batch_size=batch_size,
         num_output_blocks=num_output_blocks,
+        agreement_threshold=agreement_threshold,
     )

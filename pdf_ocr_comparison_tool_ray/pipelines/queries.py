@@ -2294,10 +2294,460 @@ WITH base AS (
 SELECT doc_id, lang_pred, n_words, text_hash FROM ranked WHERE rk = 1
 """
 
+# ===========================================================================
+# Round-3 oracle expansion — full-pipeline oracles
+#
+# Two ingredients make the flagship pipelines DuckDB-checkable:
+#
+# 1. the interleave derivation chunks with a seeded Mersenne Twister, so
+#    span BOUNDARIES are not SQL-derivable — but in forced-OCR mode the
+#    extraction is an exact media round-trip, and the ordered concat of
+#    extracted span texts equals the whitespace-normalized source text.
+#    That per-doc invariant checks explode -> all four routes ->
+#    reassembly ORDER end to end (a scrambled reassembly garbles the
+#    concat);
+# 2. the page-level pipelines (compare / render / merge) run over a
+#    deterministic fixed-window pagination that SQL reproduces exactly,
+#    so every downstream semantic (hash short-circuit, date semi-join,
+#    fallback cap, cosine top-1, statuses, run merge, framing, category
+#    vote) is replayed in one DuckDB program.
+# ===========================================================================
+PAGE_WORDS = 12
+
+
+def _pages_batch(batch: pa.Table, date_stamp: bool = False) -> pa.Table:
+    """Flat (doc_id, text) -> fixed-window page rows.
+
+    ``date_stamp`` appends a deterministic '2024-01-<d>' token (d keyed
+    on the page's first word) so the digit-free corpus exercises the
+    date-candidate semi-join (J2).  Mirrored exactly by ``_sql_pages``.
+    """
+    out_doc, out_did, out_off, out_text = [], [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = [w for w in text.split(" ") if w]
+        n_pages = max(1, -(-len(words) // PAGE_WORDS))
+        for i in range(n_pages):
+            chunk = " ".join(words[i * PAGE_WORDS : (i + 1) * PAGE_WORDS])
+            if date_stamp:
+                first = chunk.split(" ", 1)[0]
+                day = (
+                    int.from_bytes(hashlib.md5(first.encode()).digest()[:4], "big")
+                    % 28
+                    + 1
+                )
+                chunk = f"{chunk} 2024-01-{day}"
+            out_doc.append(str(did))
+            out_did.append(int(did))
+            out_off.append(i)
+            out_text.append(chunk)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.string()),
+            "did": pa.array(out_did, type=pa.int64()),
+            "offset": pa.array(out_off, type=pa.int32()),
+            "text": pa.array(out_text, type=pa.string()),
+        }
+    )
+
+
+def _paged_docs(sf_dir: str, stamp: bool = False):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t, s=stamp: _pages_batch(t, s), batch_format="pyarrow"
+    )
+
+
+def _sql_pages(stamp: bool) -> str:
+    """CTE fragment: toks, pages0, pages(doc_id VARCHAR, did, off, text)."""
+    w = PAGE_WORDS
+    base = f"""toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pages0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did, CAST(i AS INT) AS off,
+         array_to_string(list_slice(ts, i*{w} + 1, i*{w} + {w}), ' ') AS chunk
+  FROM toks, unnest(range(0, greatest(1, CAST(ceil(len(ts) / {w}.0) AS BIGINT)))) AS t(i)
+)"""
+    if not stamp:
+        return base + """, pages AS (
+  SELECT doc_id, did, off, chunk AS text FROM pages0
+)"""
+    day = (
+        "CAST(('0x' || substr(md5(CASE WHEN chunk = '' THEN '' "
+        "ELSE string_split(chunk, ' ')[1] END), 1, 8)) AS UBIGINT) % 28 + 1"
+    )
+    return base + f""", pages AS (
+  SELECT doc_id, did, off,
+         chunk || ' 2024-01-' || CAST({day} AS VARCHAR) AS text
+  FROM pages0
+)"""
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction round-trip (forced-OCR mode) — S1-S4/M1/M17/§2.9
+# ---------------------------------------------------------------------------
+def _concat_spans(out):
+    """Reassembled span rows -> per-doc ordered full text (bucketed)."""
+    from ..stages.bucketed import bucketed_map_groups
+
+    light = out.select_columns(["doc_id", "seq", "text"])
+
+    def concat_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "seq"], kind="mergesort")
+        return g.groupby("doc_id", sort=False, as_index=False).agg(
+            full_text=("text", lambda s: " ".join(x for x in s if x))
+        )
+
+    return bucketed_map_groups(light, "doc_id", concat_bucket, n_buckets=32)
+
+
+def q_extraction_roundtrip(sf_dir: str):
+    """Full flagship pipeline (interleave -> explode -> route -> extract
+    -> reassemble) in forced-OCR mode (agreement_threshold > 1: the
+    single-heavy-engine analog of the reference's engine mode switch,
+    ``hybrid_ocr_engine.py:250-264``), reduced to the per-doc ordered
+    concat.  Oracle: the whitespace-normalized source text — exact
+    because every route round-trips (html strip, pdf layout parse, mock
+    OCR decode).  A wrong span ORDER or a dropped/garbled span breaks
+    the equality, so this checks the reassembly invariant end to end;
+    span-level goldens (incl. the default agreement routing) are pinned
+    by the pytest fixtures."""
+    from ..pipelines.extraction import run_extraction_from_flat
+
+    out = run_extraction_from_flat(
+        f"{sf_dir}/documents.parquet", agreement_threshold=1.1
+    )
+    return _concat_spans(out)
+
+
+SQL_EXTRACTION_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       trim(regexp_replace(text, ' +', ' ', 'g')) AS full_text
+FROM documents
+"""
+
+
+def q_extraction_hybrid_roundtrip(sf_dir: str):
+    """Smart-mode extraction (ST3: low-confidence scan spans rerun on the
+    second-engine pool, better answer kept) under the same forced-OCR
+    round-trip invariant — the rerun must preserve text content exactly
+    while only route/score change (routing itself is pytest-pinned)."""
+    from ..pipelines.extraction import (
+        interleave,
+        read_flat_documents,
+        run_extraction_hybrid_rerun,
+    )
+
+    docs = interleave(read_flat_documents(f"{sf_dir}/documents.parquet"))
+    out = run_extraction_hybrid_rerun(
+        docs, ocr_concurrency=4, agreement_threshold=1.1
+    )
+    return _concat_spans(out)
+
+
+# ---------------------------------------------------------------------------
+# S8 render sink over the deterministic pagination
+# ---------------------------------------------------------------------------
+def q_render_full_text(sf_dir: str):
+    from ..pipelines.sinks import render_full_text
+
+    pages = _paged_docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "offset", "text"]).rename_columns(
+            ["doc_id", "seq", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    return render_full_text(pages)
+
+
+SQL_RENDER_FULL_TEXT = f"""
+WITH {_sql_pages(False)}
+SELECT doc_id,
+       string_agg('=== 第' || CAST(off + 1 AS VARCHAR) || '页 ===' || chr(10) || text,
+                  chr(10) ORDER BY off) AS full_text,
+       count(*) AS n_spans
+FROM pages
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S6 category merge over the deterministic pagination: per-page EN rule
+# classify -> per-doc main-type vote (A8) -> framed per-category concat
+# ---------------------------------------------------------------------------
+def q_merge_by_category(sf_dir: str):
+    from ..pipelines.sinks import merge_by_category
+
+    def with_type(batch: pa.Table) -> pa.Table:
+        df = _classify_batch_df(batch)
+        return batch.append_column(
+            "doc_type", pa.array(df["doc_type"].tolist(), type=pa.string())
+        )
+
+    pages = _paged_docs(sf_dir).map_batches(with_type, batch_format="pyarrow")
+    pages = pages.map_batches(
+        lambda t: t.select(["doc_id", "offset", "text", "doc_type"]),
+        batch_format="pyarrow",
+    )
+    return merge_by_category(pages)
+
+
+SQL_MERGE_BY_CATEGORY = f"""
+WITH {_sql_pages(False)},
+typed AS (
+  SELECT doc_id, off, text,
+         {_sql_type_score(_T[0][1])} AS s0,
+         {_sql_type_score(_T[1][1])} AS s1,
+         {_sql_type_score(_T[2][1])} AS s2,
+         {_sql_type_score(_T[3][1])} AS s3
+  FROM pages
+), ptype AS (
+  SELECT doc_id, off, text,
+         CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 AND s3 = 0 THEN 'other'
+              WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN '{_T[0][0]}'
+              WHEN s1 >= s2 AND s1 >= s3 THEN '{_T[1][0]}'
+              WHEN s2 >= s3 THEN '{_T[2][0]}'
+              ELSE '{_T[3][0]}' END AS doc_type
+  FROM typed
+), votes AS (
+  SELECT doc_id, doc_type, count(*) AS c FROM ptype GROUP BY doc_id, doc_type
+), main AS (
+  SELECT doc_id, doc_type AS main_type FROM (
+    SELECT doc_id, doc_type,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, doc_type) AS rk
+    FROM votes
+  ) WHERE rk = 1
+), body AS (
+  SELECT p.doc_id, m.main_type,
+         string_agg('=== 第' || CAST(p.off + 1 AS VARCHAR) || '页 ===' || chr(10) || p.text,
+                    chr(10) ORDER BY p.off) AS body
+  FROM ptype p JOIN main m USING (doc_id)
+  GROUP BY p.doc_id, m.main_type
+)
+SELECT main_type,
+       string_agg('--- ' || doc_id || ' ---' || chr(10) || body,
+                  chr(10) ORDER BY doc_id) AS merged_text,
+       count(*) AS n_docs
+FROM body
+GROUP BY main_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup family: MinHash-LSH / SimHash / n-gram Jaccard / clusters.
+# The SQL replays the sketches bit-exactly: token hash = first 8 bytes of
+# md5 (big-endian), minhash perms = the SAME (a, b) constants the engine
+# draws from its seeded RNG (inlined below), banding = positionwise
+# signature equality per 4-perm band (band-hash md5 collisions are
+# negligible and would only ADD candidates on the engine side).
+# ---------------------------------------------------------------------------
+_MINHASH_NGRAM = 3
+_MINHASH_THRESHOLD = 0.5
+_NJ_NGRAM = 2
+_NJ_THRESHOLD = 0.5
+_SIMHASH_MAX_HAMMING = 8
+_U64_MOD = 1 << 64
+_U64_MAX = _U64_MOD - 1
+
+
+def _sql_perm_values() -> str:
+    from ..functions.fingerprint import _perm_params
+
+    a, b = _perm_params(64)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+
+
+def _sql_minhash_ctes(ngram: int) -> str:
+    """CTE chain ending in sig(doc_id, sig UBIGINT[64]); caller supplies
+    the WITH [RECURSIVE] prefix."""
+    return f"""toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), shx AS (
+  SELECT doc_id, CASE
+    WHEN len(ts) >= {ngram} THEN list_transform(range(1, len(ts) - {ngram} + 2),
+         i -> array_to_string(list_slice(ts, i, i + {ngram} - 1), ' '))
+    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
+    ELSE [] END AS sg
+  FROM toks
+), hv AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+  FROM shx, unnest(sg) AS t(s)
+), perms(pid, pa, pb) AS (VALUES {_sql_perm_values()}),
+sigv AS (
+  SELECT hv.doc_id, p.pid,
+         min(CAST((CAST(p.pa AS HUGEINT) * hv.h + p.pb) % {_U64_MOD} AS UBIGINT)) AS v
+  FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.pid
+), sig AS (
+  SELECT d.doc_id,
+         coalesce(s.sig, list_transform(range(1, 65), i -> CAST({_U64_MAX} AS UBIGINT))) AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN (SELECT doc_id, list(v ORDER BY pid) AS sig FROM sigv GROUP BY doc_id) s
+    USING (doc_id)
+)"""
+
+
+_SQL_SHARED_BAND = (
+    "len(list_filter(range(0, 16), k -> "
+    "list_slice(a.sig, 4*k + 1, 4*k + 4) = list_slice(b.sig, 4*k + 1, 4*k + 4))) > 0"
+)
+_SQL_EST_JACCARD = "len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0"
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(
+        ds, ngram=_MINHASH_NGRAM, threshold=_MINHASH_THRESHOLD
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_sql_minhash_ctes(_MINHASH_NGRAM)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SQL_EST_JACCARD} AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {_SQL_SHARED_BAND} AND {_SQL_EST_JACCARD} >= {_MINHASH_THRESHOLD}
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> transitive-closure cluster labels via the
+    distributed large-star/small-star rounds (size-routed); oracle = a
+    recursive min-label propagation over the same SQL-replayed pairs."""
+    from ..stages.concomp import label_components
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return label_components(
+        minhash_lsh_pairs(ds, ngram=_MINHASH_NGRAM, threshold=_MINHASH_THRESHOLD)
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_minhash_ctes(_MINHASH_NGRAM)},
+pr AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_SQL_SHARED_BAND} AND {_SQL_EST_JACCARD} >= {_MINHASH_THRESHOLD}
+), edges AS (
+  SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr
+), cc AS (
+  SELECT u AS n, u AS l FROM edges
+  UNION
+  SELECT e.v AS n, cc.l FROM cc JOIN edges e ON cc.n = e.u
+)
+SELECT n AS doc_id, min(l) AS cluster_id FROM cc GROUP BY n
+"""
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), tokc AS (
+  SELECT doc_id, s AS tok, count(*) AS c
+  FROM toks, unnest(ts) AS t(s) GROUP BY doc_id, s
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h, c FROM tokc
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum((CAST((h >> i) & 1 AS BIGINT) * 2 - 1) * c) > 0 THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN range(0, 64) AS r(i) GROUP BY doc_id, i
+), sh0 AS (
+  SELECT doc_id, sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(i AS INT))) AS hv
+  FROM bits GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id, CAST(coalesce(sh0.hv, 0) AS UBIGINT) AS hv
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sh0 USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(0, 4), k ->
+      ((a.hv >> (16*CAST(k AS INT))) & 65535) = ((b.hv >> (16*CAST(k AS INT))) & 65535))) > 0
+  AND bit_count(xor(a.hv, b.hv)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, ngram=_NJ_NGRAM, threshold=_NJ_THRESHOLD)
+
+
+_SQL_NJ_JACCARD = (
+    "CASE WHEN len(list_distinct(x.dsg || y.dsg)) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(x.dsg, y.dsg)) * 1.0 / len(list_distinct(x.dsg || y.dsg)) END"
+)
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_sql_minhash_ctes(_NJ_NGRAM)},
+dsh AS (
+  SELECT doc_id, list_distinct(sg) AS dsg FROM shx
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_SQL_SHARED_BAND}
+)
+SELECT c.doc_a, c.doc_b, {_SQL_NJ_JACCARD} AS jaccard
+FROM cand c JOIN dsh x ON c.doc_a = x.doc_id JOIN dsh y ON c.doc_b = y.doc_id
+WHERE {_SQL_NJ_JACCARD} >= {_NJ_THRESHOLD}
+"""
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF ANN with nprobe == ncells: every cell probed, so the output
+    equals the exact top-k (the oracle) while the full IVF machinery
+    (k-means training, per-batch probe masks, partial top-k, per-query
+    reduce) executes for real; the lossy-pruning recall is pinned by the
+    pytest recall test."""
+    from ..stages.knn import knn_cosine_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    result = knn_cosine_ivf(
+        ds,
+        qdf["vec_id"].tolist(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+        ncells=16,
+        nprobe=16,
+    ).to_pandas()
+    result["cosine"] = result["cosine"].round(6)
+    result["query_id"] = result["query_id"].astype("int64")
+    result["vec_id"] = result["vec_id"].astype("int64")
+    result = result.rename(columns={"rank": "rk"})
+    return result[["query_id", "vec_id", "rk", "cosine"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
+    "extraction_pipeline": (q_extraction_roundtrip, SQL_EXTRACTION_ROUNDTRIP),
+    "extraction_hybrid_rerun": (
+        q_extraction_hybrid_roundtrip,
+        SQL_EXTRACTION_ROUNDTRIP,
+    ),
+    "render_full_text": (q_render_full_text, SQL_RENDER_FULL_TEXT),
+    "merge_by_category": (q_merge_by_category, SQL_MERGE_BY_CATEGORY),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "knn_cosine_ivf": (q_knn_cosine_ivf, SQL_KNN_COSINE),
     "normalize_hash": (q_normalize_hash, SQL_NORMALIZE_HASH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "exact_match_join": (q_exact_match_join, SQL_EXACT_MATCH_JOIN),
