@@ -30,85 +30,6 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
-def _q_compare_pipeline(sf_dir: str):
-    """Extract-and-compare: even doc_ids are the reference side, odd the probe."""
-    import pyarrow.compute as pc
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        interleave,
-        run_extraction,
-    )
-
-    flat = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    # limit the corpus so the O(probe x candidates) scoring stays test-sized
-    flat = flat.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], 200)), batch_format="pyarrow"
-    )
-
-    def run_side(pred):
-        side = flat.map_batches(
-            lambda t, p=pred: t.filter(p(t["doc_id"])), batch_format="pyarrow"
-        )
-        out = run_extraction(interleave(side), ocr_concurrency=2)
-        return out.map_batches(
-            lambda t: t.rename_columns(
-                ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
-            ),
-            batch_format="pyarrow",
-        )
-
-    probe = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 1))
-    build = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 0))
-    return run_compare(probe, build)
-
-
-def _q_compare_pipeline_shuffle(sf_dir: str):
-    """run_compare_shuffle: hash-shuffle co-partition match join (large
-    build sides); row-identical to compare_pipeline's broadcast join."""
-    import pyarrow.compute as pc
-    import ray.data
-
-    from pdf_ocr_comparison_tool_ray.pipelines.compare import run_compare_shuffle
-    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
-        interleave,
-        run_extraction,
-    )
-
-    flat = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    flat = flat.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], 120)), batch_format="pyarrow"
-    )
-
-    def run_side(pred):
-        side = flat.map_batches(
-            lambda t, p=pred: t.filter(p(t["doc_id"])), batch_format="pyarrow"
-        )
-        out = run_extraction(interleave(side), ocr_concurrency=2)
-        return out.map_batches(
-            lambda t: t.rename_columns(
-                ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
-            ),
-            batch_format="pyarrow",
-        )
-
-    probe = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 1))
-    build = run_side(lambda c: pc.equal(pc.bit_wise_and(c, 1), 0))
-    return run_compare_shuffle(probe, build)
-
-
-def _q_match_summary(sf_dir: str):
-    """A1: global match-status rollup over the compare pipeline output."""
-    from pdf_ocr_comparison_tool_ray.pipelines.reports import match_summary
-
-    return match_summary(_q_compare_pipeline(sf_dir))
-
-
 def _q_approx_distinct_by_lang(sf_dir: str):
     """HLL sketch: per-language approximate distinct sources — mergeable
     register partials, 2^p bytes per (key, batch) through the shuffle."""
@@ -199,12 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     out.update(
         {
-            "compare_pipeline": _q_compare_pipeline,
             "multimodal_features": _q_multimodal_features,
             "multimodal_preprocessed": _q_multimodal_preprocessed,
             "embedding_dup_lsh": _q_embedding_dup_lsh,
-            "compare_pipeline_shuffle": _q_compare_pipeline_shuffle,
-            "match_summary": _q_match_summary,
             "approx_distinct_by_lang": _q_approx_distinct_by_lang,
             "approx_top_tokens": _q_approx_top_tokens,
         }

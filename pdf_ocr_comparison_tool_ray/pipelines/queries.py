@@ -2318,9 +2318,12 @@ PAGE_WORDS = 12
 def _pages_batch(batch: pa.Table, date_stamp: bool = False) -> pa.Table:
     """Flat (doc_id, text) -> fixed-window page rows.
 
-    ``date_stamp`` appends a deterministic '2024-01-<d>' token (d keyed
-    on the page's first word) so the digit-free corpus exercises the
-    date-candidate semi-join (J2).  Mirrored exactly by ``_sql_pages``.
+    ``date_stamp`` appends a deterministic '2024-<m>-<d>' token to ~3/4
+    of the pages (gate and value both keyed on the chunk's content hash,
+    so duplicated chunks stay byte-identical) — the digit-free corpus
+    then exercises the date-candidate semi-join (J2) on stamped pages
+    AND the first-100 fallback (J3) on unstamped probes.  Mirrored
+    exactly by ``_sql_pages``.
     """
     out_doc, out_did, out_off, out_text = [], [], [], []
     for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
@@ -2329,13 +2332,10 @@ def _pages_batch(batch: pa.Table, date_stamp: bool = False) -> pa.Table:
         for i in range(n_pages):
             chunk = " ".join(words[i * PAGE_WORDS : (i + 1) * PAGE_WORDS])
             if date_stamp:
-                first = chunk.split(" ", 1)[0]
-                day = (
-                    int.from_bytes(hashlib.md5(first.encode()).digest()[:4], "big")
-                    % 28
-                    + 1
-                )
-                chunk = f"{chunk} 2024-01-{day}"
+                gv = int.from_bytes(hashlib.md5(chunk.encode()).digest()[:4], "big")
+                if gv % 4 != 0:
+                    day = gv % 336
+                    chunk = f"{chunk} 2024-{day // 28 + 1}-{day % 28 + 1}"
             out_doc.append(str(did))
             out_did.append(int(did))
             out_off.append(i)
@@ -2371,14 +2371,17 @@ def _sql_pages(stamp: bool) -> str:
         return base + """, pages AS (
   SELECT doc_id, did, off, chunk AS text FROM pages0
 )"""
-    day = (
-        "CAST(('0x' || substr(md5(CASE WHEN chunk = '' THEN '' "
-        "ELSE string_split(chunk, ' ')[1] END), 1, 8)) AS UBIGINT) % 28 + 1"
-    )
-    return base + f""", pages AS (
-  SELECT doc_id, did, off,
-         chunk || ' 2024-01-' || CAST({day} AS VARCHAR) AS text
+    return base + """, pagesg AS (
+  SELECT doc_id, did, off, chunk,
+         CAST(('0x' || substr(md5(chunk), 1, 8)) AS UBIGINT) AS gv
   FROM pages0
+), pages AS (
+  SELECT doc_id, did, off,
+         CASE WHEN gv % 4 = 0 THEN chunk
+              ELSE chunk || ' 2024-' || CAST((gv % 336) // 28 + 1 AS VARCHAR)
+                         || '-' || CAST((gv % 336) % 28 + 1 AS VARCHAR)
+         END AS text
+  FROM pagesg
 )"""
 
 
@@ -2529,6 +2532,210 @@ SELECT main_type,
        count(*) AS n_docs
 FROM body
 GROUP BY main_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# The extract-and-compare flagship (J1-J6) over the stamped pagination,
+# fully replayed in one DuckDB program: exact-hash short-circuit (first
+# build page in (doc_id, offset) order), date-candidate semi-join,
+# first-100 fallback, term-frequency cosine (bit-exact: integer dot /
+# sqrt of integer sums on both sides), 0.95/0.75 status thresholds,
+# top-10 keyword intersection, and the consecutive-run merge as a
+# gaps-and-islands window.
+# ---------------------------------------------------------------------------
+def _split_pages(pages, parity: int):
+    return pages.map_batches(
+        lambda t, p=parity: t.filter(
+            pc.equal(pc.bit_wise_and(t["did"], 1), p)
+        ).drop_columns(["did"]),
+        batch_format="pyarrow",
+    )
+
+
+def _compare_post(batch: pa.Table) -> pd.DataFrame:
+    df = batch.to_pandas()
+    df["similarity"] = df["similarity"].round(6)
+    df["matched_keywords"] = [",".join(x) for x in df["matched_keywords"]]
+    for c in ("source_start", "source_end", "target_start", "target_end"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def q_compare_pipeline(sf_dir: str, shuffle: bool = False):
+    """Odd doc_ids probe against even doc_ids via the broadcast-index
+    match join (``shuffle=True``: the hash-shuffle co-partition join —
+    row-identical, the large-build-side physical plan)."""
+    from ..pipelines.compare import run_compare, run_compare_shuffle
+
+    pages = _paged_docs(sf_dir, stamp=True)
+    probe, build = _split_pages(pages, 1), _split_pages(pages, 0)
+    fn = run_compare_shuffle if shuffle else run_compare
+    return fn(probe, build).map_batches(_compare_post, batch_format="pyarrow")
+
+
+def q_compare_pipeline_shuffle(sf_dir: str):
+    return q_compare_pipeline(sf_dir, shuffle=True)
+
+
+def q_match_summary(sf_dir: str):
+    """A1 rollup over the page-level match results (pre-merge)."""
+    from ..pipelines.compare import build_index, enrich_spans, match_spans
+    from ..pipelines.reports import match_summary
+
+    pages = _paged_docs(sf_dir, stamp=True)
+    probe, build = _split_pages(pages, 1), _split_pages(pages, 0)
+    results = match_spans(enrich_spans(probe), build_index(enrich_spans(build)))
+    return match_summary(results)
+
+
+def _sql_compare_core() -> str:
+    """CTE chain (caller prefixes WITH) ending in page_res — one
+    match-result row per probe page."""
+    return f"""{_sql_pages(True)},
+feat AS (
+  SELECT doc_id, did, off, text,
+         md5(regexp_replace(lower(text), '\\s', '', 'g')) AS text_hash,
+         regexp_extract(text, '[0-9]{{4}}-[0-9]{{1,2}}-[0-9]{{1,2}}') AS dt
+  FROM pages
+), ct AS (
+  SELECT doc_id, off, tok, count(*) AS c FROM (
+    SELECT doc_id, off, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+    FROM pages
+  ) GROUP BY doc_id, off, tok
+), nrm AS (
+  SELECT doc_id, off, sqrt(sum(c * c)) AS nrm FROM ct GROUP BY doc_id, off
+), kwr AS (
+  SELECT doc_id, off, tok,
+         row_number() OVER (PARTITION BY doc_id, off ORDER BY c DESC, tok) AS rk
+  FROM ct WHERE length(tok) >= 2 AND NOT regexp_matches(tok, '^[0-9]+$')
+), kw AS (
+  SELECT doc_id, off, list(tok ORDER BY rk) AS kws FROM kwr WHERE rk <= 10
+  GROUP BY doc_id, off
+), probe AS (
+  SELECT * FROM feat WHERE did % 2 = 1
+), build AS (
+  SELECT * FROM feat WHERE did % 2 = 0
+), b100 AS (
+  SELECT doc_id, off FROM build ORDER BY doc_id, off LIMIT 100
+), hashm AS (
+  SELECT p.doc_id AS pd, p.off AS po, b.doc_id AS bd, b.off AS bo,
+         row_number() OVER (PARTITION BY p.doc_id, p.off ORDER BY b.doc_id, b.off) AS rk
+  FROM probe p JOIN build b ON p.text_hash = b.text_hash
+), besthash AS (
+  SELECT pd, po, bd, bo FROM hashm WHERE rk = 1
+), datec AS (
+  SELECT p.doc_id AS pd, p.off AS po, b.doc_id AS bd, b.off AS bo
+  FROM probe p JOIN build b ON p.dt = b.dt AND p.dt <> ''
+  WHERE NOT EXISTS (SELECT 1 FROM besthash h WHERE h.pd = p.doc_id AND h.po = p.off)
+), cands AS (
+  SELECT pd, po, bd, bo FROM datec
+  UNION ALL
+  SELECT p.doc_id, p.off, b.doc_id, b.off
+  FROM probe p CROSS JOIN b100 b
+  WHERE NOT EXISTS (SELECT 1 FROM besthash h WHERE h.pd = p.doc_id AND h.po = p.off)
+    AND NOT EXISTS (SELECT 1 FROM datec d WHERE d.pd = p.doc_id AND d.po = p.off)
+), dots AS (
+  SELECT c.pd, c.po, c.bd, c.bo, sum(pt.c * bt.c) AS dot
+  FROM cands c
+  JOIN ct pt ON pt.doc_id = c.pd AND pt.off = c.po
+  JOIN ct bt ON bt.doc_id = c.bd AND bt.off = c.bo AND bt.tok = pt.tok
+  GROUP BY c.pd, c.po, c.bd, c.bo
+), sims AS (
+  SELECT c.pd, c.po, c.bd, c.bo,
+         coalesce(d.dot, 0) / (pn.nrm * bn.nrm) AS sim
+  FROM cands c
+  LEFT JOIN dots d ON d.pd = c.pd AND d.po = c.po AND d.bd = c.bd AND d.bo = c.bo
+  JOIN nrm pn ON pn.doc_id = c.pd AND pn.off = c.po
+  JOIN nrm bn ON bn.doc_id = c.bd AND bn.off = c.bo
+), bestscore AS (
+  SELECT pd, po, bd, bo, sim FROM (
+    SELECT pd, po, bd, bo, sim,
+           row_number() OVER (PARTITION BY pd, po ORDER BY sim DESC, bd, bo) AS rk
+    FROM sims WHERE sim >= 0.60
+  ) WHERE rk = 1
+), page_res AS (
+  SELECT h.pd AS source_doc_id, h.po AS source_offset, 'other' AS doc_type,
+         'exact' AS match_status, h.bd AS target_doc_id, h.bo AS target_offset,
+         1.0 AS similarity,
+         coalesce(array_to_string(list_sort(list_intersect(
+             coalesce(pk.kws, CAST([] AS VARCHAR[])),
+             coalesce(bk.kws, CAST([] AS VARCHAR[])))), ','), '') AS matched_keywords
+  FROM besthash h
+  LEFT JOIN kw pk ON pk.doc_id = h.pd AND pk.off = h.po
+  LEFT JOIN kw bk ON bk.doc_id = h.bd AND bk.off = h.bo
+  UNION ALL
+  SELECT s.pd, s.po, 'other',
+         CASE WHEN s.sim >= 0.95 THEN 'exact'
+              WHEN s.sim >= 0.75 THEN 'partial'
+              ELSE 'low' END,
+         s.bd, s.bo, s.sim,
+         coalesce(array_to_string(list_sort(list_intersect(
+             coalesce(pk.kws, CAST([] AS VARCHAR[])),
+             coalesce(bk.kws, CAST([] AS VARCHAR[])))), ','), '')
+  FROM bestscore s
+  LEFT JOIN kw pk ON pk.doc_id = s.pd AND pk.off = s.po
+  LEFT JOIN kw bk ON bk.doc_id = s.bd AND bk.off = s.bo
+  UNION ALL
+  SELECT p.doc_id, p.off, 'other', 'none', '', -1, 0.0, ''
+  FROM probe p
+  WHERE NOT EXISTS (SELECT 1 FROM besthash h WHERE h.pd = p.doc_id AND h.po = p.off)
+    AND NOT EXISTS (SELECT 1 FROM bestscore s WHERE s.pd = p.doc_id AND s.po = p.off)
+)"""
+
+
+SQL_COMPARE_PIPELINE = f"""
+WITH {_sql_compare_core()},
+ordered AS (
+  SELECT *,
+         lag(source_doc_id) OVER w AS psd,
+         lag(target_doc_id) OVER w AS ptd,
+         lag(match_status) OVER w AS pst,
+         lag(target_offset) OVER w AS pto
+  FROM page_res
+  WINDOW w AS (ORDER BY source_doc_id, source_offset)
+), flagged AS (
+  SELECT *,
+         CASE WHEN psd IS NULL OR psd <> source_doc_id
+                   OR ptd <> target_doc_id OR pst <> match_status
+                   OR target_doc_id = '' OR target_offset <> pto + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM ordered
+), runs AS (
+  SELECT *, sum(brk) OVER (ORDER BY source_doc_id, source_offset
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT any_value(source_doc_id) AS source_doc_id,
+       CAST(min(source_offset) AS BIGINT) AS source_start,
+       CAST(max(source_offset) AS BIGINT) AS source_end,
+       any_value(doc_type) AS doc_type,
+       any_value(match_status) AS match_status,
+       any_value(target_doc_id) AS target_doc_id,
+       CAST(min(target_offset) AS BIGINT) AS target_start,
+       CAST(max(target_offset) AS BIGINT) AS target_end,
+       round(avg(similarity), 6) AS similarity,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(
+           flatten(list(string_split(matched_keywords, ','))),
+           e -> e <> ''))), ','), '') AS matched_keywords
+FROM runs
+GROUP BY run_id
+"""
+
+
+SQL_MATCH_SUMMARY = f"""
+WITH {_sql_compare_core()},
+c AS (
+  SELECT count(*) AS total,
+         count(*) FILTER (match_status = 'exact') AS exact_matches,
+         count(*) FILTER (match_status = 'partial') AS partial_matches,
+         count(*) FILTER (match_status = 'low') AS low_similarity,
+         count(*) FILTER (match_status = 'none') AS not_found
+  FROM page_res
+)
+SELECT total, exact_matches, partial_matches, low_similarity, not_found,
+       (exact_matches + partial_matches) / total AS match_rate
+FROM c
 """
 
 
@@ -2743,6 +2950,9 @@ SQL_QUERIES = {
     ),
     "render_full_text": (q_render_full_text, SQL_RENDER_FULL_TEXT),
     "merge_by_category": (q_merge_by_category, SQL_MERGE_BY_CATEGORY),
+    "compare_pipeline": (q_compare_pipeline, SQL_COMPARE_PIPELINE),
+    "compare_pipeline_shuffle": (q_compare_pipeline_shuffle, SQL_COMPARE_PIPELINE),
+    "match_summary": (q_match_summary, SQL_MATCH_SUMMARY),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
