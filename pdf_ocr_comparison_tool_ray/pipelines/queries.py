@@ -2940,6 +2940,394 @@ def q_knn_cosine_ivf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sketches: HLL distinct + Count-Min heavy hitters.  Both estimates are
+# deterministic functions of the input multiset (register max / counter
+# sums are batch-composition-invariant), so SQL replays the sketch math
+# itself: md5-derived 64-bit hashes, top-p register index, leading-zero
+# rank via bin(), the alpha*m^2 estimator with linear-counting fallback,
+# and depth-4 counter minima.
+# ---------------------------------------------------------------------------
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def q_approx_distinct_by_lang(sf_dir: str):
+    from ..stages.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+    out = approx_distinct_by(ds, "lang", "doc_id", p=_HLL_P).to_pandas()
+    out["approx_distinct"] = out["approx_distinct"].round(6)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_APPROX_DISTINCT_BY_LANG = f"""
+WITH vals AS (
+  SELECT DISTINCT lang, CAST(doc_id AS VARCHAR) AS v FROM documents
+), h AS (
+  SELECT lang, CAST(('0x' || substr(md5(v), 1, 16)) AS UBIGINT) AS hv FROM vals
+), rr AS (
+  SELECT lang, hv >> {64 - _HLL_P} AS idx,
+         CAST((CAST(hv AS HUGEINT) * {_HLL_M}) % {_U64_MOD} AS UBIGINT) AS rest
+  FROM h
+), regs AS (
+  SELECT lang, idx,
+         max(CASE WHEN rest = 0 THEN {64 - _HLL_P + 1}
+                  ELSE least(64 - length(bin(rest)) + 1, {64 - _HLL_P + 1}) END) AS r
+  FROM rr GROUP BY lang, idx
+), agg AS (
+  SELECT lang, count(*) AS n_present, sum(power(2.0, -r)) AS s FROM regs GROUP BY lang
+), est AS (
+  SELECT lang,
+         (0.7213 / (1 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+           / (({_HLL_M} - n_present) + s) AS raw,
+         {_HLL_M} - n_present AS zeros
+  FROM agg
+)
+SELECT lang,
+       round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros) ELSE raw END, 6)
+         AS approx_distinct
+FROM est
+"""
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 4096
+_CM_K = 20
+
+
+def q_approx_top_tokens(sf_dir: str):
+    """Count-Min heavy hitters over whitespace tokens.  The per-batch
+    candidate shortlists union to the full (31-token) vocabulary here, so
+    the oracle can rank ALL distinct tokens by sketch estimate — any true
+    heavy hitter is in some batch's local top by the union bound."""
+    from ..stages.sketch import approx_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(t.split())
+        return pd.DataFrame({"tok": out})
+
+    out = approx_topk(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        "tok",
+        k=_CM_K,
+        depth=_CM_DEPTH,
+        width=_CM_WIDTH,
+    )
+    out["approx_count"] = out["approx_count"].astype("int64")
+    return out
+
+
+SQL_APPROX_TOP_TOKENS = f"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents
+), tc AS (
+  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+), hashed AS (
+  SELECT tok, c, i,
+         CAST(('0x' || substr(md5(tok), i*8 + 1, 8)) AS UBIGINT) % {_CM_WIDTH} AS col
+  FROM tc CROSS JOIN range(0, {_CM_DEPTH}) AS r(i)
+), counters AS (
+  SELECT i, col, sum(c) AS total FROM hashed GROUP BY i, col
+), ests AS (
+  SELECT h.tok, min(ct.total) AS approx_count
+  FROM hashed h JOIN counters ct ON ct.i = h.i AND ct.col = h.col
+  GROUP BY h.tok
+)
+SELECT tok, CAST(approx_count AS BIGINT) AS approx_count FROM ests
+ORDER BY approx_count DESC, tok LIMIT {_CM_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal featurize: the actor-pool decode+feature stage over the
+# deterministic fake codec.  Payload samples are the text's utf-8 bytes
+# tiled to size (ASCII corpus -> byte == code point), so the 16-dim
+# feature vectors (luma histogram / frame-energy windows / sampled frame
+# means) are exact rational arithmetic SQL reproduces bit-for-bit;
+# features explode to (media_id, media_type, dim, value) rows.
+# ---------------------------------------------------------------------------
+def q_multimodal_features(sf_dir: str):
+    from ..stages.multimodal import featurize_media, media_from_text_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    feats = featurize_media(media, concurrency=2, batch_size=64)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, tys, dims, vals = [], [], [], []
+        for mid, ty, f in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["features"].to_pylist(),
+        ):
+            for d, v in enumerate(f):
+                ids.append(mid)
+                tys.append(ty)
+                dims.append(d)
+                vals.append(v)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="object"),
+                "media_type": pd.Series(tys, dtype="object"),
+                "dim": pd.Series(dims, dtype="int64"),
+                "value": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))) AS bts,
+         length(text) AS m
+  FROM documents
+), dims(dim) AS (SELECT unnest(range(0, 16))),
+img AS (
+  SELECT doc_id, CAST(floor(((bts[CAST((3*j) % m AS INT) + 1]
+                            + bts[CAST((3*j + 1) % m AS INT) + 1]
+                            + bts[CAST((3*j + 2) % m AS INT) + 1]) / 3.0) / 16) AS INT)
+           AS bin
+  FROM b, unnest(range(0, 256)) AS t(j) WHERE doc_id % 3 = 0
+), imgc AS (
+  SELECT doc_id, bin, count(*) AS c FROM img GROUP BY doc_id, bin
+), imgf AS (
+  SELECT b.media_id, b.media_type, d.dim, coalesce(ic.c, 0) / 256.0 AS value
+  FROM b CROSS JOIN dims d
+  LEFT JOIN imgc ic ON ic.doc_id = b.doc_id AND ic.bin = d.dim
+  WHERE b.doc_id % 3 = 0
+), audf AS (
+  SELECT media_id, media_type, CAST(j // 128 AS INT) AS dim,
+         sum(bts[CAST(j % m AS INT) + 1]) / 128.0 / 255.0 AS value
+  FROM b, unnest(range(0, 2048)) AS t(j) WHERE doc_id % 3 = 1
+  GROUP BY media_id, media_type, j // 128
+), vidm AS (
+  -- frame stride 2: dim i = mean of frame 2i, the first 256 bytes of
+  -- each 512-byte pair; dims 4..15 are zero padding
+  SELECT media_id, media_type, CAST(j // 512 AS INT) AS dim,
+         sum(bts[CAST(j % m AS INT) + 1]) / 256.0 / 255.0 AS value
+  FROM b, unnest(range(0, 2048)) AS t(j)
+  WHERE doc_id % 3 = 2 AND j % 512 < 256
+  GROUP BY media_id, media_type, j // 512
+), vidf AS (
+  SELECT b.media_id, b.media_type, d.dim, coalesce(v.value, 0.0) AS value
+  FROM b CROSS JOIN dims d
+  LEFT JOIN vidm v ON v.media_id = b.media_id AND v.dim = d.dim
+  WHERE b.doc_id % 3 = 2
+)
+SELECT media_id, media_type, CAST(dim AS BIGINT) AS dim, value FROM imgf
+UNION ALL SELECT media_id, media_type, CAST(dim AS BIGINT), value FROM audf
+UNION ALL SELECT media_id, media_type, CAST(dim AS BIGINT), value FROM vidf
+"""
+
+
+def q_multimodal_preprocessed(sf_dir: str):
+    """M2/M3 in the chain: decode -> grayscale/box-blur/percentile
+    contrast/deskew -> featurize (all actor-pool stages).  The oracle
+    replays the image kernels in SQL — ITU-R 601 luma, 3x3 edge-padded
+    blur with the engine's exact summation order, numpy's two-sided
+    percentile lerp, the (x-lo)*(255/(hi-lo)) stretch, and
+    round-half-even — bit-for-bit; audio/video rows pass through
+    untouched (deskew is a no-op on the synthetic payloads: the skew
+    estimator is the marked cv2 seam)."""
+    from ..stages.multimodal import (
+        featurize_media,
+        media_from_text_batch,
+        preprocess_media,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    feats = featurize_media(
+        preprocess_media(media, concurrency=2, batch_size=64),
+        concurrency=2,
+        batch_size=64,
+    )
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, tys, dims, vals = [], [], [], []
+        for mid, ty, f in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["features"].to_pylist(),
+        ):
+            for d, v in enumerate(f):
+                ids.append(mid)
+                tys.append(ty)
+                dims.append(d)
+                vals.append(v)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="object"),
+                "media_type": pd.Series(tys, dtype="object"),
+                "dim": pd.Series(dims, dtype="int64"),
+                "value": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_PREPROCESSED = """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))) AS bts,
+         length(text) AS m
+  FROM documents
+), dims(dim) AS (SELECT unnest(range(0, 16))),
+lum AS (
+  SELECT doc_id, media_id,
+         list_transform(range(0, 256), j ->
+            bts[CAST((3*j) % m AS INT) + 1] * 0.299
+          + bts[CAST((3*j + 1) % m AS INT) + 1] * 0.587
+          + bts[CAST((3*j + 2) % m AS INT) + 1] * 0.114) AS L
+  FROM b WHERE doc_id % 3 = 0
+), blur AS (
+  -- 3x3 edge-padded box blur; term order matches the engine's di-major
+  -- Python sum (double addition is order-sensitive)
+  SELECT doc_id, media_id,
+         list_transform(range(0, 256), j ->
+           ( L[greatest(0, (j // 16) - 1) * 16 + greatest(0, (j % 16) - 1) + 1]
+           + L[greatest(0, (j // 16) - 1) * 16 + (j % 16) + 1]
+           + L[greatest(0, (j // 16) - 1) * 16 + least(15, (j % 16) + 1) + 1]
+           + L[(j // 16) * 16 + greatest(0, (j % 16) - 1) + 1]
+           + L[(j // 16) * 16 + (j % 16) + 1]
+           + L[(j // 16) * 16 + least(15, (j % 16) + 1) + 1]
+           + L[least(15, (j // 16) + 1) * 16 + greatest(0, (j % 16) - 1) + 1]
+           + L[least(15, (j // 16) + 1) * 16 + (j % 16) + 1]
+           + L[least(15, (j // 16) + 1) * 16 + least(15, (j % 16) + 1) + 1]
+           ) / 9.0) AS G
+  FROM lum
+), pct AS (
+  SELECT doc_id, media_id, G, list_sort(G) AS S,
+         floor(0.02 * 255) AS flo, 0.02 * 255 - floor(0.02 * 255) AS tlo,
+         floor(0.98 * 255) AS fhi, 0.98 * 255 - floor(0.98 * 255) AS thi
+  FROM blur
+), lim AS (
+  -- numpy _lerp: a + t*(b-a) for t < 0.5, b - (1-t)*(b-a) otherwise
+  SELECT doc_id, media_id, G,
+         CASE WHEN tlo >= 0.5
+              THEN S[CAST(flo AS INT) + 2] - (S[CAST(flo AS INT) + 2] - S[CAST(flo AS INT) + 1]) * (1 - tlo)
+              ELSE S[CAST(flo AS INT) + 1] + (S[CAST(flo AS INT) + 2] - S[CAST(flo AS INT) + 1]) * tlo END AS lo,
+         CASE WHEN thi >= 0.5
+              THEN S[CAST(fhi AS INT) + 2] - (S[CAST(fhi AS INT) + 2] - S[CAST(fhi AS INT) + 1]) * (1 - thi)
+              ELSE S[CAST(fhi AS INT) + 1] + (S[CAST(fhi AS INT) + 2] - S[CAST(fhi AS INT) + 1]) * thi END AS hi
+  FROM pct
+), stretched AS (
+  SELECT doc_id, media_id,
+         list_transform(G, x -> CASE WHEN hi <= lo THEN x
+            ELSE least(greatest((x - lo) * (255.0 / (hi - lo)), 0), 255) END) AS P
+  FROM lim
+), pix AS (
+  -- np.rint: round half to even
+  SELECT doc_id, media_id,
+         CASE WHEN x - floor(x) > 0.5 THEN floor(x) + 1
+              WHEN x - floor(x) < 0.5 THEN floor(x)
+              WHEN CAST(floor(x) AS BIGINT) % 2 = 0 THEN floor(x)
+              ELSE floor(x) + 1 END AS v
+  FROM stretched, unnest(P) AS t(x)
+), binc AS (
+  SELECT doc_id, CAST(v AS INT) // 16 AS bin, count(*) AS c
+  FROM pix GROUP BY doc_id, CAST(v AS INT) // 16
+), imgf AS (
+  SELECT b.media_id, b.media_type, d.dim, coalesce(bn.c, 0) / 256.0 AS value
+  FROM b CROSS JOIN dims d
+  LEFT JOIN binc bn ON bn.doc_id = b.doc_id AND bn.bin = d.dim
+  WHERE b.doc_id % 3 = 0
+), audf AS (
+  SELECT media_id, media_type, CAST(j // 128 AS INT) AS dim,
+         sum(bts[CAST(j % m AS INT) + 1]) / 128.0 / 255.0 AS value
+  FROM b, unnest(range(0, 2048)) AS t(j) WHERE doc_id % 3 = 1
+  GROUP BY media_id, media_type, j // 128
+), vidm AS (
+  SELECT media_id, media_type, CAST(j // 512 AS INT) AS dim,
+         sum(bts[CAST(j % m AS INT) + 1]) / 256.0 / 255.0 AS value
+  FROM b, unnest(range(0, 2048)) AS t(j)
+  WHERE doc_id % 3 = 2 AND j % 512 < 256
+  GROUP BY media_id, media_type, j // 512
+), vidf AS (
+  SELECT b.media_id, b.media_type, d.dim, coalesce(v.value, 0.0) AS value
+  FROM b CROSS JOIN dims d
+  LEFT JOIN vidm v ON v.media_id = b.media_id AND v.dim = d.dim
+  WHERE b.doc_id % 3 = 2
+)
+SELECT media_id, media_type, CAST(dim AS BIGINT) AS dim, value FROM imgf
+UNION ALL SELECT media_id, media_type, CAST(dim AS BIGINT), value FROM audf
+UNION ALL SELECT media_id, media_type, CAST(dim AS BIGINT), value FROM vidf
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, LSH scale path: the SAME seeded hyperplanes the
+# engine draws are inlined as double literals, so the oracle reproduces
+# the bucket keys (sign of raw-embedding x plane dots) and verifies
+# in-bucket cosine >= threshold; a pair only needs one of the 8 tables.
+# ---------------------------------------------------------------------------
+_EDL_THRESHOLD = 0.45
+_EDL_PLANES = 6
+_EDL_TABLES = 8
+_EDL_SEED = 11
+
+
+def q_embedding_dup_lsh(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(
+        ds,
+        threshold=_EDL_THRESHOLD,
+        n_planes=_EDL_PLANES,
+        n_tables=_EDL_TABLES,
+        seed=_EDL_SEED,
+    ).to_pandas()
+    pairs["cosine"] = pairs["cosine"].round(6)
+    return pairs
+
+
+def _sql_embedding_dup_lsh() -> str:
+    dim = 64  # driver embeddings are 64-dim
+    planes = np.random.RandomState(_EDL_SEED).normal(
+        size=(_EDL_TABLES, _EDL_PLANES, dim)
+    )
+    key_exprs = []
+    for t in range(_EDL_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {[float(x) for x in planes[t][b]]}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(_EDL_PLANES)
+        )
+        key_exprs.append(f"({bits} + {t << _EDL_PLANES})")
+    keys = ", ".join(key_exprs)
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keyed AS (
+  SELECT vec_id, v, [{keys}] AS ks FROM u
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM keyed a JOIN keyed b ON a.vec_id < b.vec_id
+WHERE len(list_intersect(a.ks, b.ks)) > 0
+  AND list_cosine_similarity(a.v, b.v) >= {_EDL_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_DUP_LSH = _sql_embedding_dup_lsh()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -2958,6 +3346,17 @@ SQL_QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "knn_cosine_ivf": (q_knn_cosine_ivf, SQL_KNN_COSINE),
+    "embedding_dup_lsh": (q_embedding_dup_lsh, SQL_EMBEDDING_DUP_LSH),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_preprocessed": (
+        q_multimodal_preprocessed,
+        SQL_MULTIMODAL_PREPROCESSED,
+    ),
+    "approx_distinct_by_lang": (
+        q_approx_distinct_by_lang,
+        SQL_APPROX_DISTINCT_BY_LANG,
+    ),
+    "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "normalize_hash": (q_normalize_hash, SQL_NORMALIZE_HASH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "exact_match_join": (q_exact_match_join, SQL_EXACT_MATCH_JOIN),

@@ -213,8 +213,8 @@ def _score_factory(cfg: dict, fallback_ref):
     return score_bucket
 
 
-def _hot_keys(build_enriched: ray.data.Dataset, threshold: int) -> dict:
-    """Keys whose build-side frequency exceeds ``threshold``.
+def _key_totals(build_enriched: ray.data.Dataset) -> pd.Series:
+    """Build-side frequency per join key.
 
     Batch-local partial counts -> driver merge: rows moved =
     (distinct keys per batch), and only counts — never the rows.
@@ -232,7 +232,25 @@ def _hot_keys(build_enriched: ray.data.Dataset, threshold: int) -> dict:
         )
 
     parts = build_enriched.map_batches(partial, batch_format="pyarrow").to_pandas()
-    totals = parts.groupby("key")["n"].sum()
+    return parts.groupby("key")["n"].sum()
+
+
+# A key is auto-salted when its build rows alone exceed a bucket's fair
+# share of the exchange; the floor keeps tiny corpora unsalted (probe
+# replication costs factor x rows on hot keys — pure overhead when every
+# bucket fits a worker anyway).
+AUTO_SALT_MIN = 256
+
+
+def _hot_keys(build_enriched: ray.data.Dataset, threshold, n_buckets: int) -> dict:
+    """Keys to salt: explicit ``threshold`` (int), or "auto" — derived
+    from the same frequency pass as max(AUTO_SALT_MIN, total/n_buckets),
+    i.e. a key hotter than one bucket's fair share of all key rows."""
+    totals = _key_totals(build_enriched)
+    if threshold == "auto":
+        if not len(totals):
+            return {}
+        threshold = max(AUTO_SALT_MIN, int(totals.sum()) // n_buckets)
     return {k: int(n) for k, n in totals.items() if n > threshold}
 
 
@@ -240,14 +258,17 @@ def run_match_shuffle(
     probe_enriched: ray.data.Dataset,
     build_enriched: ray.data.Dataset,
     cfg: Optional[dict] = None,
-    salt_threshold: Optional[int] = None,
+    salt_threshold="auto",
     salt_factor: int = 8,
 ) -> ray.data.Dataset:
     """Enriched probe + build span Datasets -> match-result rows
     (schema identical to the broadcast ``PageMatcher`` output).
 
     ``salt_threshold``: build-side key frequency above which a key is
-    salted ``salt_factor`` ways (None = no salting pass)."""
+    salted ``salt_factor`` ways.  Default "auto" derives the threshold
+    from the build-side frequency pass (a key hotter than one bucket's
+    fair share, floored at ``AUTO_SALT_MIN``); an int pins it; None
+    skips the frequency pass entirely."""
     cfg = dict(cfg or MATCHING)
 
     # each side is consumed by two branches (key-explode + seeds/fallback);
@@ -269,7 +290,7 @@ def run_match_shuffle(
     fallback_ref = ray.put(PageIndex.from_rows(fb_rows))
 
     hot = (
-        _hot_keys(build_enriched, salt_threshold)
+        _hot_keys(build_enriched, salt_threshold, n_buckets=64)
         if salt_threshold is not None
         else {}
     )

@@ -148,7 +148,7 @@ def test_salted_shuffle_match_equals_broadcast():
             .reset_index(drop=True)
         )
 
-    plain = norm(run_match_shuffle(probe_e, build_e))
+    plain = norm(run_match_shuffle(probe_e, build_e, salt_threshold=None))
     salted = norm(run_match_shuffle(probe_e, build_e, salt_threshold=0, salt_factor=4))
     assert len(plain) == len(salted)
     for col in plain.columns:
@@ -158,6 +158,66 @@ def test_salted_shuffle_match_equals_broadcast():
             assert [list(k) for k in plain[col]] == [list(k) for k in salted[col]]
         else:
             assert plain[col].tolist() == salted[col].tolist(), f"mismatch in {col}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_salting_detects_planted_hot_key_and_preserves_output():
+    """A build side where most pages share one date must trip the auto
+    threshold on that date key, and the salted run must equal the
+    unsalted one row for row."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.pipelines.compare import enrich_spans, merge_matches
+    from pdf_ocr_comparison_tool_ray.stages import match_shuffle as ms
+    from pdf_ocr_comparison_tool_ray.stages.match_shuffle import (
+        _hot_keys,
+        run_match_shuffle,
+    )
+
+    hot_date = "2024-06-01"
+    build_rows = [
+        {
+            "doc_id": f"b{i:03d}",
+            "offset": 0,
+            "text": f"doc {i} payload 金额: {i}00 dated {hot_date}",
+        }
+        for i in range(40)
+    ]
+    probe_rows = [
+        {"doc_id": f"p{i:03d}", "offset": 0, "text": f"probe {i} dated {hot_date}"}
+        for i in range(10)
+    ]
+    build_e = enrich_spans(ray.data.from_pandas(pd.DataFrame(build_rows))).materialize()
+    probe_e = enrich_spans(ray.data.from_pandas(pd.DataFrame(probe_rows))).materialize()
+
+    # auto mode with a floor below the planted frequency must salt d:<hot_date>
+    old_min = ms.AUTO_SALT_MIN
+    ms.AUTO_SALT_MIN = 8
+    try:
+        hot = _hot_keys(build_e, "auto", n_buckets=64)
+        assert f"d:{hot_date}" in hot
+
+        def norm(ds):
+            return (
+                merge_matches(ds)
+                .to_pandas()
+                .sort_values(["source_doc_id", "source_start"])
+                .reset_index(drop=True)
+            )
+
+        unsalted = norm(run_match_shuffle(probe_e, build_e, salt_threshold=None))
+        auto = norm(run_match_shuffle(probe_e, build_e, salt_threshold="auto"))
+    finally:
+        ms.AUTO_SALT_MIN = old_min
+    assert len(unsalted) == len(auto)
+    for col in unsalted.columns:
+        if col == "similarity":
+            assert (unsalted[col] - auto[col]).abs().max() < 1e-12
+        elif col == "matched_keywords":
+            assert [list(k) for k in unsalted[col]] == [list(k) for k in auto[col]]
+        else:
+            assert unsalted[col].tolist() == auto[col].tolist(), f"mismatch in {col}"
 
 
 @pytest.mark.usefixtures("ray_session")
