@@ -95,12 +95,14 @@ def run_headline() -> dict:
 
     # best-of-2: single-box wall times swing +/-2x with host noise
     # (BASELINE.md drift note); noise is one-sided so min() is the stable
-    # estimator — same methodology as the scaling legs
+    # estimator — same methodology as the scaling legs.  The mean and the
+    # raw legs are reported alongside so the headline is auditable.
     dt1, n_spans = one_run()
     dt2, _ = one_run()
     dt = min(dt1, dt2)
-    return {"sec": dt, "n_docs": n_docs, "n_spans": n_spans,
-            "docs_per_sec": n_docs / dt}
+    return {"sec": dt, "sec_runs": [round(dt1, 3), round(dt2, 3)],
+            "sec_mean": (dt1 + dt2) / 2.0, "n_docs": n_docs,
+            "n_spans": n_spans, "docs_per_sec": n_docs / dt}
 
 
 def run_queries() -> dict:
@@ -135,7 +137,67 @@ def run_queries() -> dict:
     return times
 
 
+def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
+    """Compact N->4N measurement (fresh subprocesses, bracketed pure-CPU
+    core-speed probes) — the evidence block the driver's BENCH record
+    carries: raw efficiency, the measured single-box per-core frequency
+    penalty, and the frequency-adjusted efficiency (the
+    cluster-predictive number; on a real N-node vs 4N-node cluster every
+    node runs the same per-core load and the penalty term vanishes)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="extract",
+            GRAFT_BENCH_NO_SCALING="1",
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_REPLICATION=replication,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    p = _core_speed(lo)
+    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    probe_lo = (p + _core_speed(lo)) / 2.0
+    p = _core_speed(hi)
+    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
+    probe_hi = (p + _core_speed(hi)) / 2.0
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    core_slowdown = probe_hi / probe_lo
+    return {
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "core_speed_probe_sec_lo": round(probe_lo, 3),
+        "core_speed_probe_sec_hi": round(probe_hi, 3),
+        "core_slowdown_hi_vs_lo": round(core_slowdown, 3),
+        "scaling_efficiency_freq_adjusted": round(eff * core_slowdown, 3),
+    }
+
+
 def main() -> None:
+    # the scaling evidence runs FIRST, before this process opens its own
+    # Ray session — its legs are fresh subprocesses and must be the only
+    # sessions alive while timing
+    scaling_block = None
+    if NUM_CPUS >= 16 and not (
+        HEADLINE_ONLY or os.environ.get("GRAFT_BENCH_NO_SCALING")
+    ):
+        scaling_block = _scaling_legs(
+            8, NUM_CPUS, os.environ.get("GRAFT_SCALING_REPLICATION", "64")
+        )
+
     import ray
 
     ray.init(
@@ -152,22 +214,23 @@ def main() -> None:
 
     head = run_headline()
     queries = {} if HEADLINE_ONLY else run_queries()
-    print(
-        json.dumps(
-            {
-                "metric": "interleaved-extraction end-to-end wall time "
-                          "(docs_per_sec = headline throughput)",
-                "value": round(head["sec"], 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "n_docs": head["n_docs"],
-                "n_spans": head["n_spans"],
-                "docs_per_sec": round(head["docs_per_sec"], 2),
-            }
-        )
-    )
+    record = {
+        "metric": "interleaved-extraction end-to-end wall time "
+                  "(docs_per_sec = headline throughput)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "value_mean": round(head["sec_mean"], 3),
+        "value_runs": head["sec_runs"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": head["n_docs"],
+        "n_spans": head["n_spans"],
+        "docs_per_sec": round(head["docs_per_sec"], 2),
+    }
+    if scaling_block is not None:
+        record["scaling"] = scaling_block
+    print(json.dumps(record))
     ray.shutdown()
 
 

@@ -74,9 +74,13 @@ def main() -> int:
     oc = args.ocr_concurrency or None
 
     def rename_spans(out):
-        # match stages key on `offset` (the reassembled seq IS the order)
+        # match stages key on `offset` (the reassembled seq IS the order);
+        # select before rename so added span columns (bbox) don't shift
+        # the positional mapping
         return out.map_batches(
-            lambda t: t.rename_columns(
+            lambda t: t.select(
+                ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
+            ).rename_columns(
                 ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
             ),
             batch_format="pyarrow",

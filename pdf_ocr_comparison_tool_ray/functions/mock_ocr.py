@@ -34,6 +34,20 @@ def decode_media(media_ref: str) -> str:
         return ""
 
 
+def mock_bbox(text: str) -> list:
+    """Deterministic page-region box for a recognized text fragment.
+
+    The unified ``[x1, y1, x2, y2]`` 4-tuple of SURVEY §7.6 (the
+    DeepSeek shape, ``deepseek_ocr2_engine.py:21-26``; Paddle's
+    polygons, ``ocr_engine.py:18-23``, normalize to this rect): left
+    margin at x=72pt, width ~6pt/char capped at the text column, 20pt
+    line height at 8 words/line — a real engine returns measured boxes
+    from the same slot.
+    """
+    n_lines = max(1, (len(text.split(" ")) + 7) // 8)
+    return [72, 0, 72 + 6 * min(len(text), 100), 20 * n_lines]
+
+
 def mock_confidence(text: str) -> float:
     """Deterministic pseudo-confidence in [0.90, 0.998] keyed on content.
 

@@ -54,6 +54,30 @@ def serialize_text_layer(text: str, block_order: List[int] | None = None,
     return "\n".join(out)
 
 
+def text_layer_bbox(payload: str) -> List[int]:
+    """Geometry of the parsed layer: the union box of its positioned
+    blocks/lines as the unified ``[x1, y1, x2, y2]`` 4-tuple (SURVEY
+    §7.6).  Width is 6pt/char of the widest line; a non-layer payload
+    has no geometry -> [0, 0, 0, 0]."""
+    if not payload.startswith(MAGIC):
+        return [0, 0, 0, 0]
+    min_x, min_y, max_y, max_w = None, None, None, 0
+    for raw in payload.split("\n")[1:]:
+        if raw.startswith("B "):
+            parts = raw.split(" ")
+            x = int(parts[2])
+            min_x = x if min_x is None else min(min_x, x)
+        elif raw.startswith("L "):
+            _, y_str, *rest = raw.split(" ")
+            y = int(y_str)
+            min_y = y if min_y is None else min(min_y, y)
+            max_y = y if max_y is None else max(max_y, y)
+            max_w = max(max_w, len(" ".join(rest)))
+    if min_x is None or min_y is None:
+        return [0, 0, 0, 0]
+    return [min_x, min_y, min_x + 6 * max_w, max_y + 20]
+
+
 def parse_text_layer(payload: str) -> str:
     """Reconstruct reading-order text from the serialization."""
     if not payload.startswith(MAGIC):

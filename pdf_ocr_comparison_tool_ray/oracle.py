@@ -19,7 +19,9 @@ def golden_spans_for_doc(doc_id: str, text: str, seed: int = 42) -> List[Dict]:
     spans = sorted(derive_spans(doc_id, text, seed), key=lambda s: s["offset"])
     rows: List[Dict] = []
     for seq, s in enumerate(spans):
-        extracted, route, score = extract_span(s["kind"], s["text"], s["media_ref"])
+        extracted, route, score, bbox = extract_span(
+            s["kind"], s["text"], s["media_ref"]
+        )
         rows.append(
             {
                 "doc_id": doc_id,
@@ -29,6 +31,7 @@ def golden_spans_for_doc(doc_id: str, text: str, seed: int = 42) -> List[Dict]:
                 "media_ref": s["media_ref"],
                 "route": route,
                 "score": score,
+                "bbox": bbox,
             }
         )
     return rows

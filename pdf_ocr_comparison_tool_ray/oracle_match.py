@@ -26,7 +26,7 @@ def enriched_pages(corpus: List[Tuple[str, str]], seed: int = 42) -> List[dict]:
     for doc_id, text in sorted(corpus, key=lambda p: p[0]):
         spans = sorted(derive_spans(doc_id, text, seed), key=lambda s: s["offset"])
         for s in spans:
-            extracted, _, _ = extract_span(s["kind"], s["text"], s["media_ref"])
+            extracted, _, _, _ = extract_span(s["kind"], s["text"], s["media_ref"])
             out.append(
                 {
                     "doc_id": doc_id,

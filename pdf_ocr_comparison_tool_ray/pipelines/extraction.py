@@ -115,8 +115,14 @@ def extract_spans(
     batch_size="auto",
     num_output_blocks: Optional[int] = None,
     agreement_threshold: Optional[float] = None,
+    preprocess: bool = False,
 ) -> ray.data.Dataset:
     """Interleaved documents -> extracted (unordered) span rows.
+
+    ``preprocess=True`` runs the M2/M3 image chain (grayscale -> denoise
+    -> contrast -> deskew, warmed per actor) on each scan span's page
+    image ahead of recognition — the reference's off-by-default
+    ``ocr_engine.py:75-115`` preprocessing (``config.yaml:131-134``).
 
     ``agreement_threshold`` overrides the native-vs-OCR route choice for
     pdf spans (None -> config default).  A value > 1 forces the OCR
@@ -145,7 +151,10 @@ def extract_spans(
         batch_format="pyarrow",
         batch_size=STAGE["ocr_batch_size"] if batch_size == "auto" else batch_size,
         concurrency=ocr_concurrency,
-        fn_constructor_kwargs={"agreement_threshold": agreement_threshold},
+        fn_constructor_kwargs={
+            "agreement_threshold": agreement_threshold,
+            "preprocess": preprocess,
+        },
     )
 
 
@@ -385,6 +394,7 @@ def run_extraction(
     batch_size="auto",
     num_output_blocks: Optional[int] = None,
     agreement_threshold: Optional[float] = None,
+    preprocess: bool = False,
 ) -> ray.data.Dataset:
     """Full flagship pipeline over an interleaved documents Dataset.
 
@@ -403,6 +413,7 @@ def run_extraction(
         batch_size=batch_size,
         num_output_blocks=num_output_blocks,
         agreement_threshold=agreement_threshold,
+        preprocess=preprocess,
     )
     if num_output_blocks is None and batch_size is None:
         return reassemble_local(extracted, expect_dense_offsets=True)

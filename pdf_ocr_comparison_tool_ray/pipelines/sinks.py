@@ -71,19 +71,21 @@ def _nest_batch(batch: pa.Table) -> pa.Table:
     """
     import numpy as np
 
+    has_bbox = "bbox" in batch.column_names
     if len(batch) == 0:
         # empty block (empty input split / upstream filter): emit the
         # explicit nested schema instead of indexing into nothing
-        span_t = pa.struct(
-            [
-                ("kind", pa.string()),
-                ("text", pa.string()),
-                ("media_ref", pa.string()),
-                ("offset", pa.int32()),
-                ("route", pa.string()),
-                ("score", pa.float64()),
-            ]
-        )
+        fields = [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+            ("route", pa.string()),
+            ("score", pa.float64()),
+        ]
+        if has_bbox:
+            fields.append(("bbox", pa.list_(pa.int32())))
+        span_t = pa.struct(fields)
         return pa.schema(
             [("doc_id", batch.schema.field("doc_id").type), ("spans", pa.list_(span_t))]
         ).empty_table()
@@ -98,17 +100,19 @@ def _nest_batch(batch: pa.Table) -> pa.Table:
     change[1:] = doc[1:] != doc[:-1]
     starts = np.flatnonzero(change)
     offsets = np.append(starts, n).astype("int32")
-    span_struct = pa.StructArray.from_arrays(
-        [
-            g["kind"].combine_chunks(),
-            g["text"].combine_chunks(),
-            g["media_ref"].combine_chunks(),
-            pa.compute.cast(g["seq"].combine_chunks(), pa.int32()),
-            g["route"].combine_chunks(),
-            g["score"].combine_chunks(),
-        ],
-        names=["kind", "text", "media_ref", "offset", "route", "score"],
-    )
+    arrays = [
+        g["kind"].combine_chunks(),
+        g["text"].combine_chunks(),
+        g["media_ref"].combine_chunks(),
+        pa.compute.cast(g["seq"].combine_chunks(), pa.int32()),
+        g["route"].combine_chunks(),
+        g["score"].combine_chunks(),
+    ]
+    names = ["kind", "text", "media_ref", "offset", "route", "score"]
+    if has_bbox:
+        arrays.append(g["bbox"].combine_chunks())
+        names.append("bbox")
+    span_struct = pa.StructArray.from_arrays(arrays, names=names)
     spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), span_struct)
     return pa.table({"doc_id": pa.array(doc[starts]), "spans": spans})
 

@@ -18,15 +18,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import EXTRACTION
+from ..functions.extract import NO_BBOX
 from ..functions.html_strip import strip_html
 from ..functions.mock_ocr import (
     decode_media,
     decode_media_accurate,
+    mock_bbox,
     mock_confidence,
     mock_confidence_accurate,
 )
-from ..functions.pdf_parse import parse_text_layer
+from ..functions.pdf_parse import parse_text_layer, text_layer_bbox
 from ..functions.similarity import agreement_ratio
+
+_BBOX_TYPE = pa.list_(pa.int32())
 
 
 # ---------------------------------------------------------------------------
@@ -84,6 +88,7 @@ def extract_light_batch(batch: pa.Table) -> pa.Table:
             "offset": batch["offset"],
             "route": pa.array(routes),
             "score": pa.array([1.0] * n, type=pa.float64()),
+            "bbox": pa.array([NO_BBOX] * n, type=_BBOX_TYPE),
         }
     )
 
@@ -93,6 +98,7 @@ class SpanExtractor:
         self,
         agreement_threshold: float | None = None,
         extra_extractors: dict | None = None,
+        preprocess: bool = False,
     ):
         self.thr = (
             agreement_threshold
@@ -106,6 +112,36 @@ class SpanExtractor:
         self._ocr = decode_media
         # custom kinds: module registry merged with per-pipeline extractors
         self._custom = {**EXTRACTOR_REGISTRY, **(extra_extractors or {})}
+        # M2/M3 image preprocessing ahead of the recognizer — the
+        # reference's off-by-default chain (ocr_engine.py:75-115,
+        # config.yaml:131-134).  The kernel object is warmed per actor
+        # like a real cv2/PIL pipeline would be.
+        self._pre = None
+        self.preprocessed_spans = 0  # per-actor counter (A6-style stat)
+        if preprocess:
+            from .multimodal import ImagePreprocessor
+
+            self._pre = ImagePreprocessor()
+
+    def _preprocess_page(self, media_ref: str) -> None:
+        """Run the real M2/M3 kernels on the span's page image.
+
+        The mock codec's payload carries the page TEXT (there are no
+        rendered glyphs to recognize), so the page image fed to the
+        kernels is the deterministic byte-tiled rendering of that payload
+        — the same derivation ``multimodal.media_from_text_batch`` uses —
+        and the recognizer still reads the payload's text channel.  A
+        real deployment rasterizes the page, passes it through this exact
+        ``preprocess_one`` call, and feeds the RETURNED image to the
+        model instead.
+        """
+        import numpy as np
+
+        raw = np.frombuffer(
+            self._ocr(media_ref).encode()[:4096].ljust(16, b"\0"), dtype=np.uint8
+        )
+        self._pre.preprocess_one(np.resize(raw, (16, 16, 3)).astype(np.uint8))
+        self.preprocessed_spans += 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind_arr = batch["kind"]
@@ -122,6 +158,7 @@ class SpanExtractor:
                     "offset": batch["offset"],
                     "route": pa.array(["native"] * n),
                     "score": pa.array([1.0] * n, type=pa.float64()),
+                    "bbox": pa.array([NO_BBOX] * n, type=_BBOX_TYPE),
                 }
             )
         kinds = kind_arr.to_pylist()
@@ -130,6 +167,7 @@ class SpanExtractor:
         out_text = texts  # reuse list; overwrite in place where routed
         routes = [""] * n
         scores = [0.0] * n
+        bboxes = [NO_BBOX] * n
         thr = self.thr
         for i, k in enumerate(kinds):
             # poison-row quarantine: a malformed payload marks ITS span
@@ -146,32 +184,45 @@ class SpanExtractor:
                     routes[i] = "html"
                     scores[i] = 1.0
                 elif k == "scan":
+                    if self._pre is not None:
+                        self._preprocess_page(refs[i])
                     decoded = self._ocr(refs[i])
                     out_text[i] = decoded
                     routes[i] = "ocr"
                     scores[i] = mock_confidence(decoded)
+                    bboxes[i] = mock_bbox(decoded)
                 elif k == "pdf":
+                    # geometry must come from the LAYER before the
+                    # in-place out_text overwrite (out_text aliases texts)
+                    layer_box = text_layer_bbox(texts[i])
                     native = self._parse_pdf(texts[i])
                     if not refs[i]:
                         out_text[i] = native
                         routes[i] = "native"
                         scores[i] = 1.0
+                        bboxes[i] = layer_box
                     else:
                         ocr = self._ocr(refs[i])
                         ratio = agreement_ratio(native, ocr)
-                        out_text[i] = native if ratio >= thr else ocr
-                        routes[i] = "native" if ratio >= thr else "ocr"
+                        win_native = ratio >= thr
+                        out_text[i] = native if win_native else ocr
+                        routes[i] = "native" if win_native else "ocr"
                         scores[i] = ratio
+                        bboxes[i] = layer_box if win_native else mock_bbox(ocr)
                 elif k in self._custom:
-                    out_text[i], routes[i], scores[i] = self._custom[k](
-                        texts[i], refs[i]
-                    )
+                    res = self._custom[k](texts[i], refs[i])
+                    # registry extractors may return (text, route, score)
+                    # or the 4-tuple with a bbox
+                    out_text[i], routes[i], scores[i] = res[0], res[1], res[2]
+                    if len(res) > 3:
+                        bboxes[i] = list(res[3])
                 else:
                     routes[i] = "passthrough"
             except Exception:
                 out_text[i] = texts[i]
                 routes[i] = "error"
                 scores[i] = 0.0
+                bboxes[i] = NO_BBOX
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -181,6 +232,7 @@ class SpanExtractor:
                 "offset": batch["offset"],
                 "route": pa.array(routes),
                 "score": pa.array(scores, type=pa.float64()),
+                "bbox": pa.array(bboxes, type=_BBOX_TYPE),
             }
         )
 
@@ -205,8 +257,13 @@ class SecondPassExtractor:
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         scores = batch["score"].to_pylist()
-        out_t, out_r, out_s = [], [], []
-        for t0, ref, s0 in zip(texts, refs, scores):
+        bboxes = (
+            batch["bbox"].to_pylist()
+            if "bbox" in batch.column_names
+            else [NO_BBOX] * len(batch)
+        )
+        out_t, out_r, out_s, out_b = [], [], [], []
+        for t0, ref, s0, b0 in zip(texts, refs, scores, bboxes):
             try:
                 t2 = self._ocr2(ref)
                 s2 = mock_confidence_accurate(t2)
@@ -216,10 +273,12 @@ class SecondPassExtractor:
                 out_t.append(t2)
                 out_r.append("ocr2")
                 out_s.append(s2)
+                out_b.append(mock_bbox(t2))
             else:
                 out_t.append(t0)
                 out_r.append("ocr")
                 out_s.append(s0)
+                out_b.append(b0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -229,5 +288,6 @@ class SecondPassExtractor:
                 "offset": batch["offset"],
                 "route": pa.array(out_r, type=pa.string()),
                 "score": pa.array(out_s, type=pa.float64()),
+                "bbox": pa.array(out_b, type=_BBOX_TYPE),
             }
         )

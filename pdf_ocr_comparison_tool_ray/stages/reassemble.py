@@ -71,17 +71,18 @@ def reassemble_batch_local(
                 "(dynamic block splitting?). Use the groupby(doc_id) "
                 "shuffle reassembly path for this input."
             )
-    return pa.table(
-        {
-            "doc_id": g["doc_id"],
-            "seq": pa.array(seq.astype(np.int32)),
-            "kind": g["kind"],
-            "text": g["text"],
-            "media_ref": g["media_ref"],
-            "route": g["route"],
-            "score": g["score"],
-        }
-    )
+    cols = {
+        "doc_id": g["doc_id"],
+        "seq": pa.array(seq.astype(np.int32)),
+        "kind": g["kind"],
+        "text": g["text"],
+        "media_ref": g["media_ref"],
+        "route": g["route"],
+        "score": g["score"],
+    }
+    if "bbox" in g.column_names:
+        cols["bbox"] = g["bbox"]
+    return pa.table(cols)
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:
@@ -92,14 +93,15 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     )
     g = group.take(idx)
     seq = pa.array(np.arange(len(g), dtype=np.int32))
-    return pa.table(
-        {
-            "doc_id": g["doc_id"],
-            "seq": seq,
-            "kind": g["kind"],
-            "text": g["text"],
-            "media_ref": g["media_ref"],
-            "route": g["route"],
-            "score": g["score"],
-        }
-    )
+    cols = {
+        "doc_id": g["doc_id"],
+        "seq": seq,
+        "kind": g["kind"],
+        "text": g["text"],
+        "media_ref": g["media_ref"],
+        "route": g["route"],
+        "score": g["score"],
+    }
+    if "bbox" in g.column_names:
+        cols["bbox"] = g["bbox"]
+    return pa.table(cols)

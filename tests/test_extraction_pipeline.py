@@ -53,6 +53,7 @@ def test_span_sequence_equality_small():
     for col in ["doc_id", "seq", "kind", "text", "media_ref", "route"]:
         assert result[col].tolist() == golden[col].tolist(), f"mismatch in {col}"
     assert (result["score"] - golden["score"]).abs().max() < 1e-12
+    assert [list(b) for b in result["bbox"]] == golden["bbox"].tolist()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -310,3 +311,31 @@ def test_read_flat_documents_formats(tmp_path):
             got[["doc_id", "seq", "kind", "text", "media_ref"]],
             base[["doc_id", "seq", "kind", "text", "media_ref"]],
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_preprocess_routing_runs_kernels_and_preserves_output():
+    """extract_spans(preprocess=True) must run the M2/M3 kernels on every
+    scan span (per-actor counter advances) without changing the extracted
+    rows (the mock recognizer reads the payload's text channel; a real
+    engine consumes the preprocessed image from the same call)."""
+    from pdf_ocr_comparison_tool_ray.stages.extract import SpanExtractor
+    from pdf_ocr_comparison_tool_ray.sources.interleave import derive_spans
+    from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
+
+    docs = make_corpus(12, seed=3, skew_docs=0)
+    tbl = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "spans": [derive_spans(d["doc_id"], d["text"]) for d in docs],
+        }
+    )
+    spans = explode_spans(tbl)
+    n_scans = sum(k == "scan" for k in spans["kind"].to_pylist())
+    assert n_scans > 0
+
+    plain = SpanExtractor()(spans)
+    pre_extractor = SpanExtractor(preprocess=True)
+    pre = pre_extractor(spans)
+    assert pre_extractor.preprocessed_spans == n_scans
+    assert plain.equals(pre)  # recognition output unchanged by the mock seam

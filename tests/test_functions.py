@@ -148,20 +148,27 @@ def test_mock_ocr_roundtrip():
 
 
 def test_extract_span_routing():
-    text, route, score = extract_span("text", "abc", "")
+    text, route, score, bbox = extract_span("text", "abc", "")
     assert (text, route, score) == ("abc", "native", 1.0)
+    assert bbox == [0, 0, 0, 0]  # no geometry on native text spans
     chunk = "alpha beta gamma delta"
     rng = random.Random(9)
-    text, route, _ = extract_span("html", wrap_html(chunk, rng), "")
+    text, route, _, _ = extract_span("html", wrap_html(chunk, rng), "")
     assert (text, route) == (chunk, "html")
-    text, route, _ = extract_span("scan", "", encode_media(chunk))
+    text, route, _, scan_bbox = extract_span("scan", "", encode_media(chunk))
     assert (text, route) == (chunk, "ocr")
+    # OCR route carries the engine's [x1, y1, x2, y2] fragment box
+    from pdf_ocr_comparison_tool_ray.functions.mock_ocr import mock_bbox
+
+    assert scan_bbox == mock_bbox(chunk)
+    x1, y1, x2, y2 = scan_bbox
+    assert x2 > x1 and y2 > y1
     # pdf: clean layer -> native wins; fully corrupted -> ocr wins
     layer = serialize_text_layer(chunk)
-    text, route, score = extract_span("pdf", layer, encode_media(chunk))
+    text, route, score, _ = extract_span("pdf", layer, encode_media(chunk))
     assert (text, route) == (chunk, "native") and score == 1.0
     bad_layer = serialize_text_layer("zz qq vv nn")
-    text, route, score = extract_span("pdf", bad_layer, encode_media(chunk))
+    text, route, score, _ = extract_span("pdf", bad_layer, encode_media(chunk))
     assert (text, route) == (chunk, "ocr") and score < 0.85
 
 

@@ -19,7 +19,9 @@ def _extracted(docs):
     out = run_extraction(interleave(flat), ocr_concurrency=2)
     # reassembled output -> rename seq back to offset for the match stage
     return out.map_batches(
-        lambda t: t.rename_columns(
+        lambda t: t.select(
+            ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
+        ).rename_columns(
             ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
         ),
         batch_format="pyarrow",

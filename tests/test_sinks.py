@@ -25,7 +25,9 @@ def test_write_categorized_round_trip():
     out = _extracted()
     # enrich expects offset column naming
     spans = out.map_batches(
-        lambda t: t.rename_columns(
+        lambda t: t.select(
+            ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
+        ).rename_columns(
             ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
         ),
         batch_format="pyarrow",
@@ -94,7 +96,9 @@ def test_merge_by_category_artifact(tmp_path):
 
     out = _extracted(n=12, seed=7)
     spans = out.map_batches(
-        lambda t: t.rename_columns(
+        lambda t: t.select(
+            ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
+        ).rename_columns(
             ["doc_id", "offset", "kind", "text", "media_ref", "route", "score"]
         ),
         batch_format="pyarrow",
