@@ -194,8 +194,13 @@ def main() -> None:
     if NUM_CPUS >= 16 and not (
         HEADLINE_ONLY or os.environ.get("GRAFT_BENCH_NO_SCALING")
     ):
+        # replication 256 (1.28M docs, ~6.4M spans): the hi leg must run
+        # >~20 s so fixed costs (driver planning, pool spin-up, the read)
+        # amortize — measured raw efficiency by leg length: 0.68 @ rep 64
+        # (hi ~10 s), 0.71 @ 128 (~15 s), 0.89 @ 256 (~24 s).  The ratio
+        # at short legs measures fixed-cost share, not scaling.
         scaling_block = _scaling_legs(
-            8, NUM_CPUS, os.environ.get("GRAFT_SCALING_REPLICATION", "64")
+            8, NUM_CPUS, os.environ.get("GRAFT_SCALING_REPLICATION", "256")
         )
 
     import ray
@@ -350,8 +355,9 @@ def scaling() -> None:
             # larger corpus for the scaling A/B so fixed costs (driver
             # planning, pool spin-up, the single read task) amortize --
             # the regime that actually represents the 100 TB target
+            # (raw efficiency: 0.68 @ rep 64, 0.71 @ 128, 0.89 @ 256)
             GRAFT_BENCH_REPLICATION=os.environ.get(
-                "GRAFT_BENCH_REPLICATION", "128"
+                "GRAFT_BENCH_REPLICATION", "256"
             ),
         )
         out = subprocess.run(
