@@ -1,0 +1,96 @@
+"""Second-engine output parsing and debug-noise scrubbing (M5/M6/F7).
+
+Reference semantics, ``deepseek_ocr2_engine.py``:
+
+* ``_parse_result`` (:269-291) — the grounding format: the model emits
+  ``<|ref|>fragment text<|det|>[[x1, y1, x2, y2]]`` pairs; each pair is
+  one positioned text fragment, parsed into (text, bbox).  When no
+  grounding pairs are present the output is treated as plain text.
+* ``_extract_plain_text`` (:293-345) — plain-text fallback scrubbing:
+  strip ``<|…|>`` markers and bbox literals, drop debug-noise lines
+  (logger prefixes, separator rules, inference-telemetry lines), drop
+  lines containing filter keywords, drop lines shorter than 2 chars.
+
+The mock second engine produces clean text, so both functions are exact
+no-ops on the synthetic corpus (golden fixtures unchanged); a real
+DeepSeek-style deployment flows its raw model output through this exact
+path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+# <|ref|>text<|det|>[[x1, y1, x2, y2]] grounding pairs (:269-291)
+_GROUNDING_RE = re.compile(
+    r"<\|ref\|>(?P<text>.*?)<\|det\|>\s*"
+    r"\[\[\s*(?P<x1>\d+)\s*,\s*(?P<y1>\d+)\s*,\s*(?P<x2>\d+)\s*,\s*(?P<y2>\d+)\s*\]\]",
+    re.DOTALL,
+)
+
+# plain-text scrub patterns (:293-345)
+_MARKER_RE = re.compile(r"<\|[^|>]*\|>")
+_BBOX_LITERAL_RE = re.compile(r"\[\[\s*\d+(?:\s*,\s*\d+){3}\s*\]\]")
+_DEBUG_LINE_RES = [
+    re.compile(r"^\s*(?:INFO|WARNING|DEBUG|ERROR|TRACE)\b"),
+    re.compile(r"^\s*[=\-]{3,}\s*$"),
+    re.compile(r"(?i)^\s*(?:image size|base size|crop mode|valid patches|tokens?)\s*[:=]"),
+]
+_FILTER_KEYWORDS = ("BASE:", "PATCHES:", "NO VALID", "torch.", "CUDA")
+_MIN_LINE_CHARS = 2
+
+
+def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
+    """Model output -> ordered [(fragment_text, [x1, y1, x2, y2])].
+
+    Empty list when the output carries no grounding pairs — the caller
+    then falls back to ``scrub_engine_output`` (the reference does the
+    same: parse first, plain-text fallback)."""
+    out: List[Tuple[str, List[int]]] = []
+    for m in _GROUNDING_RE.finditer(output):
+        text = m.group("text").strip()
+        if not text:
+            continue
+        out.append(
+            (text, [int(m.group(k)) for k in ("x1", "y1", "x2", "y2")])
+        )
+    return out
+
+
+def scrub_engine_output(text: str) -> str:
+    """Plain-text fallback: strip markers/bbox literals, drop debug and
+    too-short lines; surviving lines re-join with newlines."""
+    kept: List[str] = []
+    for line in text.split("\n"):
+        s = _BBOX_LITERAL_RE.sub("", _MARKER_RE.sub("", line)).strip()
+        if len(s) < _MIN_LINE_CHARS:
+            continue
+        if any(r.search(s) for r in _DEBUG_LINE_RES):
+            continue
+        if any(k in s for k in _FILTER_KEYWORDS):
+            continue
+        kept.append(s)
+    return "\n".join(kept)
+
+
+def union_bbox(boxes: List[List[int]]) -> List[int]:
+    """Bounding box of fragment boxes (page-level span geometry)."""
+    if not boxes:
+        return [0, 0, 0, 0]
+    return [
+        min(b[0] for b in boxes),
+        min(b[1] for b in boxes),
+        max(b[2] for b in boxes),
+        max(b[3] for b in boxes),
+    ]
+
+
+def parse_engine_output(output: str) -> Tuple[str, List[int] | None]:
+    """Full second-engine output path: grounding parse first, scrubbed
+    plain text as fallback.  -> (page_text, bbox-or-None); bbox is the
+    union of fragment boxes when grounding was present."""
+    frags = parse_grounded_fragments(output)
+    if frags:
+        return "\n".join(t for t, _ in frags), union_bbox([b for _, b in frags])
+    return scrub_engine_output(output), None

@@ -252,6 +252,14 @@ class SecondPassExtractor:
 
     def __init__(self):
         self._ocr2 = decode_media_accurate
+        # the second engine's raw output flows through the reference's
+        # parse-then-scrub path (M5/M6/F7, deepseek_ocr2_engine.py:269-345):
+        # grounding pairs -> positioned fragments, else debug-noise scrub.
+        # Exact no-op on the clean mock output; a real model's markers,
+        # bbox literals and logger noise are handled here.
+        from ..functions.ocr_scrub import parse_engine_output
+
+        self._parse_output = parse_engine_output
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -265,15 +273,15 @@ class SecondPassExtractor:
         out_t, out_r, out_s, out_b = [], [], [], []
         for t0, ref, s0, b0 in zip(texts, refs, scores, bboxes):
             try:
-                t2 = self._ocr2(ref)
+                t2, grounded_box = self._parse_output(self._ocr2(ref))
                 s2 = mock_confidence_accurate(t2)
             except Exception:
-                t2, s2 = t0, -1.0  # poison-row quarantine: keep pass 1
+                t2, s2, grounded_box = t0, -1.0, None  # quarantine: keep pass 1
             if s2 > s0:
                 out_t.append(t2)
                 out_r.append("ocr2")
                 out_s.append(s2)
-                out_b.append(mock_bbox(t2))
+                out_b.append(grounded_box or mock_bbox(t2))
             else:
                 out_t.append(t0)
                 out_r.append("ocr")

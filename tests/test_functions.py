@@ -262,3 +262,48 @@ def test_auto_stage_config_tiers():
     lo = auto_stage_config(num_cpus=4, mem_gb=4)
     assert lo["tier"] == "low" and lo["use_fp16"] is False
     assert lo["ocr_concurrency"] == 2
+
+
+def test_ocr_scrub_grounding_parse():
+    """The second-engine output path (deepseek_ocr2_engine.py:269-345):
+    grounding pairs parse to positioned fragments; noisy plain text
+    scrubs to clean lines; clean mock output is a no-op."""
+    from pdf_ocr_comparison_tool_ray.functions.ocr_scrub import (
+        parse_engine_output,
+        parse_grounded_fragments,
+        scrub_engine_output,
+        union_bbox,
+    )
+
+    grounded = (
+        "<|ref|>Invoice 2024-001<|det|>[[10, 20, 200, 40]]\n"
+        "<|ref|>Total: 300<|det|>[[10,60,150,80]]"
+    )
+    frags = parse_grounded_fragments(grounded)
+    assert frags == [
+        ("Invoice 2024-001", [10, 20, 200, 40]),
+        ("Total: 300", [10, 60, 150, 80]),
+    ]
+    text, bbox = parse_engine_output(grounded)
+    assert text == "Invoice 2024-001\nTotal: 300"
+    assert bbox == [10, 20, 200, 80]
+    assert union_bbox([]) == [0, 0, 0, 0]
+
+    noisy = "\n".join(
+        [
+            "INFO loading model",
+            "=====",
+            "image size: 1024",
+            "<|grounding|>Real content line one [[1, 2, 3, 4]]",
+            "x",  # < 2 chars
+            "BASE: 7 PATCHES: 9",
+            "second real line",
+        ]
+    )
+    assert scrub_engine_output(noisy) == "Real content line one\nsecond real line"
+    text, bbox = parse_engine_output(noisy)
+    assert bbox is None and text.startswith("Real content")
+
+    # clean mock output passes through untouched (goldens unchanged)
+    clean = "filter data spark row data part join window"
+    assert parse_engine_output(clean) == (clean, None)
