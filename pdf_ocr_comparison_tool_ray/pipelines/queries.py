@@ -24,7 +24,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import DOCUMENT_TYPES_EN, LANG_STOPWORDS, PROJECTS_EN
 from ..functions.quality import quality_ok, quality_signals
@@ -1037,10 +1036,51 @@ def q_region_revenue(sf_dir: str):
             ),
         )
     )
-    lookup_ref = ray.put(nat_to_region)
+
+    # size-routed build side (the run_compare_auto rule): when customer
+    # fits the broadcast budget, ship custkey->region once via ray.put
+    # and the whole query is one shuffle-free map + driver reduce over
+    # 5 region rows; the bucketed co-partition join below is the
+    # large-build fallback.
+    from .compare import BROADCAST_MAX_BUILD_ROWS
+
+    try:
+        import pyarrow.parquet as _pq
+
+        n_cust = _pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    except (OSError, ValueError):
+        n_cust = None
+    if n_cust is not None and n_cust <= BROADCAST_MAX_BUILD_ROWS:
+        cust_df = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust_region = pd.Series(
+            cust_df["c_nationkey"].map(nat_to_region).values,
+            index=cust_df["c_custkey"].values,
+        )
+        region_ref = ray.put(cust_region)
+
+        def partial_rev(batch: pa.Table) -> pd.DataFrame:
+            lookup = ray.get(region_ref)
+            df = batch.to_pandas()
+            out = pd.DataFrame(
+                {
+                    "r_name": df["o_custkey"].map(lookup),
+                    "rev_cents": np.rint(df["o_totalprice"] * 100).astype("int64"),
+                }
+            ).dropna(subset=["r_name"])  # inner join: drop unknown customers
+            return out.groupby("r_name", as_index=False).agg(
+                n_orders=("rev_cents", "size"), revenue_cents=("rev_cents", "sum")
+            )
+
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        return _driver_reduce(
+            orders.map_batches(partial_rev, batch_format="pyarrow"),
+            ["r_name"],
+            ["n_orders", "revenue_cents"],
+        )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    lookup_ref = ray.put(nat_to_region)
 
     def tag_cust(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -1393,13 +1433,13 @@ def q_hopping_window(sf_dir: str):
             n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("window_start_us")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    # window cardinality = time-range / hop — bounded by construction,
+    # independent of corpus row count, so the batch partials are tiny and
+    # the driver reduce beats a sort-shuffle (the _driver_reduce contract)
+    return _driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start_us"],
+        ["n_events", "value_cents"],
     )
 
 
