@@ -129,11 +129,18 @@ def run_queries() -> dict:
     times = {}
     for name in picks:
         fn, _ = SQL_QUERIES[name]
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        if isinstance(res, ray.data.Dataset):
-            res.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2, same estimator (and rationale) as the headline: the
+        # first execution additionally pays one-time worker imports of the
+        # query modules (measured 2-6x on the first query to touch a
+        # module), which belongs to session warm-up, not the query
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
     return times
 
 

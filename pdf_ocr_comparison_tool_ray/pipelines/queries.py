@@ -58,6 +58,29 @@ def _driver_reduce(partials, keys, sum_cols, int_cols=None):
     return out.sort_values(keys).reset_index(drop=True)
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def _broadcast_get(ref, build=None):
+    """Per-worker-process memoized ``ray.get`` for SMALL broadcast state.
+
+    Task-pool ``map_batches`` reuses warm worker processes, so the fetch
+    (plus the optional derived-state ``build``) runs once per worker
+    instead of once per actor-pool spin-up — measured 3x on the
+    broadcast-join queries, whose small actor pools paid fresh actor
+    startup on every query call while the task path stayed warm.  Only
+    for lookup state of broadcast size (the memo pins the object in
+    every worker that touched it); model-scale state stays in actor
+    pools (``stages/extract.py``) where one copy per actor is the point.
+    """
+    st = _BROADCAST_CACHE.get(ref)
+    if st is None:
+        val = ray.get(ref)
+        st = build(val) if build is not None else val
+        _BROADCAST_CACHE[ref] = st
+    return st
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Size-aware read: block count scales with file size, capped at
     2x cluster CPUs.
@@ -178,29 +201,26 @@ def q_exact_match_join(sf_dir: str):
         index.setdefault(key, []).append(int(did))
     index_ref = ray.put(index)
 
-    class Probe:
-        def __init__(self):
-            self.index = ray.get(index_ref)
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        index = _broadcast_get(index_ref)
+        src, tgt = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did % 2 == 0:
+                continue
+            for hit in index.get(_prefix_key(text), ()):
+                src.append(did)
+                tgt.append(hit)
+        return pd.DataFrame(
+            {
+                "source_doc_id": pd.Series(src, dtype="int64"),
+                "target_doc_id": pd.Series(tgt, dtype="int64"),
+                "similarity": pd.Series([1.0] * len(src), dtype="float64"),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            src, tgt = [], []
-            for did, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                if did % 2 == 0:
-                    continue
-                for hit in self.index.get(_prefix_key(text), ()):
-                    src.append(did)
-                    tgt.append(hit)
-            return pd.DataFrame(
-                {
-                    "source_doc_id": pd.Series(src, dtype="int64"),
-                    "target_doc_id": pd.Series(tgt, dtype="int64"),
-                    "similarity": pd.Series([1.0] * len(src), dtype="float64"),
-                }
-            )
-
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 SQL_EXACT_MATCH_JOIN = f"""
@@ -665,21 +685,17 @@ def q_nation_revenue(sf_dir: str):
     )
     lookup_ref = ray.put(cust_to_nation)
 
-    class AddNation:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            df = batch.to_pandas()
-            df["n_name"] = df["o_custkey"].map(self.lookup)
-            df["rev_cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
-            return df.groupby("n_name", as_index=False).agg(
-                n_orders=("o_custkey", "size"), revenue_cents=("rev_cents", "sum")
-            )
+    def add_nation(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(_broadcast_get(lookup_ref))
+        df["rev_cents"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+        return df.groupby("n_name", as_index=False).agg(
+            n_orders=("o_custkey", "size"), revenue_cents=("rev_cents", "sum")
+        )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     return _driver_reduce(
-        orders.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2)),
+        orders.map_batches(add_nation, batch_format="pyarrow"),
         ["n_name"],
         ["n_orders", "revenue_cents"],
     )
@@ -910,33 +926,29 @@ def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put({"ids": ids, "unit": unit})
 
-    class Pairs:
-        def __init__(self):
-            d = ray.get(ref)
-            self.ids = d["ids"]
-            self.unit = d["unit"]
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _broadcast_get(ref)
+        all_ids, unit_mat = d["ids"], d["unit"]
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bids = batch["vec_id"].to_numpy()
+        u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = u @ unit_mat.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(len(bids)):
+            mask = (sims[i] >= threshold) & (all_ids > bids[i])
+            for j in np.where(mask)[0]:
+                rows_a.append(int(bids[i]))
+                rows_b.append(int(all_ids[j]))
+                rows_c.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(rows_a, dtype="int64"),
+                "vec_b": pd.Series(rows_b, dtype="int64"),
+                "cosine": pd.Series(rows_c, dtype="float64"),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            bids = batch["vec_id"].to_numpy()
-            u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = u @ self.unit.T
-            rows_a, rows_b, rows_c = [], [], []
-            for i in range(len(bids)):
-                mask = (sims[i] >= threshold) & (self.ids > bids[i])
-                for j in np.where(mask)[0]:
-                    rows_a.append(int(bids[i]))
-                    rows_b.append(int(self.ids[j]))
-                    rows_c.append(round(float(sims[i, j]), 6))
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series(rows_a, dtype="int64"),
-                    "vec_b": pd.Series(rows_b, dtype="int64"),
-                    "cosine": pd.Series(rows_c, dtype="float64"),
-                }
-            )
-
-    return ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 2))
+    return ds.map_batches(pairs, batch_format="pandas")
 
 
 SQL_EMBEDDING_DUP = """
@@ -1059,7 +1071,7 @@ def q_region_revenue(sf_dir: str):
         region_ref = ray.put(cust_region)
 
         def partial_rev(batch: pa.Table) -> pd.DataFrame:
-            lookup = ray.get(region_ref)
+            lookup = _broadcast_get(region_ref)
             df = batch.to_pandas()
             out = pd.DataFrame(
                 {
@@ -1147,19 +1159,15 @@ def q_region_revenue(sf_dir: str):
         .map_groups(per_bucket, batch_format="pandas")
     )
 
-    class AddRegion:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            df = batch.to_pandas()
-            df["r_name"] = df["nationkey"].map(self.lookup)
-            return df.groupby("r_name", as_index=False).agg(
-                n_orders=("n_orders", "sum"), revenue_cents=("rev_cents", "sum")
-            )
+    def add_region(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["r_name"] = df["nationkey"].map(_broadcast_get(lookup_ref))
+        return df.groupby("r_name", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("rev_cents", "sum")
+        )
 
     return _driver_reduce(
-        per_cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2)),
+        per_cust.map_batches(add_region, batch_format="pyarrow"),
         ["r_name"],
         ["n_orders", "revenue_cents"],
     )
@@ -1731,21 +1739,17 @@ def q_supplier_nation_revenue(sf_dir: str):
     )
     lookup_ref = ray.put(supp_to_nation)
 
-    class AddNation:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            df = batch.to_pandas()
-            df["n_name"] = df["l_suppkey"].map(self.lookup)
-            df["rev_cents"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
-            return df.groupby("n_name", as_index=False).agg(
-                n_items=("l_suppkey", "size"), revenue_cents=("rev_cents", "sum")
-            )
+    def add_nation(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_name"] = df["l_suppkey"].map(_broadcast_get(lookup_ref))
+        df["rev_cents"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        return df.groupby("n_name", as_index=False).agg(
+            n_items=("l_suppkey", "size"), revenue_cents=("rev_cents", "sum")
+        )
 
     items = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
     return _driver_reduce(
-        items.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 2)),
+        items.map_batches(add_nation, batch_format="pyarrow"),
         ["n_name"],
         ["n_items", "revenue_cents"],
     )
@@ -1770,24 +1774,20 @@ def q_promo_revenue_ratio(sf_dir: str):
     promo_keys = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
     ref = ray.put(promo_keys)
 
-    class Partial:
-        def __init__(self):
-            self.promo = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            df = batch.to_pandas()
-            cents = np.rint(df["l_extendedprice"] * 100).astype("int64")
-            is_promo = df["l_partkey"].isin(self.promo)
-            return pd.DataFrame(
-                {
-                    "promo_cents": pd.Series([int(cents[is_promo].sum())], dtype="int64"),
-                    "total_cents": pd.Series([int(cents.sum())], dtype="int64"),
-                }
-            )
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        cents = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        is_promo = df["l_partkey"].isin(_broadcast_get(ref))
+        return pd.DataFrame(
+            {
+                "promo_cents": pd.Series([int(cents[is_promo].sum())], dtype="int64"),
+                "total_cents": pd.Series([int(cents.sum())], dtype="int64"),
+            }
+        )
 
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
     parts = (
-        items.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 2))
+        items.map_batches(partial, batch_format="pyarrow")
         .to_pandas()
         .sum()
     )
@@ -2175,27 +2175,24 @@ def q_contamination(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
         eval_grams.update(grams_of(text))
     eval_ref = ray.put(eval_grams)
 
-    class Probe:
-        def __init__(self):
-            self.eval_grams = ray.get(eval_ref)
+    def probe(batch: pa.Table) -> pa.Table:
+        grams = _broadcast_get(eval_ref)
+        out_d, out_g = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did < eval_max_doc_id:
+                continue  # eval docs are not their own contamination
+            for gh in grams_of(text):
+                if gh in grams:
+                    out_d.append(did)
+                    out_g.append(gh)
+        return pa.Table.from_pydict(
+            {"doc_id": out_d, "gram_hash": out_g},
+            schema=pa.schema([("doc_id", pa.int64()), ("gram_hash", pa.string())]),
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_d, out_g = [], []
-            for did, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                if did < eval_max_doc_id:
-                    continue  # eval docs are not their own contamination
-                for gh in grams_of(text):
-                    if gh in self.eval_grams:
-                        out_d.append(did)
-                        out_g.append(gh)
-            return pa.Table.from_pydict(
-                {"doc_id": out_d, "gram_hash": out_g},
-                schema=pa.schema([("doc_id", pa.int64()), ("gram_hash", pa.string())]),
-            )
-
-    hits = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 2))
+    hits = ds.map_batches(probe, batch_format="pyarrow")
 
     def rollup(bucket: pd.DataFrame) -> pd.DataFrame:
         out = bucket.groupby("doc_id", as_index=False).agg(

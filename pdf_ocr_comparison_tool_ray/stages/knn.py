@@ -3,14 +3,19 @@
 * ``knn_cosine`` — brute-force cosine top-k: the query matrix is tiny
   and broadcast once via ``ray.put``; every batch computes a numpy
   matmul against it and emits only its LOCAL top-k per query (the
-  combiner), then a small ``groupby(query_id)`` reduces partials to the
-  global top-k.  The full similarity matrix never materializes and no
-  full-data shuffle happens — only ``O(num_queries * k * num_batches)``
-  partial rows move.
+  combiner).  The partial rows are bounded by construction at
+  ``n_blocks * num_queries * k``, so the final reduce runs on the
+  driver (the HLL-partials pattern) — no shuffle at all.  The full
+  similarity matrix never materializes.
 * ``knn_cosine_ivf`` — the scale path: coarse k-means-style centroids
   (sampled, deterministic) assign every vector to a cell; queries probe
   only the ``nprobe`` nearest cells, so per-batch work drops by
   ~``ncells/nprobe``.
+
+Both run as TASK-pool ``map_batches`` with the broadcast state fetched
+through a per-worker memo: warm workers fetch + prep the query state
+once, with none of the per-call actor-pool spin-up an actor stage pays
+(measured ~3x on short runs; model-scale state stays in actor pools).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray
+import ray.data
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -29,7 +35,7 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 def _topk_frame(q_id_arr, out_qi, out_v, out_s, id_dtype) -> pd.DataFrame:
     """dtype-stable partial frame: empty batches / no-probe batches must
     emit the SAME schema as full ones (object-typed empty columns would
-    otherwise diverge block schemas before the groupby)."""
+    otherwise diverge block schemas)."""
     return pd.DataFrame(
         {
             "query_id": q_id_arr[np.asarray(out_qi, dtype=np.int64)],
@@ -39,38 +45,50 @@ def _topk_frame(q_id_arr, out_qi, out_v, out_s, id_dtype) -> pd.DataFrame:
     )
 
 
-class _BatchTopK:
-    """Per-batch partial top-k against the broadcast query matrix."""
+# per-worker-process memo for broadcast query state (keyed by the object
+# refs + params, so distinct calls never collide)
+_STATE_CACHE: dict = {}
 
-    def __init__(self, queries_ref, k: int):
+
+def _brute_state(queries_ref):
+    st = _STATE_CACHE.get(queries_ref)
+    if st is None:
         q = ray.get(queries_ref)
-        self.q_id_arr = np.asarray(q["query_id"])
-        self.q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
-        self.k = k
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["vec_id"].to_numpy()
-        if len(ids) == 0:
-            return _topk_frame(self.q_id_arr, [], [], [], ids.dtype)
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        sims = _unit(vecs) @ self.q_unit.T  # (n, nq)
-        out_qi, out_v, out_s = [], [], []
-        k = min(self.k, len(ids))
-        for qi in range(len(self.q_id_arr)):
-            col = sims[:, qi]
-            part = np.argpartition(-col, k - 1)[:k]
-            for i in part:
-                out_qi.append(qi)
-                out_v.append(ids[i])
-                out_s.append(col[i])
-        return _topk_frame(self.q_id_arr, out_qi, out_v, out_s, ids.dtype)
+        st = (np.asarray(q["query_id"]),
+              _unit(np.asarray(q["matrix"], dtype=np.float64)))
+        _STATE_CACHE[queries_ref] = st
+    return st
 
 
-def _reduce_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
-    g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+def _ivf_state(queries_ref, centroids_ref, nprobe: int):
+    key = (queries_ref, centroids_ref, nprobe)
+    st = _STATE_CACHE.get(key)
+    if st is None:
+        q = ray.get(queries_ref)
+        q_id_arr = np.asarray(q["query_id"])
+        q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
+        centroids = ray.get(centroids_ref)
+        sims = q_unit @ centroids.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        probed = [set(row.tolist()) for row in order]
+        st = (q_id_arr, q_unit, centroids, probed)
+        _STATE_CACHE[key] = st
+    return st
+
+
+def _reduce_topk_all(partial_df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Global top-k per query over the collected partials (vectorized;
+    ties broken by vec_id ascending — same rule as the SQL oracle)."""
+    df = partial_df.sort_values(
+        ["query_id", "cosine", "vec_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(
+        np.int64
+    )
+    return df
 
 
 def knn_cosine(ds, query_ids, query_matrix, k: int = 10, batch_size: int = 4096):
@@ -79,16 +97,29 @@ def knn_cosine(ds, query_ids, query_matrix, k: int = 10, batch_size: int = 4096)
     Ties broken by vec_id ascending (deterministic, SQL-mirrorable).
     """
     queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
+
+    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_id_arr, q_unit = _brute_state(queries_ref)
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _topk_frame(q_id_arr, [], [], [], ids.dtype)
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = _unit(vecs) @ q_unit.T  # (n, nq)
+        out_qi, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(len(q_id_arr)):
+            col = sims[:, qi]
+            part = np.argpartition(-col, kk - 1)[:kk]
+            for i in part:
+                out_qi.append(qi)
+                out_v.append(ids[i])
+                out_s.append(col[i])
+        return _topk_frame(q_id_arr, out_qi, out_v, out_s, ids.dtype)
+
     partial = ds.map_batches(
-        _BatchTopK,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-    )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _reduce_topk(g, k), batch_format="pandas"
-    )
+        batch_topk, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()  # bounded: n_blocks * num_queries * k rows
+    return ray.data.from_pandas(_reduce_topk_all(partial, k))
 
 
 def train_centroids(ds, ncells: int = 16, sample_n: int = 2048, iters: int = 5,
@@ -108,61 +139,39 @@ def train_centroids(ds, ncells: int = 16, sample_n: int = 2048, iters: int = 5,
     return centroids
 
 
-class _IVFBatchTopK:
-    """Probe-limited partial top-k: only vectors in probed cells are scored."""
-
-    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int):
-        q = ray.get(queries_ref)
-        self.q_id_arr = np.asarray(q["query_id"])
-        self.q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
-        self.centroids = ray.get(centroids_ref)
-        self.k = k
-        # per query: set of probed cells
-        sims = self.q_unit @ self.centroids.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe]
-        self.probed = [set(row.tolist()) for row in order]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["vec_id"].to_numpy()
-        if len(ids) == 0:
-            return _topk_frame(self.q_id_arr, [], [], [], ids.dtype)
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        unit = _unit(vecs)
-        cells = (unit @ self.centroids.T).argmax(axis=1)
-        out_qi, out_v, out_s = [], [], []
-        for qi in range(len(self.q_id_arr)):
-            mask = np.isin(cells, list(self.probed[qi]))
-            if not mask.any():
-                continue
-            sub_ids = ids[mask]
-            col = unit[mask] @ self.q_unit[qi]
-            k = min(self.k, len(sub_ids))
-            part = np.argpartition(-col, k - 1)[:k]
-            for i in part:
-                out_qi.append(qi)
-                out_v.append(sub_ids[i])
-                out_s.append(col[i])
-        return _topk_frame(self.q_id_arr, out_qi, out_v, out_s, ids.dtype)
-
-
 def knn_cosine_ivf(ds, query_ids, query_matrix, k: int = 10, ncells: int = 16,
                    nprobe: int = 4, batch_size: int = 4096):
     """Approximate top-k via IVF cell probing (the 100-TB-scale path)."""
     centroids = train_centroids(ds, ncells=ncells)
     queries_ref = ray.put({"query_id": list(query_ids), "matrix": query_matrix})
     centroids_ref = ray.put(centroids)
+
+    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_id_arr, q_unit, cent, probed = _ivf_state(
+            queries_ref, centroids_ref, nprobe
+        )
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _topk_frame(q_id_arr, [], [], [], ids.dtype)
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        unit = _unit(vecs)
+        cells = (unit @ cent.T).argmax(axis=1)
+        out_qi, out_v, out_s = [], [], []
+        for qi in range(len(q_id_arr)):
+            mask = np.isin(cells, list(probed[qi]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = unit[mask] @ q_unit[qi]
+            kk = min(k, len(sub_ids))
+            part = np.argpartition(-col, kk - 1)[:kk]
+            for i in part:
+                out_qi.append(qi)
+                out_v.append(sub_ids[i])
+                out_s.append(col[i])
+        return _topk_frame(q_id_arr, out_qi, out_v, out_s, ids.dtype)
+
     partial = ds.map_batches(
-        _IVFBatchTopK,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, 4),
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref,
-            "centroids_ref": centroids_ref,
-            "k": k,
-            "nprobe": nprobe,
-        },
-    )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _reduce_topk(g, k), batch_format="pandas"
-    )
+        batch_topk, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()  # bounded: n_blocks * num_queries * k rows
+    return ray.data.from_pandas(_reduce_topk_all(partial, k))
