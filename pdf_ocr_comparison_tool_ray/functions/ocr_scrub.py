@@ -60,10 +60,22 @@ def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
 
 def scrub_engine_output(text: str) -> str:
     """Plain-text fallback: strip markers/bbox literals, drop debug and
-    too-short lines; surviving lines re-join with newlines."""
+    too-short lines; surviving lines re-join with newlines.
+
+    The strip runs to a per-line FIXPOINT (the reference's single pass
+    can leave behind a marker/bbox literal assembled from the halves of
+    a nested one, e.g. ``<|a<|x|>b|>`` -> ``<|ab|>``); iterating removes
+    strictly more noise and makes the scrub idempotent
+    (property-pinned in test_properties.py)."""
     kept: List[str] = []
     for line in text.split("\n"):
-        s = _BBOX_LITERAL_RE.sub("", _MARKER_RE.sub("", line)).strip()
+        s = line
+        while True:
+            s2 = _BBOX_LITERAL_RE.sub("", _MARKER_RE.sub("", s))
+            if s2 == s:
+                break
+            s = s2
+        s = s.strip()
         if len(s) < _MIN_LINE_CHARS:
             continue
         if any(r.search(s) for r in _DEBUG_LINE_RES):
