@@ -77,16 +77,20 @@ def lsh_bands(signature: np.ndarray, num_bands: int = 16) -> List[int]:
 
 
 def simhash64(tokens: List[str]) -> int:
-    """64-bit SimHash over token hashes (frequency-weighted)."""
+    """64-bit SimHash over token hashes (frequency-weighted).
+
+    Bit extraction is numpy-vectorized over the unique-token hash array
+    (one (n_unique, 64) bit matrix instead of a Python loop per token);
+    values are identical to the scalar formulation."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
-    for tok, cnt in Counter(tokens).items():
-        h = _token_hash(tok)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += (bits * 2 - 1) * cnt
+    counts = Counter(tokens)
+    hv = np.array([_token_hash(t) for t in counts], dtype=np.uint64)
+    cnt = np.array(list(counts.values()), dtype=np.int64)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    acc = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

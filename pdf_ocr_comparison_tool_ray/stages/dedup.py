@@ -78,6 +78,10 @@ def exact_dedup(ds, text_col: str = "text"):
 # ---------------------------------------------------------------------------
 NUM_PERM = 64
 NUM_BANDS = 16
+# candidate sets at or below this verify driver-side (broadcast semi-join
+# + one vectorized pass); above it, signatures join in two co-partition
+# passes.  ~100k pairs x 512 B of signatures ≈ 100 MB — driver-safe.
+SMALL_CANDIDATES_MAX = 100_000
 
 
 def minhash_signatures(ds, text_col: str = "text", ngram: int = 3):
@@ -190,6 +194,51 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
     """
     sigs = minhash_signatures(ds, text_col, ngram).materialize()
     cand = _candidate_pairs(sigs).materialize()
+
+    # size-routed verification (the broadcast-vs-shuffle rule): LSH makes
+    # the candidate set small relative to the corpus by construction, so
+    # when it fits the driver, pull ONLY the signatures the pairs touch
+    # (map-side semi-join on a broadcast doc_id set) and verify in one
+    # bounded vectorized pass — no join shuffle at all.  Above the cap,
+    # the two co-partition joins below remain the scale path.
+    n_cand = cand.count()
+    if n_cand <= SMALL_CANDIDATES_MAX:
+        cand_df = cand.to_pandas()
+        if not len(cand_df):
+            return cand  # empty (doc_a, doc_b) — nothing to verify
+        import ray as _ray
+
+        needed_ref = _ray.put(
+            set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+        )
+
+        def keep_needed(t: pa.Table) -> pa.Table:
+            need = _ray.get(needed_ref)
+            mask = pa.array([d in need for d in t["doc_id"].to_pylist()])
+            return t.filter(mask)
+
+        sig_df = (
+            sigs.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+        )  # bounded: <= 2 * n_cand rows
+        lut = dict(zip(sig_df["doc_id"], sig_df["signature"]))
+        a = np.stack(
+            [np.frombuffer(lut[d], dtype=np.uint64) for d in cand_df["doc_a"]]
+        )
+        b = np.stack(
+            [np.frombuffer(lut[d], dtype=np.uint64) for d in cand_df["doc_b"]]
+        )
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        out = pd.DataFrame(
+            {
+                "doc_a": cand_df.loc[keep, "doc_a"],
+                "doc_b": cand_df.loc[keep, "doc_b"],
+                "est_jaccard": est[keep],
+            }
+        ).reset_index(drop=True)
+        import ray.data as _rd
+
+        return _rd.from_pandas(out)
 
     j = _join_pair_column(cand, sigs, "doc_a", "signature", "sig_a")
     j = _join_pair_column(j, sigs, "doc_b", "signature", "sig_b")
