@@ -125,6 +125,11 @@ def run_queries() -> dict:
         "order_items",
         "session_window",
         "hopping_window",
+        # LLM-data-pipeline showcases: near-dup candidates + transitive
+        # clusters + the composed curation pass
+        "minhash_lsh_pairs",
+        "dedup_clusters",
+        "curation_pipeline",
     ]
     times = {}
     for name in picks:
