@@ -75,6 +75,10 @@ def _broadcast_get(ref, build=None):
     """
     st = _BROADCAST_CACHE.get(ref)
     if st is None:
+        if len(_BROADCAST_CACHE) >= 64:
+            # every query invocation mints fresh refs; a long-lived worker
+            # would otherwise accumulate dead lookups without bound
+            _BROADCAST_CACHE.clear()
         val = ray.get(ref)
         st = build(val) if build is not None else val
         _BROADCAST_CACHE[ref] = st

@@ -203,14 +203,29 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
     # the two co-partition joins below remain the scale path.
     n_cand = cand.count()
     if n_cand <= SMALL_CANDIDATES_MAX:
+        import ray.data as _rd
+
         cand_df = cand.to_pandas()
         if not len(cand_df):
-            return cand  # empty (doc_a, doc_b) — nothing to verify
+            # an empty Dataset drops its columns through to_pandas —
+            # rebuild the schema-stable empty result from the sig schema
+            sch = sigs.schema()
+            id_type = (
+                sch.base_schema if hasattr(sch, "base_schema") else sch
+            ).field("doc_id").type
+            id_dtype = np.dtype(id_type.to_pandas_dtype())
+            return _rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.Series([], dtype=id_dtype),
+                        "doc_b": pd.Series([], dtype=id_dtype),
+                        "est_jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
         import ray as _ray
 
-        needed_ref = _ray.put(
-            set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-        )
+        needed_ref = _ray.put(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
 
         def keep_needed(t: pa.Table) -> pa.Table:
             need = _ray.get(needed_ref)
@@ -236,8 +251,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
                 "est_jaccard": est[keep],
             }
         ).reset_index(drop=True)
-        import ray.data as _rd
-
         return _rd.from_pandas(out)
 
     j = _join_pair_column(cand, sigs, "doc_a", "signature", "sig_a")

@@ -50,9 +50,17 @@ def _topk_frame(q_id_arr, out_qi, out_v, out_s, id_dtype) -> pd.DataFrame:
 _STATE_CACHE: dict = {}
 
 
+def _evict_if_full():
+    # every knn call mints fresh refs; a long-lived worker would
+    # otherwise accumulate dead query state without bound
+    if len(_STATE_CACHE) >= 64:
+        _STATE_CACHE.clear()
+
+
 def _brute_state(queries_ref):
     st = _STATE_CACHE.get(queries_ref)
     if st is None:
+        _evict_if_full()
         q = ray.get(queries_ref)
         st = (np.asarray(q["query_id"]),
               _unit(np.asarray(q["matrix"], dtype=np.float64)))
@@ -64,6 +72,7 @@ def _ivf_state(queries_ref, centroids_ref, nprobe: int):
     key = (queries_ref, centroids_ref, nprobe)
     st = _STATE_CACHE.get(key)
     if st is None:
+        _evict_if_full()
         q = ray.get(queries_ref)
         q_id_arr = np.asarray(q["query_id"])
         q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
