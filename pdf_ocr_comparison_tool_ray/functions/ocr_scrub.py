@@ -39,6 +39,11 @@ _DEBUG_LINE_RES = [
 ]
 _FILTER_KEYWORDS = ("BASE:", "PATCHES:", "NO VALID", "torch.", "CUDA")
 _MIN_LINE_CHARS = 2
+# span bbox columns are list<int32>; clamp raw model coordinates so one
+# garbage pair (e.g. [[9999999999, ...]]) cannot fail the whole arrow
+# batch downstream (the per-row quarantine wraps decode/parse, not the
+# final pa.array construction)
+_COORD_MAX = 2**31 - 1
 
 
 def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
@@ -53,7 +58,10 @@ def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
         if not text:
             continue
         out.append(
-            (text, [int(m.group(k)) for k in ("x1", "y1", "x2", "y2")])
+            (
+                text,
+                [min(int(m.group(k)), _COORD_MAX) for k in ("x1", "y1", "x2", "y2")],
+            )
         )
     return out
 

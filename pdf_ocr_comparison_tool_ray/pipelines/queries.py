@@ -58,31 +58,8 @@ def _driver_reduce(partials, keys, sum_cols, int_cols=None):
     return out.sort_values(keys).reset_index(drop=True)
 
 
-_BROADCAST_CACHE: dict = {}
-
-
-def _broadcast_get(ref, build=None):
-    """Per-worker-process memoized ``ray.get`` for SMALL broadcast state.
-
-    Task-pool ``map_batches`` reuses warm worker processes, so the fetch
-    (plus the optional derived-state ``build``) runs once per worker
-    instead of once per actor-pool spin-up — measured 3x on the
-    broadcast-join queries, whose small actor pools paid fresh actor
-    startup on every query call while the task path stayed warm.  Only
-    for lookup state of broadcast size (the memo pins the object in
-    every worker that touched it); model-scale state stays in actor
-    pools (``stages/extract.py``) where one copy per actor is the point.
-    """
-    st = _BROADCAST_CACHE.get(ref)
-    if st is None:
-        if len(_BROADCAST_CACHE) >= 64:
-            # every query invocation mints fresh refs; a long-lived worker
-            # would otherwise accumulate dead lookups without bound
-            _BROADCAST_CACHE.clear()
-        val = ray.get(ref)
-        st = build(val) if build is not None else val
-        _BROADCAST_CACHE[ref] = st
-    return st
+# canonical per-worker broadcast memo lives in stages/broadcast.py
+from ..stages.broadcast import broadcast_get as _broadcast_get  # noqa: E402
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -190,15 +167,53 @@ GROUP BY 1
 def q_exact_match_join(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    build_rows = ds.map_batches(
-        lambda b: pd.DataFrame(
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "doc_id": b["doc_id"].to_pandas(),
-                "content_key": [_prefix_key(t) for t in b["text"].to_pylist()],
+                "doc_id": batch["doc_id"].to_pandas(),
+                "content_key": [_prefix_key(t) for t in batch["text"].to_pylist()],
             }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
+        )
+
+    # the build side is HALF THE CORPUS (every even doc_id), so it is
+    # size-routed like run_compare_auto: broadcast index under the cap,
+    # co-partition equi-join on content_key above it (a per-worker-pinned
+    # corpus-proportional dict would multiply by the worker count)
+    from .compare import BROADCAST_MAX_BUILD_ROWS
+
+    try:
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except (OSError, ValueError):
+        n_docs = None
+    if n_docs is None or n_docs // 2 > BROADCAST_MAX_BUILD_ROWS:
+        from ..stages.bucketed import bucketed_equi_join
+
+        keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+        probe_side = keyed_ds.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+            .rename_columns(["source_doc_id", "content_key"]),
+            batch_format="pyarrow",
+        )
+        build_side = keyed_ds.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+            .rename_columns(["target_doc_id", "content_key"]),
+            batch_format="pyarrow",
+        )
+        j = bucketed_equi_join(probe_side, build_side, on="content_key", how="inner")
+        return j.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "source_doc_id": t["source_doc_id"].to_pandas().astype("int64"),
+                    "target_doc_id": t["target_doc_id"].to_pandas().astype("int64"),
+                    "similarity": pd.Series([1.0] * len(t), dtype="float64"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    build_rows = ds.map_batches(keyed, batch_format="pyarrow").to_pandas()
     build = build_rows[build_rows["doc_id"] % 2 == 0]
     index: dict = {}
     for did, key in zip(build["doc_id"], build["content_key"]):

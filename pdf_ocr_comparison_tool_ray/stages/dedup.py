@@ -225,10 +225,12 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
             )
         import ray as _ray
 
+        from .broadcast import broadcast_get
+
         needed_ref = _ray.put(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
 
         def keep_needed(t: pa.Table) -> pa.Table:
-            need = _ray.get(needed_ref)
+            need = broadcast_get(needed_ref)  # one deserialize per worker
             mask = pa.array([d in need for d in t["doc_id"].to_pylist()])
             return t.filter(mask)
 

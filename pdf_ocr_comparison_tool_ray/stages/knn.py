@@ -45,44 +45,30 @@ def _topk_frame(q_id_arr, out_qi, out_v, out_s, id_dtype) -> pd.DataFrame:
     )
 
 
-# per-worker-process memo for broadcast query state (keyed by the object
-# refs + params, so distinct calls never collide)
-_STATE_CACHE: dict = {}
-
-
-def _evict_if_full():
-    # every knn call mints fresh refs; a long-lived worker would
-    # otherwise accumulate dead query state without bound
-    if len(_STATE_CACHE) >= 64:
-        _STATE_CACHE.clear()
+from .broadcast import broadcast_get
 
 
 def _brute_state(queries_ref):
-    st = _STATE_CACHE.get(queries_ref)
-    if st is None:
-        _evict_if_full()
-        q = ray.get(queries_ref)
-        st = (np.asarray(q["query_id"]),
-              _unit(np.asarray(q["matrix"], dtype=np.float64)))
-        _STATE_CACHE[queries_ref] = st
-    return st
+    return broadcast_get(
+        queries_ref,
+        build=lambda q: (
+            np.asarray(q["query_id"]),
+            _unit(np.asarray(q["matrix"], dtype=np.float64)),
+        ),
+    )
 
 
 def _ivf_state(queries_ref, centroids_ref, nprobe: int):
-    key = (queries_ref, centroids_ref, nprobe)
-    st = _STATE_CACHE.get(key)
-    if st is None:
-        _evict_if_full()
-        q = ray.get(queries_ref)
+    def build(q):
         q_id_arr = np.asarray(q["query_id"])
         q_unit = _unit(np.asarray(q["matrix"], dtype=np.float64))
         centroids = ray.get(centroids_ref)
         sims = q_unit @ centroids.T
         order = np.argsort(-sims, axis=1)[:, :nprobe]
         probed = [set(row.tolist()) for row in order]
-        st = (q_id_arr, q_unit, centroids, probed)
-        _STATE_CACHE[key] = st
-    return st
+        return (q_id_arr, q_unit, centroids, probed)
+
+    return broadcast_get(queries_ref, build=build, key=(centroids_ref, nprobe))
 
 
 def _reduce_topk_all(partial_df: pd.DataFrame, k: int) -> pd.DataFrame:

@@ -52,3 +52,27 @@ def test_query_matches_oracle(name, duck):
     ray_df = to_df(fn(SF))
     sql_df = duck.execute(sql).df()
     assert compare(name, ray_df, sql_df), f"{name} diverged from its oracle"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_match_join_paths_equivalent(monkeypatch):
+    """The size-routed exact-match join must produce identical pairs on
+    both physical plans: broadcast index (small build) and co-partition
+    equi-join (build side above the broadcast cap)."""
+    from check_queries import to_df
+
+    from pdf_ocr_comparison_tool_ray.pipelines import compare as compare_mod
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_exact_match_join
+
+    def run():
+        df = to_df(q_exact_match_join(SF))
+        return (
+            df.sort_values(["source_doc_id", "target_doc_id"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(compare_mod, "BROADCAST_MAX_BUILD_ROWS", 1)
+    shuffled = run()
+    assert broadcast.equals(shuffled)
+    assert len(broadcast) > 0

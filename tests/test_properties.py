@@ -98,7 +98,10 @@ _frag_text = st.text(
     max_size=30,
 ).filter(lambda s: s.strip())
 
-_box = st.tuples(*[st.integers(0, 5000)] * 4)
+# includes > 2^31 coordinates: the parser clamps to int32 range so one
+# garbage pair can't fail the arrow bbox column downstream
+_box = st.tuples(*[st.integers(0, 10**12)] * 4)
+_I32MAX = 2**31 - 1
 
 
 @given(st.lists(st.tuples(_frag_text, _box), min_size=1, max_size=8))
@@ -109,13 +112,15 @@ def test_grounding_parse_roundtrip(frags):
         f"<|ref|>{t}<|det|>[[{x1}, {y1}, {x2}, {y2}]]"
         for t, (x1, y1, x2, y2) in frags
     )
+    clamped = [tuple(min(c, _I32MAX) for c in b) for _, b in frags]
     got = parse_grounded_fragments(rendered)
     assert [g[0] for g in got] == [t.strip() for t, _ in frags]
-    assert [tuple(g[1]) for g in got] == [b for _, b in frags]
+    assert [tuple(g[1]) for g in got] == clamped
+    assert all(all(0 <= c <= _I32MAX for c in g[1]) for g in got)
 
     text, bbox = parse_engine_output(rendered)
     assert text == "\n".join(t.strip() for t, _ in frags)
-    assert bbox == union_bbox([list(b) for _, b in frags])
+    assert bbox == union_bbox([list(b) for b in clamped])
 
 
 @given(st.lists(_box, min_size=1, max_size=10))
