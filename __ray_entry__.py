@@ -43,6 +43,12 @@ _LOCAL_ONLY = {
     "supplier_nation_revenue",   # broadcast-join+agg cousin of nation/region_revenue
     "hash_sample",               # one-line hash-mod sampling
     "promo_revenue_ratio",       # single-row ratio agg cousin of token_stats
+    # round-3 breadth additions (the exposed 50 are all driver-green;
+    # these carry the same full-SQL oracle through the local mirror)
+    "pii_redact",                # sequential regexp redaction + per-kind counts
+    "tfidf_topk",                # open-vocab df join + per-doc top-k, both bucketed
+    "inverted_index",            # token -> df/total_tf/postings, bucketed
+    "value_histogram",           # mergeable fixed-bin histogram partials
 }
 
 

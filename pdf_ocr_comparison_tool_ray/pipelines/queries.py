@@ -3384,6 +3384,281 @@ SQL_EMBEDDING_DUP_LSH = _sql_embedding_dup_lsh()
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (curation): deterministic PII is planted from doc_id so the
+# redaction path actually fires on the synthetic word-soup corpus; the SQL
+# oracle plants the identical strings and replays the same RE2-compatible
+# patterns via regexp_replace.  Counts are per-kind detections on the
+# PRE-redaction text (independent scans); the redacted text applies the
+# patterns sequentially (functions/pii.py order).
+# ---------------------------------------------------------------------------
+def q_pii_redact(sf_dir: str):
+    from ..functions.pii import PII_PATTERNS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        did = df["doc_id"]
+        ids = did.astype(str)
+        aug = df["text"].copy()
+        aug = aug.where(did % 3 != 0, aug + " mail u" + ids + "@ex-" + ids + ".org")
+        aug = aug.where(
+            did % 4 != 1,
+            aug + " tel 555-123-" + (4000 + did % 1000).astype(str),
+        )
+        aug = aug.where(
+            did % 5 != 2,
+            aug
+            + " id "
+            + (100 + did % 900).astype(str)
+            + "-"
+            + (10 + did % 90).astype(str)
+            + "-"
+            + (1000 + did % 9000).astype(str),
+        )
+        aug = aug.where(
+            did % 7 != 3, aug + " card " + (4000000000000000 + did).astype(str)
+        )
+        out = pd.DataFrame({"doc_id": did})
+        red = aug
+        for kind, pat, tok in PII_PATTERNS:
+            out[f"n_{kind}"] = aug.str.count(pat).astype("int64")
+            red = red.str.replace(pat, tok, regex=True)
+        out["redacted"] = red
+        return out
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _sql_pii() -> str:
+    from ..functions.pii import PII_PATTERNS
+
+    aug = """text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' mail u' || doc_id || '@ex-' || doc_id || '.org' ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' tel 555-123-' || (4000 + doc_id % 1000) ELSE '' END
+    || CASE WHEN doc_id % 5 = 2
+            THEN ' id ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90)
+                 || '-' || (1000 + doc_id % 9000) ELSE '' END
+    || CASE WHEN doc_id % 7 = 3
+            THEN ' card ' || (4000000000000000 + doc_id) ELSE '' END"""
+    red = "aug"
+    counts = []
+    for kind, pat, tok in PII_PATTERNS:
+        counts.append(
+            f"CAST(length(regexp_extract_all(aug, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id, {', '.join(counts)}, {red} AS redacted
+FROM a
+"""
+
+
+SQL_PII_REDACT = _sql_pii()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document + inverted index — the searchable-text
+# analysis pair over the open token vocabulary.  Both share the
+# (doc_id, token, tf) pair table: batch-local tokenize+count, then ONE
+# bucketed shuffle on token (df / postings are per-token), and for tf-idf
+# a second bucketed shuffle on doc_id for the per-doc top-k.  No driver
+# materialization; token cardinality never meets Python per-group
+# machinery (stages/bucketed.py).
+# ---------------------------------------------------------------------------
+def _tf_pairs(ds):
+    """(doc_id, kw, tf) — batch-local; a doc's tokens live in one row."""
+    from collections import Counter
+
+    from ..functions.tokenize import keyword_candidates
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        dids, kws, tfs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for kw, tf in Counter(keyword_candidates(text)).items():
+                dids.append(did)
+                kws.append(kw)
+                tfs.append(tf)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dids, dtype="int64"),
+                "kw": pd.Series(kws, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+_TFIDF_K = 5
+
+
+def q_tfidf_topk(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no pipeline execution
+    pairs = _tf_pairs(ds)
+
+    def with_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        bucket["df"] = bucket.groupby("kw")["doc_id"].transform("size")
+        bucket["tfidf"] = bucket["tf"] * np.log(n_docs / bucket["df"])
+        return bucket
+
+    scored = bucketed_map_groups(pairs, "kw", with_df, n_buckets=64)
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(
+            ["doc_id", "tfidf", "kw"], ascending=[True, False, True]
+        )
+        bucket["rk"] = (bucket.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = bucket[bucket["rk"] <= _TFIDF_K].rename(columns={"kw": "token"})
+        out["df"] = out["df"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(scored, "doc_id", topk, n_buckets=32)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), tf AS (
+  SELECT doc_id, kw, count(*) AS tf
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY doc_id, kw
+), df AS (
+  SELECT kw, count(*) AS df FROM tf GROUP BY kw
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.kw AS token, t.tf, d.df,
+         t.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
+  FROM tf t JOIN df d ON t.kw = d.kw CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+_INVIDX_MIN_DF = 5
+_INVIDX_POSTINGS = 10
+
+
+def q_inverted_index(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _tf_pairs(ds)
+
+    def index_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["kw", "doc_id"])
+        bucket["df"] = bucket.groupby("kw")["doc_id"].transform("size")
+        bucket = bucket[bucket["df"] >= _INVIDX_MIN_DF]
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "total_tf": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        head = bucket[bucket.groupby("kw").cumcount() < _INVIDX_POSTINGS]
+        posts = head.groupby("kw")["doc_id"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        out = bucket.groupby("kw", as_index=False).agg(
+            df=("df", "first"), total_tf=("tf", "sum")
+        )
+        out["postings"] = out["kw"].map(posts)
+        out = out.rename(columns={"kw": "token"})
+        out["df"] = out["df"].astype("int64")
+        out["total_tf"] = out["total_tf"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(pairs, "kw", index_bucket, n_buckets=64)
+
+
+SQL_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), tf AS (
+  SELECT doc_id, kw, count(*) AS tf
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY doc_id, kw
+)
+SELECT kw AS token, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{_INVIDX_POSTINGS}], ',')
+         AS postings
+FROM tf GROUP BY kw HAVING count(*) >= {_INVIDX_MIN_DF}
+"""
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram over events.value — the third mergeable
+# sketch beside HLL and Count-Min: fixed 20x25.0 bins with edge clamp,
+# batch-local np.bincount partials (20 rows per batch regardless of batch
+# size), driver reduce of the bounded partial table (same shape as
+# token_stats / the sketch family).
+# ---------------------------------------------------------------------------
+_HIST_BINS = 20
+_HIST_WIDTH = 25.0
+
+
+def q_value_histogram(sf_dir: str):
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip((v // _HIST_WIDTH).astype(np.int64), 0, _HIST_BINS - 1)
+        return pd.DataFrame(
+            {
+                "bin": np.arange(_HIST_BINS, dtype=np.int64),
+                "n": np.bincount(b, minlength=_HIST_BINS).astype(np.int64),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bin", as_index=False)["n"]
+        .sum()
+    )
+    merged["lo"] = merged["bin"] * _HIST_WIDTH
+    merged["hi"] = (merged["bin"] + 1) * _HIST_WIDTH
+    merged["n"] = merged["n"].astype("int64")
+    return merged[["bin", "lo", "hi", "n"]]
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT least(greatest(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT), 0),
+               {_HIST_BINS - 1}) AS bin
+  FROM events
+), g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+d AS (SELECT unnest(range(0, {_HIST_BINS})) AS bin)
+SELECT d.bin, d.bin * {_HIST_WIDTH} AS lo, (d.bin + 1) * {_HIST_WIDTH} AS hi,
+       coalesce(g.n, 0) AS n
+FROM d LEFT JOIN g USING (bin)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -3455,4 +3730,8 @@ SQL_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
 }

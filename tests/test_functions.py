@@ -307,3 +307,47 @@ def test_ocr_scrub_grounding_parse():
     # clean mock output passes through untouched (goldens unchanged)
     clean = "filter data spark row data part join window"
     assert parse_engine_output(clean) == (clean, None)
+
+
+def test_pii_redact_and_counts():
+    from pdf_ocr_comparison_tool_ray.functions.pii import pii_counts, redact
+
+    text = (
+        "reach me at a.user+x@ex-1.org or 555-123-4567, "
+        "ssn 123-45-6789, card 4000000000000001"
+    )
+    red = redact(text)
+    assert "<EMAIL>" in red and "<PHONE>" in red
+    assert "<SSN>" in red and "<CARD>" in red
+    assert "@" not in red and "4000000000000001" not in red
+    counts = pii_counts(text)
+    assert counts == {"email": 1, "phone": 1, "ssn": 1, "card": 1}
+
+    # sequential order: the email consumes its digits before the phone
+    # pattern runs, so an email containing a phone-shaped local part is
+    # redacted once, as email
+    tricky = "x 555-123-4567@ex.org y"
+    assert redact(tricky) == "x <EMAIL> y"
+    # but independent counts see both kinds (documented divergence)
+    assert pii_counts(tricky) == {"email": 1, "phone": 1, "ssn": 0, "card": 0}
+
+    # phone (3-3-4) and ssn (3-2-4) shapes do not cross-match
+    assert redact("555-12-3456") == "<SSN>"
+    assert pii_counts("555-12-3456")["phone"] == 0
+
+
+def test_value_histogram_partials_merge():
+    """bin assignment clamps both edges; partial counts always emit the
+    full fixed bin range so merge is a plain column sum."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _HIST_BINS,
+        _HIST_WIDTH,
+    )
+
+    v = np.array([-5.0, 0.0, 24.999, 25.0, 499.9, 10_000.0])
+    b = np.clip((v // _HIST_WIDTH).astype(np.int64), 0, _HIST_BINS - 1)
+    assert b.tolist() == [0, 0, 0, 1, _HIST_BINS - 1, _HIST_BINS - 1]
+    c = np.bincount(b, minlength=_HIST_BINS)
+    assert len(c) == _HIST_BINS and c.sum() == len(v)

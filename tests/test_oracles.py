@@ -25,6 +25,10 @@ FAST_QUERIES = [
     "customers_without_orders",
     "asof_event_order",
     "region_revenue",
+    "pii_redact",
+    "tfidf_topk",
+    "inverted_index",
+    "value_histogram",
 ]
 
 
