@@ -140,20 +140,34 @@ def _candidate_pairs(sigs) -> "ray.data.Dataset":  # noqa: F821 - doc type
     banded = sigs.map_batches(_bands_batch, batch_format="pyarrow")
 
     def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        a_ids, b_ids = [], []
-        for _, g in bucket.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(g["doc_id"].drop_duplicates().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[j])
+        """Vectorized in-bucket pair generation.
+
+        Almost every (band_id, band_hash) group is a singleton (LSH only
+        collides near-dups), so iterating groups in Python costs ~one
+        interpreter round-trip per INPUT row (measured ~1s on 80k band
+        rows).  Instead: drop singleton groups with one vectorized
+        transform('size') pass (removes ~99% of rows), then a pandas
+        self-merge on the band key emits each group's id×id cross
+        product in C; doc_a < doc_b keeps the upper triangle.  A clique
+        of k near-identical docs still costs k² merge rows — inherent to
+        LSH banding itself, not this implementation.
+        """
+        bucket = bucket.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        sz = bucket.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        bucket = bucket[sz >= 2]
         dtype = bucket["doc_id"].dtype
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(a_ids, dtype=dtype),
-                "doc_b": pd.Series(b_ids, dtype=dtype),
-            }
-        )
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=dtype),
+                    "doc_b": pd.Series([], dtype=dtype),
+                }
+            )
+        m = bucket.merge(bucket, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out.reset_index(drop=True)
 
     cand = bucketed_map_groups(banded, ["band_id", "band_hash"], pairs_bucket,
                                n_buckets=64)
