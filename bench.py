@@ -130,6 +130,9 @@ def run_queries() -> dict:
         "minhash_lsh_pairs",
         "dedup_clusters",
         "curation_pipeline",
+        # round-3 breadth: PII scrub + open-vocab tf-idf (both bucketed)
+        "pii_redact",
+        "tfidf_topk",
     ]
     times = {}
     for name in picks:

@@ -82,6 +82,19 @@ NUM_BANDS = 16
 # + one vectorized pass); above it, signatures join in two co-partition
 # passes.  ~100k pairs x 512 B of signatures ≈ 100 MB — driver-safe.
 SMALL_CANDIDATES_MAX = 100_000
+# n-gram Jaccard verification moves full TEXTS, not signatures: ~20k
+# pairs x 2 docs x ~2 KB ≈ 80 MB is the driver-safe ceiling.
+NGRAM_SMALL_CANDIDATES_MAX = 20_000
+
+
+def _doc_id_dtype(ds) -> np.dtype:
+    """pandas dtype of ``doc_id`` — works for both Arrow schemas and
+    PandasBlockSchema (Datasets built via from_pandas in tests)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if hasattr(base, "field"):
+        return np.dtype(base.field("doc_id").type.to_pandas_dtype())
+    return base.types[base.names.index("doc_id")]
 
 
 def minhash_signatures(ds, text_col: str = "text", ngram: int = 3):
@@ -223,11 +236,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
         if not len(cand_df):
             # an empty Dataset drops its columns through to_pandas —
             # rebuild the schema-stable empty result from the sig schema
-            sch = sigs.schema()
-            id_type = (
-                sch.base_schema if hasattr(sch, "base_schema") else sch
-            ).field("doc_id").type
-            id_dtype = np.dtype(id_type.to_pandas_dtype())
+            id_dtype = _doc_id_dtype(sigs)
             return _rd.from_pandas(
                 pd.DataFrame(
                     {
@@ -320,31 +329,45 @@ def _simhash_batch(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    rows = group.sort_values("doc_id").drop_duplicates("doc_id")
-    ids = rows["doc_id"].tolist()
-    hs = [int(h) + (1 << 63) for h in rows["simhash"].tolist()]
-    a_ids, b_ids, dist = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = bin(hs[i] ^ hs[j]).count("1")
-            if d <= max_hamming:
-                a_ids.append(ids[i])
-                b_ids.append(ids[j])
-                dist.append(d)
-    return pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "hamming": dist})
-
-
 def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3):
     """-> near-dup pairs by SimHash banding (doc_a, doc_b, hamming)."""
     banded = ds.map_batches(lambda b: _simhash_batch(b, text_col), batch_format="pyarrow")
 
     def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _simhash_pairs(g, max_hamming)
-            for _, g in bucket.groupby(["band_id", "band_key"], sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True)
+        """Vectorized: singleton (band_id, band_key) groups (the vast
+        majority — 16-bit band keys only collide for near-dups) are
+        dropped with one transform('size') pass, survivors self-merge in
+        C, and hamming distance is one numpy xor + unpackbits popcount.
+        The int64 xor trick: stored simhash is ``h - 2**63``; the offset
+        flips bit 63 of both operands, which xor cancels, so the signed
+        xor's bit pattern equals ``h_a ^ h_b`` exactly.
+        """
+        bucket = bucket.drop_duplicates(["band_id", "band_key", "doc_id"])
+        sz = bucket.groupby(["band_id", "band_key"])["doc_id"].transform("size")
+        bucket = bucket[sz >= 2]
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=bucket["doc_id"].dtype),
+                    "doc_b": pd.Series([], dtype=bucket["doc_id"].dtype),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        m = bucket.merge(bucket, on=["band_id", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        x = np.ascontiguousarray(
+            m["simhash_x"].to_numpy(np.int64) ^ m["simhash_y"].to_numpy(np.int64)
+        )
+        d = np.unpackbits(x.view(np.uint8)).reshape(-1, 8).sum(axis=1)
+        d = d.reshape(-1, 8).sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy()[keep],
+                "doc_b": m["doc_id_y"].to_numpy()[keep],
+                "hamming": d[keep],
+            }
+        )
 
     pairs = bucketed_map_groups(
         banded, ["band_id", "band_key"], pairs_bucket, n_buckets=64
@@ -422,6 +445,60 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
     texts = ds.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     )
+
+    # size-routed verification (same rule as minhash_lsh_pairs, tighter
+    # cap because full TEXTS move instead of 512 B signatures): small
+    # candidate sets pull only the touched docs' texts driver-side via a
+    # broadcast semi-join and verify in one bounded pass — the two join
+    # shuffles vanish.  Above the cap, co-partition joins remain.
+    n_cand = cand.count()
+    if n_cand <= NGRAM_SMALL_CANDIDATES_MAX:
+        import ray as _ray
+        import ray.data as _rd
+
+        from .broadcast import broadcast_get
+
+        cand_df = cand.to_pandas()
+        id_dtype = _doc_id_dtype(ds)
+        if not len(cand_df):
+            return _rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.Series([], dtype=id_dtype),
+                        "doc_b": pd.Series([], dtype=id_dtype),
+                        "jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+        needed_ref = _ray.put(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+
+        def keep_needed(t: pa.Table) -> pa.Table:
+            need = broadcast_get(needed_ref)
+            mask = pa.array([d in need for d in t["doc_id"].to_pylist()])
+            return t.filter(mask)
+
+        text_df = texts.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+        lut = dict(zip(text_df["doc_id"], text_df["text"]))
+        sets = {
+            d: frozenset(shingles(tokenize(t), ngram)) for d, t in lut.items()
+        }
+        a_ids, b_ids, jac = [], [], []
+        for da, db in zip(cand_df["doc_a"], cand_df["doc_b"]):
+            s = _exact_jaccard(sets[da], sets[db])
+            if s >= threshold:
+                a_ids.append(da)
+                b_ids.append(db)
+                jac.append(s)
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": pd.Series(a_ids, dtype=id_dtype),
+                    "doc_b": pd.Series(b_ids, dtype=id_dtype),
+                    "jaccard": pd.Series(jac, dtype="float64"),
+                }
+            )
+        )
+
     j = _join_pair_column(cand, texts, "doc_a", "text", "text_a")
     j = _join_pair_column(j, texts, "doc_b", "text", "text_b")
 
