@@ -49,6 +49,7 @@ _LOCAL_ONLY = {
     "tfidf_topk",                # open-vocab df join + per-doc top-k, both bucketed
     "inverted_index",            # token -> df/total_tf/postings, bucketed
     "value_histogram",           # mergeable fixed-bin histogram partials
+    "stratified_sample",         # per-group md5-rate sampling (hash_sample cousin)
 }
 
 

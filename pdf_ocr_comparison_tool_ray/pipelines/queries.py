@@ -3659,6 +3659,46 @@ FROM d LEFT JOIN g USING (bin)
 
 
 # ---------------------------------------------------------------------------
+# stratified sampling: per-group (lang) deterministic rates — the
+# rebalancing counterpart of hash_sample's uniform thinning (a corpus
+# with 44% 'en' downsamples it while keeping the long-tail languages).
+# Keep iff the first md5(doc_id) byte < rate*256: map-only, no shuffle,
+# reproducible across runs/processes, SQL-replayable byte for byte.
+# ---------------------------------------------------------------------------
+_STRATA_RATES = {"en": 64, "de": 128, "fr": 192}  # out of 256
+_STRATA_DEFAULT = 96
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        buckets = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16)
+                for d in df["doc_id"]
+            ]
+        )
+        caps = (
+            df["lang"].map(_STRATA_RATES).fillna(_STRATA_DEFAULT).to_numpy()
+        )
+        return df.loc[buckets < caps, ["doc_id", "lang"]]
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+_STRATA_CASES = " ".join(
+    f"WHEN lang = '{lang}' THEN {cap}" for lang, cap in _STRATA_RATES.items()
+)
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+      < CASE {_STRATA_CASES} ELSE {_STRATA_DEFAULT} END
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -3734,4 +3774,5 @@ SQL_QUERIES = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

@@ -29,6 +29,7 @@ FAST_QUERIES = [
     "tfidf_topk",
     "inverted_index",
     "value_histogram",
+    "stratified_sample",
 ]
 
 
