@@ -222,3 +222,32 @@ def write_merged_by_category(enriched: ray.data.Dataset, out_dir: str) -> dict:
         os.replace(tmp, f)
         paths[name] = str(f)
     return paths
+
+
+def export_rows(ds: ray.data.Dataset, path: str, fmt: str = "parquet") -> None:
+    """Format-symmetric sink for FLAT row tables — the writer-side
+    mirror of ``extraction.read_flat_documents``'s parquet/csv/jsonl
+    readers (S1), so a pipeline can round-trip through any of the three
+    interchange formats.  One file per block (Ray's writers), which is
+    also the resumable unit.  Nested columns (``spans``) need
+    ``write_documents`` — csv/jsonl flatten poorly and this refuses
+    rather than guessing.
+    """
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if hasattr(base, "types") and any(
+        pa.types.is_nested(t) for t in base.types if isinstance(t, pa.DataType)
+    ):
+        raise ValueError(
+            "export_rows is for flat tables; use write_documents for "
+            "nested span documents"
+        )
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        ds.write_parquet(path)
+    elif fmt in ("jsonl", "json", "ndjson"):
+        ds.write_json(path)
+    elif fmt == "csv":
+        ds.write_csv(path)
+    else:
+        raise ValueError(f"unknown export format: {fmt!r}")

@@ -123,3 +123,40 @@ def test_merge_by_category_artifact(tmp_path):
     for name, p in paths.items():
         body = open(p).read()
         assert body == merged.set_index("main_type").loc[name, "merged_text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_rows_format_round_trip(tmp_path):
+    """Flat rows survive parquet / jsonl / csv round trips through the
+    matching Ray readers; nested span tables are refused."""
+    from pdf_ocr_comparison_tool_ray.pipelines.sinks import export_rows, nest_spans
+
+    rendered = render_full_text(_extracted(n=8, seed=11))
+    want = (
+        rendered.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    readers = {
+        "parquet": ray.data.read_parquet,
+        "jsonl": ray.data.read_json,
+        "csv": ray.data.read_csv,
+    }
+    for fmt, reader in readers.items():
+        out = str(tmp_path / fmt)
+        export_rows(rendered, out, fmt=fmt)
+        got = (
+            reader(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[want.columns]
+        )
+        got["n_spans"] = got["n_spans"].astype("int64")
+        pd.testing.assert_frame_equal(got, want), fmt
+
+    nested = nest_spans(_extracted(n=4, seed=12))
+    with pytest.raises(ValueError, match="flat tables"):
+        export_rows(nested, str(tmp_path / "bad"), fmt="csv")
+    with pytest.raises(ValueError, match="unknown export format"):
+        export_rows(rendered, str(tmp_path / "bad2"), fmt="xml")
