@@ -129,9 +129,13 @@ def bucketed_equi_join(
     caveat: one KEY still lands in one bucket — salt hot keys upstream
     (see stages/match_shuffle.py) when a key's rows exceed a worker.
     """
-    if how not in ("inner", "left", "right", "outer"):
-        raise ValueError(f"how={how!r}: inner/left/right/outer supported")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(
+            f"how={how!r}: inner/left/right/outer/semi/anti supported"
+        )
     keys: List[str] = [on] if isinstance(on, str) else list(on)
+    if how in ("semi", "anti"):
+        return _bucketed_semi_anti(left, right, keys, how, n_buckets)
 
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = [c for c in l_schema.names if c not in keys]
@@ -226,6 +230,88 @@ def bucketed_equi_join(
 
     return bucketed_map_groups(
         tagged, keys, join_bucket, n_buckets=n_buckets, batch_format="pyarrow"
+    )
+
+
+def _bucketed_semi_anti(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: List[str],
+    how: str,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """semi/anti equi join: left rows filtered by key existence in right.
+
+    The right side ships ONLY its (deduplicated-per-batch) key columns —
+    the probe payload never moves — and the output keeps the left schema
+    untouched (no null-fill, so no dtype promotion hazards).  One hash
+    co-partition shuffle, one vectorized membership merge per bucket;
+    the existing anti-join query (``customers_without_orders``) is this
+    shape hand-rolled.
+    """
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_side", pa.array(["L"] * len(batch)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # keys only, batch-local dedup (combiner: one probe row per
+        # distinct key per batch crosses the shuffle), left payload
+        # columns null-filled to keep the union schema aligned
+        kt = batch.select(keys).to_pandas().drop_duplicates()
+        arrays = [
+            pa.array(kt[k], type=batch.schema.field(k).type) for k in keys
+        ]
+        t = pa.Table.from_arrays(arrays, names=keys)
+        for name in l_names:
+            if name not in keys:
+                t = t.append_column(
+                    name, pa.nulls(len(t), type=_field_type(l_schema, name))
+                )
+        t = t.select(l_names)  # column order must match tag_left
+        return t.append_column("_side", pa.array(["R"] * len(t)))
+
+    def _field_type(schema, name: str) -> pa.DataType:
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            return base.field(name).type
+        t = base.types[base.names.index(name)]
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            return pa.string()
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    keep_match = how == "semi"
+
+    def filter_bucket(bucket: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = bucket["_side"]
+        l = bucket.filter(pc.equal(side, "L")).drop_columns(["_side"])
+        if len(l) == 0:
+            return l
+        r_keys = (
+            bucket.filter(pc.equal(side, "R"))
+            .select(keys)
+            .to_pandas()
+            .drop_duplicates()
+        )
+        lk = l.select(keys).to_pandas()
+        hit = (
+            lk.merge(r_keys, on=keys, how="left", indicator=True)["_merge"]
+            == "both"
+        ).to_numpy()
+        return l.filter(pa.array(hit if keep_match else ~hit))
+
+    return bucketed_map_groups(
+        tagged, keys, filter_bucket, n_buckets=n_buckets, batch_format="pyarrow"
     )
 
 

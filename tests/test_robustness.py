@@ -281,3 +281,44 @@ def test_broadcast_hash_join_matches_bucketed():
 
     with pytest.raises(ValueError, match="inner/left"):
         broadcast_hash_join(large, small, on="k", how="outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_equi_join_semi_anti():
+    """semi/anti: left rows filtered by right-key existence; left schema
+    and dtypes untouched (no null-fill promotion), duplicate right keys
+    do NOT duplicate left rows, duplicate left rows all survive."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    rng = np.random.RandomState(3)
+    ldf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, size=60),
+            "v": np.arange(60, dtype=np.int64),
+            "big": (1 << 60) + np.arange(60, dtype=np.int64),  # >2^53
+        }
+    )
+    rdf = pd.DataFrame({"k": [1, 1, 3, 5, 7, 9, 11, 13, 42]})
+    left = ray.data.from_pandas(ldf).repartition(3)
+    right = ray.data.from_pandas(rdf).repartition(2)
+
+    for how in ("semi", "anti"):
+        got = (
+            bucketed_equi_join(left, right, on="k", how=how, n_buckets=4)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        member = ldf["k"].isin(rdf["k"])
+        want = (
+            ldf[member if how == "semi" else ~member]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want), how
+        assert got["big"].dtype == np.int64  # no float64 round-trip
+
+    with pytest.raises(ValueError, match="semi/anti"):
+        bucketed_equi_join(left, right, on="k", how="cross")
