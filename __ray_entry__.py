@@ -50,6 +50,7 @@ _LOCAL_ONLY = {
     "inverted_index",            # token -> df/total_tf/postings, bucketed
     "value_histogram",           # mergeable fixed-bin histogram partials
     "stratified_sample",         # per-group md5-rate sampling (hash_sample cousin)
+    "user_value_quantiles",      # dyadic multi-quantiles (user_value_median cousin)
 }
 
 

@@ -1531,6 +1531,60 @@ FROM events
 GROUP BY user_id
 """
 
+
+# ---------------------------------------------------------------------------
+# per-group multi-quantiles — the median generalized.  Exactness recipe:
+# integer cents + DYADIC quantiles only (k/4): R-7 positions (n-1)*q and
+# interpolation fractions are then dyadic rationals, so pandas' two-sided
+# lerp and DuckDB's quantile_cont(lower + (upper-lower)*frac) both
+# compute EXACT doubles — bit-identical with no rounding traps.  A
+# non-dyadic q (0.95) can differ by 1 ulp between the formulas.
+# ---------------------------------------------------------------------------
+_QUANTS = (0.25, 0.5, 0.75)
+
+
+def q_user_value_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "value_cents": np.rint(df["value"] * 100).astype("int64"),
+            }
+        )
+
+    def quant_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id")["value_cents"]
+        out = g.quantile(list(_QUANTS)).unstack()
+        out.columns = [f"p{int(q * 100)}_cents" for q in _QUANTS]
+        out = out.astype("float64").reset_index()
+        out.insert(1, "n_events", g.size().to_numpy().astype("int64"))
+        return out
+
+    from ..stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        quant_bucket,
+        n_buckets=64,
+    )
+
+
+SQL_USER_VALUE_QUANTILES = f"""
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       {', '.join(
+           f'CAST(quantile_cont(cents, {q}) AS DOUBLE) AS p{int(q * 100)}_cents'
+           for q in _QUANTS
+       )}
+FROM c GROUP BY user_id
+"""
+
 # ---------------------------------------------------------------------------
 # windowed aggregate: trailing 1-hour rolling sum/count per user, one
 # row per event.  Ray side: groupby(user) + in-group sorted prefix-sum
@@ -3775,4 +3829,5 @@ SQL_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
 }

@@ -30,6 +30,7 @@ FAST_QUERIES = [
     "inverted_index",
     "value_histogram",
     "stratified_sample",
+    "user_value_quantiles",
 ]
 
 
