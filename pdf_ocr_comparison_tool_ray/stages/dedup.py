@@ -250,12 +250,18 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
 
         from .broadcast import broadcast_get
 
-        needed_ref = _ray.put(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+        # the semi-join value set ships as an ARROW array: zero-copy from
+        # the object store per worker, and the filter is one vectorized
+        # pc.is_in per batch — no per-row Python over the corpus pass
+        needed_ref = _ray.put(
+            pa.array(pd.unique(pd.concat([cand_df["doc_a"], cand_df["doc_b"]])))
+        )
 
         def keep_needed(t: pa.Table) -> pa.Table:
-            need = broadcast_get(needed_ref)  # one deserialize per worker
-            mask = pa.array([d in need for d in t["doc_id"].to_pylist()])
-            return t.filter(mask)
+            need = broadcast_get(needed_ref)  # one fetch per worker
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["doc_id"], value_set=need))
 
         sig_df = (
             sigs.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
@@ -470,12 +476,15 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
                     }
                 )
             )
-        needed_ref = _ray.put(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+        needed_ref = _ray.put(
+            pa.array(pd.unique(pd.concat([cand_df["doc_a"], cand_df["doc_b"]])))
+        )
 
         def keep_needed(t: pa.Table) -> pa.Table:
-            need = broadcast_get(needed_ref)
-            mask = pa.array([d in need for d in t["doc_id"].to_pylist()])
-            return t.filter(mask)
+            need = broadcast_get(needed_ref)  # arrow array, zero-copy
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["doc_id"], value_set=need))
 
         text_df = texts.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
         lut = dict(zip(text_df["doc_id"], text_df["text"]))
