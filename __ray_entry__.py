@@ -51,6 +51,7 @@ _LOCAL_ONLY = {
     "value_histogram",           # mergeable fixed-bin histogram partials
     "stratified_sample",         # per-group md5-rate sampling (hash_sample cousin)
     "user_value_quantiles",      # dyadic multi-quantiles (user_value_median cousin)
+    "near_dedup_keep",           # composed minhash->clusters->canonical filter
 }
 
 

@@ -2956,6 +2956,43 @@ SELECT n AS doc_id, min(l) AS cluster_id FROM cc GROUP BY n
 """
 
 
+def q_near_dedup_keep(sf_dir: str):
+    """End-to-end near-dup corpus filter: MinHash-LSH pairs ->
+    large-star/small-star clusters -> keep flag per document (cluster
+    minimum survives, unclustered docs survive).  The composed form of
+    `minhash_lsh_pairs` + `dedup_clusters` + the co-partition canonical
+    filter — the action a curation pass actually takes."""
+    from ..stages.concomp import dedup_keep_canonical
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        ds, ngram=_MINHASH_NGRAM, threshold=_MINHASH_THRESHOLD
+    )
+    return dedup_keep_canonical(ds, pairs)
+
+
+SQL_NEAR_DEDUP_KEEP = f"""
+WITH RECURSIVE {_sql_minhash_ctes(_MINHASH_NGRAM)},
+pr AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_SQL_SHARED_BAND} AND {_SQL_EST_JACCARD} >= {_MINHASH_THRESHOLD}
+), edges AS (
+  SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr
+), cc AS (
+  SELECT u AS n, u AS l FROM edges
+  UNION
+  SELECT e.v AS n, cc.l FROM cc JOIN edges e ON cc.n = e.u
+), labels AS (
+  SELECT n AS doc_id, min(l) AS cluster_id FROM cc GROUP BY n
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id
+FROM documents d LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.doc_id
+WHERE l.cluster_id IS NULL OR l.cluster_id = CAST(d.doc_id AS VARCHAR)
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
@@ -3830,4 +3867,5 @@ SQL_QUERIES = {
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
+    "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
 }

@@ -31,6 +31,7 @@ FAST_QUERIES = [
     "value_histogram",
     "stratified_sample",
     "user_value_quantiles",
+    "near_dedup_keep",
 ]
 
 
