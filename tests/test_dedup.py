@@ -152,3 +152,58 @@ def test_ngram_jaccard_explicit_group_col_parity():
     )
     got = got.drop(columns=["grp"], errors="ignore")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_verification_routes_equivalent(monkeypatch):
+    """The size-routed verification must be plan-invariant: the driver
+    small route (broadcast semi-join + one vectorized pass) and the
+    scale route (two co-partition signature joins) produce identical
+    pairs — the scale route never fires at test corpus sizes, so force
+    it by zeroing the cap."""
+    from pdf_ocr_comparison_tool_ray.stages import dedup
+
+    df, _ = _corpus(40, 10, seed=9)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    small = (
+        dedup.minhash_lsh_pairs(ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "SMALL_CANDIDATES_MAX", -1)
+    joined = (
+        dedup.minhash_lsh_pairs(ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(joined[small.columns], small)
+    assert len(small) >= 10  # the planted dups keep the test non-vacuous
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_verification_routes_equivalent(monkeypatch):
+    """Same plan-invariance for the exact-Jaccard verification: text
+    pull + driver pass vs two co-partition text joins."""
+    from pdf_ocr_comparison_tool_ray.stages import dedup
+
+    df, _ = _corpus(30, 8, seed=13)
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    small = (
+        dedup.ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "NGRAM_SMALL_CANDIDATES_MAX", -1)
+    joined = (
+        dedup.ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(joined[small.columns], small)
+    assert len(small) >= 8
