@@ -83,3 +83,30 @@ def test_exact_match_join_paths_equivalent(monkeypatch):
     shuffled = run()
     assert broadcast.equals(shuffled)
     assert len(broadcast) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_region_revenue_routes_equivalent(monkeypatch):
+    """region_revenue's size-routed build side: the shuffle-free
+    broadcast map (customer under the cap) and the bucketed
+    co-partition join (large build) must agree — the bucketed branch
+    never fires at test corpus sizes, so force it by zeroing the cap."""
+    from check_queries import to_df
+
+    from pdf_ocr_comparison_tool_ray.pipelines import compare as compare_mod
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_region_revenue
+
+    def run():
+        return (
+            to_df(q_region_revenue(SF))
+            .sort_values("r_name")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(compare_mod, "BROADCAST_MAX_BUILD_ROWS", -1)
+    bucketed = run()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bucketed[broadcast.columns], broadcast)
+    assert len(broadcast) == 5  # all five regions present
