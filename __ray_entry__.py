@@ -52,6 +52,7 @@ _LOCAL_ONLY = {
     "stratified_sample",         # per-group md5-rate sampling (hash_sample cousin)
     "user_value_quantiles",      # dyadic multi-quantiles (user_value_median cousin)
     "near_dedup_keep",           # composed minhash->clusters->canonical filter
+    "subword_token_stats",       # BPE-style pre-tokenizer token budget per doc
 }
 
 

@@ -3750,6 +3750,56 @@ FROM d LEFT JOIN g USING (bin)
 
 
 # ---------------------------------------------------------------------------
+# BPE-style subword token counting — the per-doc token-budget estimate a
+# training pipeline needs before packing.  The pre-tokenizer is the
+# GPT-2 split rule restricted to the RE2∩`re` subset (no lookahead):
+# contractions | space?+letters | space?+digits | space?+punct-run |
+# whitespace-run — so Python `re` and DuckDB regexp_extract_all count
+# identical tokens.  Whitespace tokens are counted separately (they
+# vanish after BPE merges; the brief's "whitespace + BPE-ish regex").
+# ---------------------------------------------------------------------------
+_SUBWORD_RE_SRC = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+_SUBWORD_RE = re.compile(_SUBWORD_RE_SRC)
+
+
+def q_subword_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        dids = batch["doc_id"].to_pandas()
+        n_sub, n_ws = [], []
+        for text in batch["text"].to_pylist():
+            toks = _SUBWORD_RE.findall(text)
+            ws = sum(1 for t in toks if t.isspace())
+            n_sub.append(len(toks) - ws)
+            n_ws.append(ws)
+        return pd.DataFrame(
+            {
+                "doc_id": dids,
+                "n_subword_tokens": pd.Series(n_sub, dtype="int64"),
+                "n_ws_tokens": pd.Series(n_ws, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_SUBWORD_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SUBWORD_RE_SRC.replace("'", "''")}')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE NOT regexp_full_match(t, '\\s+')) AS BIGINT)
+         AS n_subword_tokens,
+       CAST(count(*) FILTER (WHERE regexp_full_match(t, '\\s+')) AS BIGINT)
+         AS n_ws_tokens
+FROM toks GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified sampling: per-group (lang) deterministic rates — the
 # rebalancing counterpart of hash_sample's uniform thinning (a corpus
 # with 44% 'en' downsamples it while keeping the long-tail languages).
@@ -3868,4 +3918,5 @@ SQL_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
+    "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
 }

@@ -32,6 +32,7 @@ FAST_QUERIES = [
     "stratified_sample",
     "user_value_quantiles",
     "near_dedup_keep",
+    "subword_token_stats",
 ]
 
 
