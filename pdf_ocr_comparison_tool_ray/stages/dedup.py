@@ -575,15 +575,22 @@ def _cosine_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     norms[norms == 0] = 1.0
     unit = vecs / norms
     sims = unit @ unit.T
-    a_ids, b_ids, out_sim = [], [], []
     n = len(ids)
     ii, jj = np.triu_indices(n, k=1)
     mask = sims[ii, jj] >= threshold
-    for i, j in zip(ii[mask], jj[mask]):
-        a_ids.append(ids[i])
-        b_ids.append(ids[j])
-        out_sim.append(float(sims[i, j]))
-    return pd.DataFrame({"vec_a": a_ids, "vec_b": b_ids, "cosine": out_sim})
+    # numpy fancy indexing keeps the id dtype even for EMPTY selections —
+    # a list-built frame from an empty group defaults its id columns to
+    # float64 and pd.concat then promotes every group's int64 ids
+    # (dtype divergence the driver's value hash rejects)
+    ids_arr = rows["vec_id"].to_numpy()
+    sel_i, sel_j = ii[mask], jj[mask]
+    return pd.DataFrame(
+        {
+            "vec_a": ids_arr[sel_i],
+            "vec_b": ids_arr[sel_j],
+            "cosine": sims[sel_i, sel_j].astype(np.float64),
+        }
+    )
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
