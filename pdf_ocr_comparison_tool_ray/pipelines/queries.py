@@ -3587,22 +3587,74 @@ def _tf_pairs(ds):
 
 
 _TFIDF_K = 5
+# vocab sizes at or below this broadcast the df lookup (ray.put once,
+# per-worker memoized read) — the common case after any min-df pruning;
+# above it the bucketed token join remains the fallback
+TFIDF_BROADCAST_VOCAB_MAX = 2_000_000
+
+
+def _df_table(pairs):
+    """(doc_id, kw, tf) -> one (kw, df) row per token, SKEW-FREE.
+
+    df partials are mergeable: within a batch each doc-token appears
+    once, so per-batch `groupby(kw).size` rows sum to the global df.  A
+    stopword present in every document contributes ONE partial row per
+    batch to the shuffle instead of one row per document — hot tokens
+    never collocate their raw rows (the 100-TB hazard of computing df by
+    grouping the pair table directly)."""
+    from ..stages.bucketed import bucketed_map_groups
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("kw", as_index=False).agg(df=("doc_id", "size"))
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("kw", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        pairs.map_batches(partial, batch_format="pandas"),
+        "kw",
+        merge_bucket,
+        n_buckets=32,
+    )
 
 
 def q_tfidf_topk(sf_dir: str):
-    from ..stages.bucketed import bucketed_map_groups
+    from ..stages.bucketed import bucketed_equi_join, bucketed_map_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata count — no pipeline execution
-    pairs = _tf_pairs(ds)
+    pairs = _tf_pairs(ds).materialize()  # consumed by df partials + scoring
+    df_tab = _df_table(pairs).materialize()
 
-    def with_df(bucket: pd.DataFrame) -> pd.DataFrame:
-        bucket = bucket.copy()
-        bucket["df"] = bucket.groupby("kw")["doc_id"].transform("size")
-        bucket["tfidf"] = bucket["tf"] * np.log(n_docs / bucket["df"])
-        return bucket
+    # size-routed df attach: the df table is one SCALAR per token, so
+    # when the vocab fits the broadcast budget the score stage is a
+    # shuffle-free map lookup; the bucketed token join (which collocates
+    # a hot token's pair rows) is only the oversized-vocab fallback.
+    if df_tab.count() <= TFIDF_BROADCAST_VOCAB_MAX:
+        df_pd = df_tab.to_pandas()
+        df_ref = ray.put(pd.Series(df_pd["df"].values, index=df_pd["kw"].values))
 
-    scored = bucketed_map_groups(pairs, "kw", with_df, n_buckets=64)
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            lut = _broadcast_get(df_ref)
+            batch = batch.copy()
+            batch["df"] = batch["kw"].map(lut).astype("int64")
+            batch["tfidf"] = batch["tf"] * np.log(n_docs / batch["df"])
+            return batch
+
+        scored = pairs.map_batches(score, batch_format="pandas")
+    else:
+        scored = bucketed_equi_join(pairs, df_tab, on="kw", n_buckets=64)
+
+        def add_score(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["tfidf"] = batch["tf"] * np.log(n_docs / batch["df"])
+            return batch
+
+        scored = scored.map_batches(add_score, batch_format="pandas")
 
     def topk(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.sort_values(
@@ -3648,16 +3700,37 @@ _INVIDX_POSTINGS = 10
 
 
 def q_inverted_index(sf_dir: str):
+    """token -> (df, total_tf, first-10 postings) via MERGEABLE partials:
+    each batch pre-aggregates one (kw, df_part, tf_part, candidate-ids)
+    row per token — candidates are the batch's 10 smallest doc_ids, and
+    the global first-10 is a merge of per-batch first-10s — so a
+    stopword ships one bounded row per batch through the shuffle, never
+    its raw per-doc rows (same skew-free shape as `_df_table`)."""
     from ..stages.bucketed import bucketed_map_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = _tf_pairs(ds)
 
-    def index_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        bucket = bucket.sort_values(["kw", "doc_id"])
-        bucket["df"] = bucket.groupby("kw")["doc_id"].transform("size")
-        bucket = bucket[bucket["df"] >= _INVIDX_MIN_DF]
-        if bucket.empty:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["kw", "doc_id"])
+        head = batch[batch.groupby("kw").cumcount() < _INVIDX_POSTINGS]
+        cand = head.groupby("kw")["doc_id"].agg(list)
+        out = batch.groupby("kw", as_index=False).agg(
+            df=("doc_id", "size"), total_tf=("tf", "sum")
+        )
+        out["cand"] = out["kw"].map(cand)
+        out["df"] = out["df"].astype("int64")
+        out["total_tf"] = out["total_tf"].astype("int64")
+        return out
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("kw", as_index=False).agg(
+            df=("df", "sum"),
+            total_tf=("total_tf", "sum"),
+            cand=("cand", lambda s: sorted(x for c in s for x in c)[:_INVIDX_POSTINGS]),
+        )
+        out = out[out["df"] >= _INVIDX_MIN_DF]
+        if out.empty:
             return pd.DataFrame(
                 {
                     "token": pd.Series([], dtype="object"),
@@ -3666,20 +3739,18 @@ def q_inverted_index(sf_dir: str):
                     "postings": pd.Series([], dtype="object"),
                 }
             )
-        head = bucket[bucket.groupby("kw").cumcount() < _INVIDX_POSTINGS]
-        posts = head.groupby("kw")["doc_id"].agg(
-            lambda s: ",".join(map(str, s))
-        )
-        out = bucket.groupby("kw", as_index=False).agg(
-            df=("df", "first"), total_tf=("tf", "sum")
-        )
-        out["postings"] = out["kw"].map(posts)
-        out = out.rename(columns={"kw": "token"})
+        out["postings"] = out["cand"].map(lambda c: ",".join(map(str, c)))
+        out = out.drop(columns=["cand"]).rename(columns={"kw": "token"})
         out["df"] = out["df"].astype("int64")
         out["total_tf"] = out["total_tf"].astype("int64")
         return out.reset_index(drop=True)
 
-    return bucketed_map_groups(pairs, "kw", index_bucket, n_buckets=64)
+    return bucketed_map_groups(
+        pairs.map_batches(partial, batch_format="pandas"),
+        "kw",
+        merge_bucket,
+        n_buckets=64,
+    )
 
 
 SQL_INVERTED_INDEX = f"""

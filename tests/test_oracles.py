@@ -111,3 +111,27 @@ def test_region_revenue_routes_equivalent(monkeypatch):
 
     pd.testing.assert_frame_equal(bucketed[broadcast.columns], broadcast)
     assert len(broadcast) == 5  # all five regions present
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_routes_equivalent(monkeypatch):
+    """tf-idf's size-routed df attach: broadcast lookup (vocab under the
+    cap) vs bucketed token join (oversized-vocab fallback) must agree."""
+    from check_queries import to_df
+
+    from pdf_ocr_comparison_tool_ray.pipelines import queries as q_mod
+
+    def run():
+        return (
+            to_df(q_mod.q_tfidf_topk(SF))
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(q_mod, "TFIDF_BROADCAST_VOCAB_MAX", -1)
+    joined = run()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(joined[broadcast.columns], broadcast)
+    assert len(broadcast) > 0
