@@ -6,7 +6,11 @@ scanned business documents; this generalizes its noise-scrub regex layer,
 Patterns are written in the RE2-compatible subset (no lookarounds, no
 backreferences) so the SAME pattern string runs under Python ``re`` and
 DuckDB ``regexp_replace`` / ``regexp_extract_all`` — the oracle replays
-the exact redaction.
+the exact redaction.  Python compiles with ``re.ASCII`` (exported as
+``PII_RE_FLAGS`` for callers that hand the raw patterns to pandas):
+RE2's ``\\b`` is an ASCII word boundary, so without the flag a
+non-ASCII letter adjacent to a digit run ('é555-123-4567') is a
+boundary for RE2 but not for Unicode-default Python ``re``.
 
 Semantics:
 * ``redact(text)`` applies replacements in a FIXED order (email, phone,
@@ -30,7 +34,11 @@ PII_PATTERNS: List[Tuple[str, str, str]] = [
     ("card", r"\b[0-9]{16}\b", "<CARD>"),
 ]
 
-_COMPILED = [(kind, re.compile(pat), tok) for kind, pat, tok in PII_PATTERNS]
+PII_RE_FLAGS = re.ASCII
+
+_COMPILED = [
+    (kind, re.compile(pat, PII_RE_FLAGS), tok) for kind, pat, tok in PII_PATTERNS
+]
 
 
 def redact(text: str) -> str:

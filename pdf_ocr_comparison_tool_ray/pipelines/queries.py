@@ -3510,11 +3510,15 @@ def q_pii_redact(sf_dir: str):
         aug = aug.where(
             did % 7 != 3, aug + " card " + (4000000000000000 + did).astype(str)
         )
+        from ..functions.pii import PII_RE_FLAGS
+
         out = pd.DataFrame({"doc_id": did})
         red = aug
         for kind, pat, tok in PII_PATTERNS:
-            out[f"n_{kind}"] = aug.str.count(pat).astype("int64")
-            red = red.str.replace(pat, tok, regex=True)
+            out[f"n_{kind}"] = aug.str.count(pat, flags=PII_RE_FLAGS).astype(
+                "int64"
+            )
+            red = red.str.replace(pat, tok, regex=True, flags=PII_RE_FLAGS)
         out["redacted"] = red
         return out
 
@@ -3725,9 +3729,7 @@ def q_inverted_index(sf_dir: str):
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = bucket.groupby("kw", as_index=False).agg(
-            df=("df", "sum"),
-            total_tf=("total_tf", "sum"),
-            cand=("cand", lambda s: sorted(x for c in s for x in c)[:_INVIDX_POSTINGS]),
+            df=("df", "sum"), total_tf=("total_tf", "sum")
         )
         out = out[out["df"] >= _INVIDX_MIN_DF]
         if out.empty:
@@ -3739,8 +3741,17 @@ def q_inverted_index(sf_dir: str):
                     "postings": pd.Series([], dtype="object"),
                 }
             )
-        out["postings"] = out["cand"].map(lambda c: ",".join(map(str, c)))
-        out = out.drop(columns=["cand"]).rename(columns={"kw": "token"})
+        # candidate merge vectorized: explode the per-batch first-10
+        # lists, one global sort + cumcount truncation (no per-token
+        # Python except the final, unavoidable string join)
+        ex = bucket[["kw", "cand"]].explode("cand")
+        ex = ex[ex["kw"].isin(out["kw"])]
+        ex["cand"] = ex["cand"].astype("int64")
+        ex = ex.sort_values(["kw", "cand"], kind="mergesort")
+        ex = ex[ex.groupby("kw").cumcount() < _INVIDX_POSTINGS]
+        posts = ex["cand"].astype(str).groupby(ex["kw"]).agg(",".join)
+        out["postings"] = out["kw"].map(posts)
+        out = out.rename(columns={"kw": "token"})
         out["df"] = out["df"].astype("int64")
         out["total_tf"] = out["total_tf"].astype("int64")
         return out.reset_index(drop=True)
@@ -3787,7 +3798,12 @@ def q_value_histogram(sf_dir: str):
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         v = batch["value"].to_numpy(zero_copy_only=False)
-        b = np.clip((v // _HIST_WIDTH).astype(np.int64), 0, _HIST_BINS - 1)
+        # null/NaN rows are EXCLUDED (matching SQL, where floor(NULL/w)
+        # groups nowhere), and the clamp happens in FLOAT space — casting
+        # first would turn NaN/overflow into INT64_MIN and silently count
+        # garbage in bin 0
+        v = v[np.isfinite(v)]
+        b = np.clip(v // _HIST_WIDTH, 0, _HIST_BINS - 1).astype(np.int64)
         return pd.DataFrame(
             {
                 "bin": np.arange(_HIST_BINS, dtype=np.int64),
@@ -3826,11 +3842,20 @@ FROM d LEFT JOIN g USING (bin)
 # GPT-2 split rule restricted to the RE2∩`re` subset (no lookahead):
 # contractions | space?+letters | space?+digits | space?+punct-run |
 # whitespace-run — so Python `re` and DuckDB regexp_extract_all count
-# identical tokens.  Whitespace tokens are counted separately (they
-# vanish after BPE merges; the brief's "whitespace + BPE-ish regex").
+# identical tokens.  Whitespace is an EXPLICIT char class (never `\s`,
+# whose definition differs between Unicode-default `re` and RE2), and
+# token classification full-matches that class rather than using
+# Python's Unicode `str.isspace`.  Whitespace tokens are counted
+# separately (they vanish after BPE merges; the brief's "whitespace +
+# BPE-ish regex").
 # ---------------------------------------------------------------------------
-_SUBWORD_RE_SRC = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
-_SUBWORD_RE = re.compile(_SUBWORD_RE_SRC)
+_WS_CLASS = r"[ \t\n\r\f\v]"
+_SUBWORD_RE_SRC = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\v']+|" + _WS_CLASS + "+"
+)
+_SUBWORD_RE = re.compile(_SUBWORD_RE_SRC, re.ASCII)
+_WS_RUN_RE = re.compile(_WS_CLASS + r"+\Z", re.ASCII)
 
 
 def q_subword_token_stats(sf_dir: str):
@@ -3841,7 +3866,7 @@ def q_subword_token_stats(sf_dir: str):
         n_sub, n_ws = [], []
         for text in batch["text"].to_pylist():
             toks = _SUBWORD_RE.findall(text)
-            ws = sum(1 for t in toks if t.isspace())
+            ws = sum(1 for t in toks if _WS_RUN_RE.match(t))
             n_sub.append(len(toks) - ws)
             n_ws.append(ws)
         return pd.DataFrame(
@@ -3860,13 +3885,22 @@ WITH toks AS (
   SELECT doc_id,
          unnest(regexp_extract_all(text, '{_SUBWORD_RE_SRC.replace("'", "''")}')) AS t
   FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (
+           WHERE NOT regexp_full_match(t, '{_WS_CLASS}+')) AS BIGINT)
+           AS n_subword_tokens,
+         CAST(count(*) FILTER (
+           WHERE regexp_full_match(t, '{_WS_CLASS}+')) AS BIGINT)
+           AS n_ws_tokens
+  FROM toks GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) FILTER (WHERE NOT regexp_full_match(t, '\\s+')) AS BIGINT)
-         AS n_subword_tokens,
-       CAST(count(*) FILTER (WHERE regexp_full_match(t, '\\s+')) AS BIGINT)
-         AS n_ws_tokens
-FROM toks GROUP BY doc_id
+-- LEFT JOIN back to documents: a zero-token doc (empty text) produces
+-- no unnest rows, but the engine still emits its (doc_id, 0, 0) row
+SELECT d.doc_id,
+       coalesce(c.n_subword_tokens, 0) AS n_subword_tokens,
+       coalesce(c.n_ws_tokens, 0) AS n_ws_tokens
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 """
 
 

@@ -105,6 +105,24 @@ def bucketed_drop_duplicates(
     return bucketed_map_groups(ds, key_list, drop, n_buckets=n_buckets)
 
 
+def _arrow_type(t) -> pa.DataType:
+    """numpy dtype / arrow type -> arrow type (object columns assumed str)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.lib.ArrowNotImplementedError):
+        return pa.string()
+
+
+def _schema_types(schema) -> dict:
+    """Dataset schema (arrow or pandas-block) -> {name: arrow type}."""
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    return {n: _arrow_type(t) for n, t in zip(base.names, base.types)}
+
+
 def bucketed_equi_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -145,22 +163,7 @@ def bucketed_equi_join(
     }
     r_cols = [rename_r[c] for c in r_cols_src]
 
-    def _arrow(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:  # pandas-block schemas expose numpy dtypes
-            return pa.from_numpy_dtype(t)
-        except (TypeError, pa.lib.ArrowNotImplementedError):
-            return pa.string()  # object columns: scalar strings assumed
-
-    def _types_of(schema) -> dict:
-        if isinstance(schema, pa.Schema):
-            return {f.name: f.type for f in schema}
-        if hasattr(schema, "base_schema") and isinstance(schema.base_schema, pa.Schema):
-            return {f.name: f.type for f in schema.base_schema}
-        return {n: _arrow(t) for n, t in zip(schema.names, schema.types)}
-
-    lt, rt = _types_of(l_schema), _types_of(r_schema)
+    lt, rt = _schema_types(l_schema), _schema_types(r_schema)
     l_types = {c: lt[c] for c in keys + l_cols}
     r_types = {rename_r[c]: rt[c] for c in r_cols_src}
     union_schema = pa.schema(
@@ -249,11 +252,22 @@ def _bucketed_semi_anti(
     the existing anti-join query (``customers_without_orders``) is this
     shape hand-rolled.
     """
-    l_schema = left.schema()
-    l_names = list(l_schema.names)
+    l_types = _schema_types(left.schema())
+    l_names = list(l_types)
+    union_schema = pa.schema(
+        [(n, l_types[n]) for n in l_names] + [("_side", pa.string())]
+    )
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_side", pa.array(["L"] * len(batch)))
+        # explicit types end to end: an EMPTY block's pa.array([]) would
+        # infer type null and diverge from other blocks' schemas
+        import pyarrow.compute as pc
+
+        arrays = [
+            pc.cast(batch[n].combine_chunks(), l_types[n]) for n in l_names
+        ]
+        arrays.append(pa.array(["L"] * len(batch), type=pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         # keys only, batch-local dedup (combiner: one probe row per
@@ -261,28 +275,13 @@ def _bucketed_semi_anti(
         # columns null-filled to keep the union schema aligned
         kt = batch.select(keys).to_pandas().drop_duplicates()
         arrays = [
-            pa.array(kt[k], type=batch.schema.field(k).type) for k in keys
+            pa.array(kt[n], type=l_types[n])
+            if n in keys
+            else pa.nulls(len(kt), type=l_types[n])
+            for n in l_names
         ]
-        t = pa.Table.from_arrays(arrays, names=keys)
-        for name in l_names:
-            if name not in keys:
-                t = t.append_column(
-                    name, pa.nulls(len(t), type=_field_type(l_schema, name))
-                )
-        t = t.select(l_names)  # column order must match tag_left
-        return t.append_column("_side", pa.array(["R"] * len(t)))
-
-    def _field_type(schema, name: str) -> pa.DataType:
-        base = getattr(schema, "base_schema", schema)
-        if isinstance(base, pa.Schema):
-            return base.field(name).type
-        t = base.types[base.names.index(name)]
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (TypeError, pa.lib.ArrowNotImplementedError):
-            return pa.string()
+        arrays.append(pa.array(["R"] * len(kt), type=pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")

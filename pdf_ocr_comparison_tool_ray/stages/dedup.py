@@ -87,6 +87,27 @@ SMALL_CANDIDATES_MAX = 100_000
 NGRAM_SMALL_CANDIDATES_MAX = 20_000
 
 
+def _semi_join_filter(table, ids_a: pd.Series, ids_b: pd.Series):
+    """Filter ``table`` (a Dataset with a doc_id column) down to the ids
+    appearing in the two pair columns.  The id set ships ONCE as an
+    Arrow array (zero-copy from the object store per worker, memoized by
+    broadcast_get) and the per-batch filter is one vectorized pc.is_in —
+    no per-row Python over the corpus pass."""
+    import ray as _ray
+
+    from .broadcast import broadcast_get
+
+    needed_ref = _ray.put(pa.array(pd.unique(pd.concat([ids_a, ids_b]))))
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        need = broadcast_get(needed_ref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=need))
+
+    return table.map_batches(keep_needed, batch_format="pyarrow")
+
+
 def _doc_id_dtype(ds) -> np.dtype:
     """pandas dtype of ``doc_id`` — works for both Arrow schemas and
     PandasBlockSchema (Datasets built via from_pandas in tests)."""
@@ -250,22 +271,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", ngram: int = 3,
 
         from .broadcast import broadcast_get
 
-        # the semi-join value set ships as an ARROW array: zero-copy from
-        # the object store per worker, and the filter is one vectorized
-        # pc.is_in per batch — no per-row Python over the corpus pass
-        needed_ref = _ray.put(
-            pa.array(pd.unique(pd.concat([cand_df["doc_a"], cand_df["doc_b"]])))
-        )
-
-        def keep_needed(t: pa.Table) -> pa.Table:
-            need = broadcast_get(needed_ref)  # one fetch per worker
-            import pyarrow.compute as pc
-
-            return t.filter(pc.is_in(t["doc_id"], value_set=need))
-
-        sig_df = (
-            sigs.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
-        )  # bounded: <= 2 * n_cand rows
+        sig_df = _semi_join_filter(
+            sigs, cand_df["doc_a"], cand_df["doc_b"]
+        ).to_pandas()  # bounded: <= 2 * n_cand rows
         lut = dict(zip(sig_df["doc_id"], sig_df["signature"]))
         a = np.stack(
             [np.frombuffer(lut[d], dtype=np.uint64) for d in cand_df["doc_a"]]
@@ -476,17 +484,9 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
                     }
                 )
             )
-        needed_ref = _ray.put(
-            pa.array(pd.unique(pd.concat([cand_df["doc_a"], cand_df["doc_b"]])))
-        )
-
-        def keep_needed(t: pa.Table) -> pa.Table:
-            need = broadcast_get(needed_ref)  # arrow array, zero-copy
-            import pyarrow.compute as pc
-
-            return t.filter(pc.is_in(t["doc_id"], value_set=need))
-
-        text_df = texts.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+        text_df = _semi_join_filter(
+            texts, cand_df["doc_a"], cand_df["doc_b"]
+        ).to_pandas()
         lut = dict(zip(text_df["doc_id"], text_df["text"]))
         sets = {
             d: frozenset(shingles(tokenize(t), ngram)) for d, t in lut.items()
