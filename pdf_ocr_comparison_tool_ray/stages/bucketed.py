@@ -289,11 +289,18 @@ def _bucketed_semi_anti(
 
     keep_match = how == "semi"
 
+    out_schema = pa.schema([(n, l_types[n]) for n in l_names])
+
     def filter_bucket(bucket: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = bucket["_side"]
+        # cast back through the LEFT schema: a bucket holding both L
+        # rows and null-filled R rows may round-trip through a pandas
+        # block during the shuffle, promoting int64+null to float64 —
+        # the L rows themselves are null-free, so the cast is exact
         l = bucket.filter(pc.equal(side, "L")).drop_columns(["_side"])
+        l = l.select(l_names).cast(out_schema)
         if len(l) == 0:
             return l
         r_keys = (

@@ -351,3 +351,41 @@ def test_value_histogram_partials_merge():
     assert b.tolist() == [0, 0, 0, 1, _HIST_BINS - 1, _HIST_BINS - 1]
     c = np.bincount(b, minlength=_HIST_BINS)
     assert len(c) == _HIST_BINS and c.sum() == len(v)
+
+
+def test_pii_ascii_word_boundary_matches_re2():
+    """Python compiles PII patterns with re.ASCII so \\b agrees with
+    RE2: a non-ASCII letter adjacent to a digit run IS a boundary."""
+    from pdf_ocr_comparison_tool_ray.functions.pii import pii_counts, redact
+
+    assert redact("é555-123-4567") == "é<PHONE>"
+    assert pii_counts("é555-123-4567")["phone"] == 1
+
+
+def test_subword_tokens_zero_token_doc():
+    """Empty or apostrophe-only text yields 0/0, never a dropped row;
+    NBSP is not whitespace for the explicit ASCII class."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _SUBWORD_RE,
+        _WS_RUN_RE,
+    )
+
+    assert _SUBWORD_RE.findall("") == []
+    assert _SUBWORD_RE.findall("'''") == []  # bare apostrophes match nothing
+    toks = _SUBWORD_RE.findall("a\xa0b")
+    # NBSP falls into the punct branch, not the whitespace branch
+    assert not any(_WS_RUN_RE.match(t) for t in toks if "\xa0" in t)
+
+
+def test_value_histogram_excludes_nan():
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _HIST_BINS,
+        _HIST_WIDTH,
+    )
+
+    v = np.array([np.nan, 10.0, np.inf, 30.0])
+    v = v[np.isfinite(v)]
+    b = np.clip(v // _HIST_WIDTH, 0, _HIST_BINS - 1).astype(np.int64)
+    assert b.tolist() == [0, 1]  # nan/inf excluded before the cast

@@ -322,3 +322,21 @@ def test_bucketed_equi_join_semi_anti():
 
     with pytest.raises(ValueError, match="semi/anti"):
         bucketed_equi_join(left, right, on="k", how="cross")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_tolerates_empty_blocks():
+    """Repartitioning past the row count creates EMPTY blocks; the
+    semi/anti taggers must keep explicit arrow types so those blocks'
+    schemas match (an untyped pa.array([]) infers type null)."""
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    ).repartition(8)
+    right = ray.data.from_pandas(pd.DataFrame({"k": [2, 9]})).repartition(6)
+
+    semi = bucketed_equi_join(left, right, on="k", how="semi").to_pandas()
+    anti = bucketed_equi_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2] and sorted(anti["k"]) == [1, 3]
+    assert semi["v"].dtype == anti["v"].dtype == "int64"
