@@ -68,6 +68,17 @@ def derive_spans(doc_id: str, text: str, seed: int = 42) -> List[Dict]:
     offset = 0
     while i < len(words):
         take = rng.randint(6, 18)
+        # absorb a degenerate tail (joined length < 3 chars, i.e. one
+        # trailing 1-2 char word) into this chunk: the html stripper's
+        # min-length boilerplate heuristic (correctly, per reference
+        # semantics) drops blocks that short, which would break the
+        # round-trip invariant the synthetic corpus promises.  Same rng
+        # consumption as before — the absorbed tail simply never becomes
+        # its own chunk (found by the sf0.1 oracle sweep: 4/5000 docs
+        # ended in ' a' and lost it on the html route).
+        rest = words[i + take :]
+        if rest and len(" ".join(rest)) < 3:
+            take += len(rest)
         chunk = " ".join(words[i : i + take])
         i += take
         kind = rng.choices(KINDS, weights=_KIND_WEIGHTS)[0]
