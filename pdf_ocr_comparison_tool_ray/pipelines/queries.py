@@ -2276,7 +2276,19 @@ def q_contamination(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
             out[c] = out[c].astype("int64")
         return out
 
-    return bucketed_map_groups(hits, "doc_id", rollup, n_buckets=32)
+    res = bucketed_map_groups(hits, "doc_id", rollup, n_buckets=32).to_pandas()
+    if not len(res.columns):
+        # a fully-empty Dataset drops its columns through to_pandas —
+        # rebuild the schema-stable empty result (a clean corpus is the
+        # expected steady state for a decontamination check)
+        res = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_shared_grams": pd.Series([], dtype="int64"),
+                "n_distinct_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    return res
 
 
 SQL_CONTAMINATION = f"""
