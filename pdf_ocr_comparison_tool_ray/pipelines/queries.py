@@ -2690,7 +2690,11 @@ def q_compare_pipeline(sf_dir: str, shuffle: bool = False):
     row-identical, the large-build-side physical plan)."""
     from ..pipelines.compare import run_compare, run_compare_shuffle
 
-    pages = _paged_docs(sf_dir, stamp=True)
+    # materialize at the fan-out: probe and build both filter `pages`,
+    # and the match join consumes each side again — without this the
+    # paging pipeline re-executes per consumer (~2x the query wall time
+    # at sf0.1: join core 9s vs 22s end-to-end before the pin)
+    pages = _paged_docs(sf_dir, stamp=True).materialize()
     probe, build = _split_pages(pages, 1), _split_pages(pages, 0)
     fn = run_compare_shuffle if shuffle else run_compare
     return fn(probe, build).map_batches(_compare_post, batch_format="pyarrow")
@@ -2705,7 +2709,7 @@ def q_match_summary(sf_dir: str):
     from ..pipelines.compare import build_index, enrich_spans, match_spans
     from ..pipelines.reports import match_summary
 
-    pages = _paged_docs(sf_dir, stamp=True)
+    pages = _paged_docs(sf_dir, stamp=True).materialize()  # fan-out pin
     probe, build = _split_pages(pages, 1), _split_pages(pages, 0)
     results = match_spans(enrich_spans(probe), build_index(enrich_spans(build)))
     return match_summary(results)
