@@ -133,6 +133,9 @@ def run_queries() -> dict:
         # round-3 breadth: PII scrub + open-vocab tf-idf (both bucketed)
         "pii_redact",
         "tfidf_topk",
+        # the flagship extract-and-compare match join (broadcast-index
+        # plan, full sf corpus paginated on both sides)
+        "compare_pipeline",
     ]
     times = {}
     for name in picks:
