@@ -53,6 +53,7 @@ _LOCAL_ONLY = {
     "user_value_quantiles",      # dyadic multi-quantiles (user_value_median cousin)
     "near_dedup_keep",           # composed minhash->clusters->canonical filter
     "subword_token_stats",       # BPE-style pre-tokenizer token budget per doc
+    "top_tokens_by_lang",        # per-group exact top-k over the open vocabulary
 }
 
 

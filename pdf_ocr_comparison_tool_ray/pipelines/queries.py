@@ -296,6 +296,86 @@ LIMIT 50
 """
 
 # ---------------------------------------------------------------------------
+# per-GROUP exact top-k over the open vocabulary (top tokens per lang) —
+# the grouped form of keyword_topk's distributed top-k: batch-local
+# (lang, token) partials (a hot token ships one bounded row per batch),
+# bucketed merge by (lang, token) that also emits per-bucket per-lang
+# top-k CANDIDATES (exact: a global winner's total count lives wholly in
+# one bucket), final rank over n_buckets x n_langs x k candidate rows on
+# the driver.
+# ---------------------------------------------------------------------------
+_LANG_TOPK = 10
+
+
+def q_top_tokens_by_lang(sf_dir: str, k: int = _LANG_TOPK):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in _TOKEN_RE.findall(text):
+                if len(tok) >= 2 and not _DIGITS_RE.match(tok):
+                    counts[(lang, tok)] = counts.get((lang, tok), 0) + 1
+        langs, kws = zip(*counts.keys()) if counts else ((), ())
+        return pd.DataFrame(
+            {
+                "lang": list(langs),
+                "keyword": list(kws),
+                "occurrences": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    def bucket_candidates(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.groupby(["lang", "keyword"], as_index=False)[
+            "occurrences"
+        ].sum()
+        m = m.sort_values(
+            ["lang", "occurrences", "keyword"], ascending=[True, False, True]
+        )
+        m = m[m.groupby("lang").cumcount() < k]
+        m["occurrences"] = m["occurrences"].astype("int64")
+        return m.reset_index(drop=True)
+
+    cand = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "keyword"],
+        bucket_candidates,
+        n_buckets=32,
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["lang", "occurrences", "keyword"], ascending=[True, False, True]
+    )
+    cand["rk"] = (cand.groupby("lang").cumcount() + 1).astype("int64")
+    out = cand[cand["rk"] <= k].reset_index(drop=True)
+    out["occurrences"] = out["occurrences"].astype("int64")
+    return out
+
+
+SQL_TOP_TOKENS_BY_LANG = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), c AS (
+  SELECT lang, kw AS keyword, count(*) AS occurrences
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY lang, kw
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY occurrences DESC, keyword) AS rk
+  FROM c
+)
+SELECT lang, keyword, CAST(occurrences AS BIGINT) AS occurrences,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_LANG_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M8: top-10 keywords per document
 # ---------------------------------------------------------------------------
 def q_keywords_per_doc(sf_dir: str):
@@ -4040,4 +4120,5 @@ SQL_QUERIES = {
     "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
+    "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
 }

@@ -33,6 +33,7 @@ FAST_QUERIES = [
     "user_value_quantiles",
     "near_dedup_keep",
     "subword_token_stats",
+    "top_tokens_by_lang",
 ]
 
 
