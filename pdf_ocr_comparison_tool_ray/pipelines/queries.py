@@ -3089,11 +3089,25 @@ WHERE l.cluster_id IS NULL OR l.cluster_id = CAST(d.doc_id AS VARCHAR)
 """
 
 
+def _schema_stable_pairs(res, spec: dict) -> pd.DataFrame:
+    """Dataset -> DataFrame; a fully-empty pair table produces ZERO
+    blocks through the bucketed dedup shuffle and to_pandas drops its
+    columns — rebuild the declared schema (the no-near-dups corpus is a
+    legitimate steady state, found by the contamination sf0.1 lesson)."""
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    if not len(df.columns):
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
+    return df
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=_SIMHASH_MAX_HAMMING)
+    return _schema_stable_pairs(
+        simhash_pairs(ds, max_hamming=_SIMHASH_MAX_HAMMING),
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"},
+    )
 
 
 SQL_SIMHASH_PAIRS = f"""
@@ -3528,13 +3542,16 @@ def q_embedding_dup_lsh(sf_dir: str):
     from ..stages.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_dup_pairs(
-        ds,
-        threshold=_EDL_THRESHOLD,
-        n_planes=_EDL_PLANES,
-        n_tables=_EDL_TABLES,
-        seed=_EDL_SEED,
-    ).to_pandas()
+    pairs = _schema_stable_pairs(
+        embedding_dup_pairs(
+            ds,
+            threshold=_EDL_THRESHOLD,
+            n_planes=_EDL_PLANES,
+            n_tables=_EDL_TABLES,
+            seed=_EDL_SEED,
+        ),
+        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
     pairs["cosine"] = pairs["cosine"].round(6)
     return pairs
 

@@ -207,3 +207,23 @@ def test_ngram_verification_routes_equivalent(monkeypatch):
     )
     pd.testing.assert_frame_equal(joined[small.columns], small)
     assert len(small) >= 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_pair_tables_keep_schema():
+    """A corpus with zero near-dups must yield an EMPTY result with the
+    declared columns — a fully-empty pair table produces zero blocks
+    through the dedup shuffle and would otherwise lose its schema."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _schema_stable_pairs,
+    )
+    from pdf_ocr_comparison_tool_ray.stages.dedup import simhash_pairs
+
+    df, _ = _corpus(20, 0, seed=21)  # no planted dups
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = _schema_stable_pairs(
+        simhash_pairs(ds, max_hamming=0),
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"},
+    )
+    assert list(out.columns) == ["doc_a", "doc_b", "hamming"]
+    assert len(out) == 0 and out["doc_a"].dtype == "int64"
