@@ -3,13 +3,17 @@
 Reference semantics, ``deepseek_ocr2_engine.py``:
 
 * ``_parse_result`` (:269-291) — the grounding format: the model emits
-  ``<|ref|>fragment text<|det|>[[x1, y1, x2, y2]]`` pairs; each pair is
-  one positioned text fragment, parsed into (text, bbox).  When no
-  grounding pairs are present the output is treated as plain text.
+  ``<|ref|>text<|/ref|><|det|>[[x1, y1, x2, y2]]<|/det|>\\n<fragment>``
+  pairs — the literal word ``text`` sits between the ref markers and the
+  recognized fragment FOLLOWS the closing det tag, running up to the
+  next ``<|ref|>`` (or end of output).  Each pair is one positioned
+  fragment, parsed into (text, bbox).  When no grounding pairs are
+  present the output is treated as plain text.
 * ``_extract_plain_text`` (:293-345) — plain-text fallback scrubbing:
-  strip ``<|…|>`` markers and bbox literals, drop debug-noise lines
-  (logger prefixes, separator rules, inference-telemetry lines), drop
-  lines containing filter keywords, drop lines shorter than 2 chars.
+  strip ``<|…|>`` markers and bbox literals, sweep debug noise
+  (logger/telemetry lines, separator rules), drop lines containing any
+  of the reference's case-insensitive filter keywords, drop lines
+  shorter than 2 chars.
 
 The mock second engine produces clean text, so both functions are exact
 no-ops on the synthetic corpus (golden fixtures unchanged); a real
@@ -22,10 +26,14 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-# <|ref|>text<|det|>[[x1, y1, x2, y2]] grounding pairs (:269-291)
+# <|ref|>text<|/ref|><|det|>[[x1, y1, x2, y2]]<|/det|>\n<fragment>
+# grounding pairs (deepseek_ocr2_engine.py:269-291).  The reference
+# matches the literal word ``text`` between the ref markers; we accept
+# any ref payload (``.*?``) — a strict superset, same captures.
 _GROUNDING_RE = re.compile(
-    r"<\|ref\|>(?P<text>.*?)<\|det\|>\s*"
-    r"\[\[\s*(?P<x1>\d+)\s*,\s*(?P<y1>\d+)\s*,\s*(?P<x2>\d+)\s*,\s*(?P<y2>\d+)\s*\]\]",
+    r"<\|ref\|>.*?<\|/ref\|><\|det\|>\s*"
+    r"\[\[\s*(?P<x1>\d+)\s*,\s*(?P<y1>\d+)\s*,\s*(?P<x2>\d+)\s*,\s*(?P<y2>\d+)\s*\]\]"
+    r"\s*<\|/det\|>\s*\n?(?P<text>.+?)(?=<\|ref\|>|$)",
     re.DOTALL,
 )
 
@@ -37,7 +45,32 @@ _DEBUG_LINE_RES = [
     re.compile(r"^\s*[=\-]{3,}\s*$"),
     re.compile(r"(?i)^\s*(?:image size|base size|crop mode|valid patches|tokens?)\s*[:=]"),
 ]
-_FILTER_KEYWORDS = ("BASE:", "PATCHES:", "NO VALID", "torch.", "CUDA")
+# The reference's case-insensitive filter_keywords (:318-322) plus the
+# keyword content of its multi-line debug_patterns (:303-313) — each of
+# those sweeps (``BASE:...PATCHES:``, ``torch.Size(...)``, ``The
+# attention ...``, ``Setting ...``, ``... is deprecated``, ``Creating
+# model:``, ``Model files``, ``Checking connectivity``) carries one of
+# these substrings, so per-line keyword filtering subsumes the sweeps.
+# Deliberate deviation: removal is line-granular (the whole noisy line
+# drops instead of a mid-line slice), which removes strictly more noise
+# and keeps the scrub idempotent (property-pinned).
+_FILTER_KEYWORDS = (
+    "attention",
+    "token",  # also covers eos_token / pad_token
+    "cache",
+    "warning",
+    "setting",
+    "deprecated",
+    "torch.",  # covers torch.size
+    "creating model",
+    "model files",
+    "connectivity",
+    "position_ids",
+    "base:",
+    "patches:",
+    "no valid",
+    "cuda",
+)
 _MIN_LINE_CHARS = 2
 # span bbox columns are list<int32>; clamp raw model coordinates so one
 # garbage pair (e.g. [[9999999999, ...]]) cannot fail the whole arrow
@@ -49,9 +82,12 @@ _COORD_MAX = 2**31 - 1
 def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
     """Model output -> ordered [(fragment_text, [x1, y1, x2, y2])].
 
-    Empty list when the output carries no grounding pairs — the caller
-    then falls back to ``scrub_engine_output`` (the reference does the
-    same: parse first, plain-text fallback)."""
+    Fragment text is what follows ``<|/det|>`` up to the next ``<|ref|>``
+    (reference :271-272) — NOT the ref-marker payload, which is the
+    literal word ``text``.  Empty list when the output carries no
+    grounding pairs — the caller then falls back to
+    ``scrub_engine_output`` (the reference does the same: parse first,
+    plain-text fallback)."""
     out: List[Tuple[str, List[int]]] = []
     for m in _GROUNDING_RE.finditer(output):
         text = m.group("text").strip()
@@ -67,8 +103,9 @@ def parse_grounded_fragments(output: str) -> List[Tuple[str, List[int]]]:
 
 
 def scrub_engine_output(text: str) -> str:
-    """Plain-text fallback: strip markers/bbox literals, drop debug and
-    too-short lines; surviving lines re-join with newlines.
+    """Plain-text fallback: strip markers/bbox literals, drop debug,
+    keyword-bearing and too-short lines; surviving lines re-join with
+    newlines.
 
     The strip runs to a per-line FIXPOINT (the reference's single pass
     can leave behind a marker/bbox literal assembled from the halves of
@@ -88,7 +125,8 @@ def scrub_engine_output(text: str) -> str:
             continue
         if any(r.search(s) for r in _DEBUG_LINE_RES):
             continue
-        if any(k in s for k in _FILTER_KEYWORDS):
+        low = s.lower()
+        if any(k in low for k in _FILTER_KEYWORDS):
             continue
         kept.append(s)
     return "\n".join(kept)

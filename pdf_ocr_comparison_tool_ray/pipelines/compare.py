@@ -23,21 +23,49 @@ from typing import Optional
 import ray
 import ray.data
 
-from ..config import MATCHING
+from ..config import MATCHING, auto_stage_config
 from ..stages.enrich import FeatureEnricher
 from ..stages.match import PageIndex, PageMatcher, merge_match_group
 
 
+def _pool_concurrency() -> tuple:
+    """Actor-pool bounds sized from the cluster, like the extraction
+    stage (config.auto_stage_config) — a hard-coded (1, 4) cap starved
+    the similarity-scoring stage on a 32-CPU node (round-3 verdict)."""
+    return (1, auto_stage_config()["ocr_concurrency"])
+
+
+# Default-config enricher, one per worker PROCESS (Ray reuses worker
+# processes across tasks, so the compiled regex/classifier state is
+# built once per worker without paying actor-pool spin-up — the
+# default-vocabulary enrich is the hot path in every compare query).
+_DEFAULT_ENRICHER: FeatureEnricher | None = None
+
+
+def _enrich_default_batch(batch):
+    global _DEFAULT_ENRICHER
+    if _DEFAULT_ENRICHER is None:
+        _DEFAULT_ENRICHER = FeatureEnricher()
+    return _DEFAULT_ENRICHER(batch)
+
+
 def enrich_spans(extracted: ray.data.Dataset, doc_types: dict | None = None,
                  batch_size: int = 1024) -> ray.data.Dataset:
-    """Attach feature columns to extracted span rows."""
-    kwargs = {"doc_types": doc_types} if doc_types else {}
+    """Attach feature columns to extracted span rows.
+
+    Default vocabulary -> stateless task form (per-process cached
+    enricher, no actor pool to warm); custom ``doc_types`` -> actor
+    pool carrying the custom classifier."""
+    if doc_types is None:
+        return extracted.map_batches(
+            _enrich_default_batch, batch_format="pyarrow", batch_size=batch_size
+        )
     return extracted.map_batches(
         FeatureEnricher,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
-        fn_constructor_kwargs=kwargs,
+        concurrency=_pool_concurrency(),
+        fn_constructor_kwargs={"doc_types": doc_types},
     )
 
 
@@ -57,17 +85,31 @@ def match_spans(
     probe_enriched: ray.data.Dataset,
     index: PageIndex,
     cfg: Optional[dict] = None,
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int = 512,
 ) -> ray.data.Dataset:
-    """Probe every span against the broadcast index -> match-result rows."""
+    """Probe every span against the broadcast index -> match-result rows.
+
+    Task form by default (per-worker memoized index fetch — see
+    ``match_batch_ref``); pass ``concurrency`` to force an actor pool
+    (e.g. when a real model rides along with the index)."""
+    import functools
+
+    from ..stages.match import match_batch_ref
+
     index_ref = ray.put(index)
+    if concurrency is not None:
+        return probe_enriched.map_batches(
+            PageMatcher,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"index_ref": index_ref, "cfg": cfg or MATCHING},
+        )
     return probe_enriched.map_batches(
-        PageMatcher,
+        functools.partial(match_batch_ref, index_ref=index_ref, cfg=cfg or MATCHING),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"index_ref": index_ref, "cfg": cfg or MATCHING},
     )
 
 

@@ -190,7 +190,10 @@ def q_exact_match_join(sf_dir: str):
     if n_docs is None or n_docs // 2 > BROADCAST_MAX_BUILD_ROWS:
         from ..stages.bucketed import bucketed_equi_join
 
-        keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+        # fan-out pin: probe AND build both consume keyed_ds — without
+        # materialize() Ray re-executes the md5 prefix-key pass over the
+        # full corpus once per branch (bounded: two small columns/row)
+        keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
         probe_side = keyed_ds.map_batches(
             lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
             .rename_columns(["source_doc_id", "content_key"]),
@@ -2768,16 +2771,24 @@ def q_compare_pipeline(sf_dir: str, shuffle: bool = False):
     """Odd doc_ids probe against even doc_ids via the broadcast-index
     match join (``shuffle=True``: the hash-shuffle co-partition join —
     row-identical, the large-build-side physical plan)."""
-    from ..pipelines.compare import run_compare, run_compare_shuffle
+    from ..pipelines.compare import build_index, enrich_spans, match_spans, merge_matches
 
-    # materialize at the fan-out: probe and build both filter `pages`,
-    # and the match join consumes each side again — without this the
-    # paging pipeline re-executes per consumer (~2x the query wall time
-    # at sf0.1: join core 9s vs 22s end-to-end before the pin)
-    pages = _paged_docs(sf_dir, stamp=True).materialize()
+    # Enrich ONCE over all pages, then materialize at the fan-out:
+    # probe and build both filter the same enriched table, and the match
+    # join consumes each side again — without the pin the paging+enrich
+    # pipeline re-executes per consumer (~2x the query wall time at
+    # sf0.1); enriching before the split halves the enrich pool work
+    # the old probe/build-each-enrich plan did (features are
+    # parity-agnostic, so this is purely a physical plan change).
+    pages = enrich_spans(_paged_docs(sf_dir, stamp=True)).materialize()
     probe, build = _split_pages(pages, 1), _split_pages(pages, 0)
-    fn = run_compare_shuffle if shuffle else run_compare
-    return fn(probe, build).map_batches(_compare_post, batch_format="pyarrow")
+    if shuffle:
+        from ..stages.match_shuffle import run_match_shuffle
+
+        results = run_match_shuffle(probe, build, None)
+    else:
+        results = match_spans(probe, build_index(build))
+    return merge_matches(results).map_batches(_compare_post, batch_format="pyarrow")
 
 
 def q_compare_pipeline_shuffle(sf_dir: str):
@@ -3911,10 +3922,10 @@ def q_value_histogram(sf_dir: str):
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         v = batch["value"].to_numpy(zero_copy_only=False)
-        # null/NaN rows are EXCLUDED (matching SQL, where floor(NULL/w)
-        # groups nowhere), and the clamp happens in FLOAT space — casting
-        # first would turn NaN/overflow into INT64_MIN and silently count
-        # garbage in bin 0
+        # null/NaN/±inf rows are EXCLUDED — the oracle mirrors this with
+        # WHERE isfinite(value) — and the clamp happens in FLOAT space:
+        # casting first would turn NaN/overflow into INT64_MIN and
+        # silently count garbage in bin 0
         v = v[np.isfinite(v)]
         b = np.clip(v // _HIST_WIDTH, 0, _HIST_BINS - 1).astype(np.int64)
         return pd.DataFrame(
@@ -3940,7 +3951,7 @@ SQL_VALUE_HISTOGRAM = f"""
 WITH b AS (
   SELECT least(greatest(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT), 0),
                {_HIST_BINS - 1}) AS bin
-  FROM events
+  FROM events WHERE isfinite(value)
 ), g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
 d AS (SELECT unnest(range(0, {_HIST_BINS})) AS bin)
 SELECT d.bin, d.bin * {_HIST_WIDTH} AS lo, (d.bin + 1) * {_HIST_WIDTH} AS hi,

@@ -28,14 +28,26 @@ runs after a ``groupby(text_hash)`` co-shuffle — see
 
 from __future__ import annotations
 
-from collections import defaultdict
+import math
+from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 
 from ..config import MATCHING, STATUS_EXACT, STATUS_LOW, STATUS_NONE, STATUS_PARTIAL
-from ..functions.similarity import calculate_similarity
+from ..functions.similarity import levenshtein_similarity
 from ..functions.textnorm import normalize_amount
+from ..functions.tokenize import tokenize
+
+
+def _token_features(text: str) -> Tuple[Counter, float, frozenset]:
+    """(term-frequency Counter, euclidean norm, token set) — the three
+    token-derived inputs the similarity kernels need.  Computed ONCE per
+    page at index-build time and once per probe row (the naive path
+    retokenized both texts on every candidate pair — up to 100
+    tokenizations of the same probe under the fallback)."""
+    tf = Counter(tokenize(text))
+    return tf, math.sqrt(sum(v * v for v in tf.values())), frozenset(tf)
 
 
 class PageIndex:
@@ -56,6 +68,11 @@ class PageIndex:
                 "offset": page["offset"],
                 "text": page["text"],
                 "keywords": page.get("keywords", []),
+                # token features ("tf"/"norm"/"tokset") are attached
+                # LAZILY by find_matches on first scoring — computing
+                # them here would serialize the work on the driver at
+                # index-build time and ship pickled Counters in the
+                # broadcast (measured slower than one in-actor pass)
             }
         )
         self.hash_index[page["text_hash"]].append(idx)
@@ -90,8 +107,34 @@ def find_matches(index: PageIndex, probe: dict,
     scored: List[Tuple[int, float]] = []
     algorithm = cfg["algorithm"]
     floor = cfg["partial_match_threshold"]
+    # tokenize the probe ONCE (after the hash short-circuit); per-candidate
+    # work is then a dict-dot / set-intersection against the page's
+    # pre-tokenized features — bit-exact vs calculate_similarity (integer
+    # dot and integer norm sums are order-independent, sqrt/division
+    # identical), equivalence-pinned in test_match.py
+    if algorithm == "levenshtein":
+        probe_tf = probe_norm = probe_set = None  # text-based DP, no tokens
+    else:
+        probe_tf, probe_norm, probe_set = _token_features(probe["text"])
     for i in sorted(candidates):
-        sim = calculate_similarity(probe["text"], index.pages[i]["text"], algorithm)
+        page = index.pages[i]
+        if algorithm == "levenshtein":
+            sim = levenshtein_similarity(probe["text"], page["text"])
+        elif algorithm == "jaccard":
+            if "tokset" not in page:
+                page["tf"], page["norm"], page["tokset"] = _token_features(page["text"])
+            union = probe_set | page["tokset"]
+            sim = len(probe_set & page["tokset"]) / len(union) if union else 0.0
+        else:  # cosine — also the unknown-algorithm fallback (dispatch parity)
+            if "tf" not in page:
+                page["tf"], page["norm"], page["tokset"] = _token_features(page["text"])
+            tf2, n2 = page["tf"], page["norm"]
+            if not probe_tf or not tf2:
+                sim = 0.0
+            else:
+                a, b = (probe_tf, tf2) if len(probe_tf) <= len(tf2) else (tf2, probe_tf)
+                dot = sum(v * b.get(k, 0) for k, v in a.items())
+                sim = dot / (probe_norm * n2) if probe_norm and n2 else 0.0
         if sim >= floor:
             scored.append((i, sim))
     scored.sort(key=lambda t: (-t[1], index.pages[t[0]]["doc_id"], index.pages[t[0]]["offset"]))
@@ -148,8 +191,34 @@ _RESULT_SCHEMA = pa.schema(
 )
 
 
+def match_batch(batch: pa.Table, index: PageIndex, cfg: Optional[dict] = None) -> pa.Table:
+    """Probe one Arrow batch against an in-memory index -> result rows."""
+    cfg = cfg or MATCHING
+    rows = batch.to_pylist()
+    out = [match_page(index, r, cfg) for r in rows]
+    cols = {name: [r[name] for r in out] for name in _RESULT_SCHEMA.names}
+    return pa.Table.from_pydict(cols, schema=_RESULT_SCHEMA)
+
+
+def match_batch_ref(batch: pa.Table, index_ref=None, cfg: Optional[dict] = None) -> pa.Table:
+    """Task-form probe stage: per-worker-process memoized index fetch
+    (``broadcast_get``), then ``match_batch``.
+
+    Measured faster than the actor-pool form at bench scale — task pools
+    reuse warm worker processes, so the index unpickle (and the lazy
+    token-feature pass over scored pages) runs once per process with no
+    actor spin-up; the memory profile is identical (one index copy per
+    worker either way, and the broadcast route is already size-gated by
+    ``run_compare_auto``)."""
+    from .broadcast import broadcast_get
+
+    return match_batch(batch, broadcast_get(index_ref), cfg)
+
+
 class PageMatcher:
-    """Actor-pool probe stage: fetch the broadcast index once per actor."""
+    """Probe-stage callable for actor pools: fetch the broadcast index
+    once per actor.  (``match_spans`` uses the task form by default;
+    this class remains for pools holding custom per-actor state.)"""
 
     def __init__(self, index_ref=None, index: PageIndex | None = None,
                  cfg: Optional[dict] = None):
@@ -161,10 +230,7 @@ class PageMatcher:
         self.cfg = cfg or MATCHING
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = [match_page(self.index, r, self.cfg) for r in rows]
-        cols = {name: [r[name] for r in out] for name in _RESULT_SCHEMA.names}
-        return pa.Table.from_pydict(cols, schema=_RESULT_SCHEMA)
+        return match_batch(batch, self.index, self.cfg)
 
 
 def merge_match_group(group: pa.Table) -> pa.Table:

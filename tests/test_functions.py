@@ -275,9 +275,13 @@ def test_ocr_scrub_grounding_parse():
         union_bbox,
     )
 
+    # exact reference output shape (deepseek_ocr2_engine.py:271-272):
+    # literal 'text' between the ref markers, recognized fragment AFTER
+    # the closing det tag
     grounded = (
-        "<|ref|>Invoice 2024-001<|det|>[[10, 20, 200, 40]]\n"
-        "<|ref|>Total: 300<|det|>[[10,60,150,80]]"
+        "<|ref|>text<|/ref|><|det|>[[10, 20, 200, 40]]<|/det|>\n"
+        "Invoice 2024-001\n"
+        "<|ref|>text<|/ref|><|det|>[[10,60,150,80]]<|/det|>\nTotal: 300"
     )
     frags = parse_grounded_fragments(grounded)
     assert frags == [

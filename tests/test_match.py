@@ -100,6 +100,68 @@ def test_merge_run_semantics():
     assert out[2]["match_status"] == "none" and out[3]["match_status"] == "none"
 
 
+def test_find_matches_fast_path_equals_calculate_similarity():
+    """The pre-tokenized probe path in find_matches must score bit-exactly
+    what the naive per-pair calculate_similarity scores, for every
+    algorithm (integer dot / integer norm sums are order-independent)."""
+    from pdf_ocr_comparison_tool_ray.functions.features import (
+        extract_amounts,
+        extract_dates,
+    )
+    from pdf_ocr_comparison_tool_ray.functions.similarity import calculate_similarity
+    from pdf_ocr_comparison_tool_ray.functions.textnorm import text_hash
+    from pdf_ocr_comparison_tool_ray.stages.match import PageIndex, find_matches
+
+    docs = make_corpus(10, seed=7, skew_docs=0)
+    rows = []
+    for i, d in enumerate(docs):
+        rows.append(
+            {
+                "doc_id": d["doc_id"],
+                "offset": i,
+                "text": d["text"][:400],
+                "keywords": [],
+                "dates": extract_dates(d["text"]),
+                "amounts": extract_amounts(d["text"]),
+                "text_hash": text_hash(d["text"][:400]),
+            }
+        )
+    index = PageIndex.from_rows(rows)
+    probes = [
+        {
+            "doc_id": "p",
+            "offset": 0,
+            "text": docs[3]["text"][100:500],  # near-dup: candidate path
+            "dates": extract_dates(docs[3]["text"]),
+            "amounts": extract_amounts(docs[3]["text"]),
+            "text_hash": "nohash",
+        },
+        {
+            "doc_id": "q",
+            "offset": 1,
+            "text": "entirely novel words here",  # fallback path
+            "dates": [],
+            "amounts": [],
+            "text_hash": "nohash2",
+        },
+        {"doc_id": "e", "offset": 2, "text": "", "dates": [], "amounts": [],
+         "text_hash": "nohash3"},  # empty probe -> 0.0 everywhere
+    ]
+    from pdf_ocr_comparison_tool_ray.config import MATCHING
+
+    for algo in ("cosine", "jaccard", "levenshtein", "not-an-algo"):
+        cfg = dict(MATCHING)
+        cfg["algorithm"] = algo
+        cfg["partial_match_threshold"] = 0.0  # keep every candidate's score
+        for probe in probes:
+            got = find_matches(index, probe, cfg)
+            for idx, sim in got:
+                want = calculate_similarity(
+                    probe["text"], index.pages[idx]["text"], algo
+                )
+                assert sim == want, (algo, probe["doc_id"], idx, sim, want)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_shuffle_match_equals_broadcast_match():
     """The hash-shuffle co-partition join must reproduce the broadcast

@@ -108,8 +108,10 @@ _I32MAX = 2**31 - 1
 def test_grounding_parse_roundtrip(frags):
     """Rendering fragments into the <|ref|>...<|det|> grounding format and
     parsing back recovers every fragment text (stripped) and box in order."""
+    # reference grounding shape (deepseek_ocr2_engine.py:271-272):
+    # literal 'text' in the ref markers, fragment after the det tag
     rendered = "\n".join(
-        f"<|ref|>{t}<|det|>[[{x1}, {y1}, {x2}, {y2}]]"
+        f"<|ref|>text<|/ref|><|det|>[[{x1}, {y1}, {x2}, {y2}]]<|/det|>\n{t}"
         for t, (x1, y1, x2, y2) in frags
     )
     clamped = [tuple(min(c, _I32MAX) for c in b) for _, b in frags]
