@@ -4069,6 +4069,233 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
 
 
 # ---------------------------------------------------------------------------
+# Sub-document (paragraph-level) exact dedup — the granularity a training
+# pipeline dedups at when whole-document dedup misses boilerplate shared
+# ACROSS distinct documents.  Fixed-window "paragraphs" (the deterministic
+# pagination, unstamped), global first-wins by (did, offset) via ONE
+# text-keyed co-partition shuffle, then per-doc reassembly of the
+# surviving windows in offset order via ONE doc-keyed co-partition.
+# Docs whose every window was already seen elsewhere drop entirely
+# (matching SQL GROUP BY over kept rows).
+# ---------------------------------------------------------------------------
+def q_paragraph_dedup(sf_dir: str):
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_map_groups
+
+    pages = _paged_docs(sf_dir)  # doc_id(str), did(int64), offset(int32), text
+    kept = bucketed_drop_duplicates(
+        pages, "text", sort_within=["did", "offset"], n_buckets=64
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["did", "offset"], kind="mergesort")
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_kept=("text", "size"), text=("text", " ".join)
+        )
+        g["n_kept"] = g["n_kept"].astype("int64")
+        return g[["doc_id", "n_kept", "text"]]
+
+    return bucketed_map_groups(kept, "doc_id", reassemble, n_buckets=64)
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH {_sql_pages(False)},
+kept AS (
+  SELECT doc_id, did, off, text FROM (
+    SELECT doc_id, did, off, text,
+           row_number() OVER (PARTITION BY text ORDER BY did, off) AS rn
+    FROM pages
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(text, ' ' ORDER BY off) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing — assemble training sequences by packing
+# documents into fixed token-budget bins.  Packing is inherently
+# sequential, so it runs per SHARD (md5(doc_id) % n_shards, the same
+# byte-replayable hash the sampling ops use): docs pack greedily in
+# doc_id order within their shard, bins never span shards — exactly how
+# packing behaves on a sharded corpus at scale (the per-shard loop is
+# O(shard size) Python, unavoidable for a sequential scan; shards bound
+# it).  A doc longer than the budget gets a bin of its own.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 256
+_PACK_SHARDS = 16
+
+
+def q_pack_sequences(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_tokens"] = [
+            len([w for w in t.split(" ") if w]) for t in df["text"]
+        ]
+        df["shard"] = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % _PACK_SHARDS
+            for d in df["doc_id"]
+        ]
+        return df[["doc_id", "shard", "n_tokens"]]
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("shard", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort").copy()
+            bins, bin_id, acc = [], 0, 0
+            for n in g["n_tokens"]:
+                if acc + n > _PACK_BUDGET and acc > 0:
+                    bin_id += 1
+                    acc = 0
+                acc += n
+                bins.append(bin_id)
+            g["bin"] = pd.Series(bins, index=g.index, dtype="int64")
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        out["shard"] = out["shard"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out[["doc_id", "shard", "bin", "n_tokens"]]
+
+    return bucketed_map_groups(
+        ds.map_batches(tok, batch_format="pyarrow"),
+        "shard",
+        pack,
+        n_buckets=_PACK_SHARDS,
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % {_PACK_SHARDS} AS BIGINT) AS shard
+  FROM documents
+), ord AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), rec AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN r.acc + o.n_tokens > {_PACK_BUDGET}
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.acc + o.n_tokens > {_PACK_BUDGET}
+              THEN o.n_tokens ELSE r.acc + o.n_tokens END
+  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens FROM rec
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM negative-log-likelihood scoring — the perplexity-style
+# quality signal training pipelines bucket documents by.  Two passes:
+# (1) TRAIN — mergeable per-batch bigram/unigram count partials (a
+# repeated bigram ships ONE row per batch — the same skew-free partial
+# shape as tfidf's df), merged into a model table that is broadcast-size
+# here (vocab-bounded; at open-web scale the score pass becomes a
+# bucketed join on w1 — same size-routing as tfidf's df attach);
+# (2) SCORE — each doc's interior bigrams look up add-one-smoothed
+# P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V) and emit the mean NLL.  Docs with
+# < 2 tokens carry no bigram and drop (matching SQL's inner join).
+# ---------------------------------------------------------------------------
+def q_bigram_logprob(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        vocab = set()
+        for t in batch["text"].to_pylist():
+            ws = [w for w in t.split(" ") if w]
+            vocab.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in rows] + sorted(vocab),
+                "w2": [k[1] for k in rows] + [""] * len(vocab),
+                "c": pd.Series(
+                    list(rows.values()) + [0] * len(vocab), dtype="int64"
+                ),
+            }
+        )
+
+    # merged model: bounded by (bigram vocab + vocab) — the driver reduce
+    # is the broadcast route; comment above names the at-scale alternative
+    parts = ds.map_batches(bigram_partial, batch_format="pyarrow").to_pandas()
+    vocab_rows = parts[parts["w2"] == ""]
+    v_size = vocab_rows["w1"].nunique()
+    bc = (
+        parts[parts["w2"] != ""]
+        .groupby(["w1", "w2"], as_index=False)["c"]
+        .sum()
+    )
+    c1 = bc.groupby("w1", as_index=False)["c"].sum().rename(columns={"c": "c1"})
+    model = {
+        "bc": {(a, b): int(c) for a, b, c in bc.itertuples(index=False)},
+        "c1": dict(zip(c1["w1"], c1["c1"].astype(int))),
+        "v": int(v_size),
+    }
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        m = _broadcast_get(ref)
+        bcm, c1m, v = m["bc"], m["c1"], m["v"]
+        ids, nb, nll = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = [w for w in t.split(" ") if w]
+            if len(ws) < 2:
+                continue
+            s = 0.0
+            for a, b in zip(ws, ws[1:]):
+                s += np.log((bcm.get((a, b), 0) + 1.0) / (c1m.get(a, 0) + v))
+            ids.append(did)
+            nb.append(len(ws) - 1)
+            nll.append(-s / (len(ws) - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bigrams": pd.Series(nb, dtype="int64"),
+                "avg_nll": pd.Series(nll, dtype="float64").round(9),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), big AS (
+  SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+), bc AS (
+  SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c) AS c1 FROM bc GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS v FROM pos
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln((bc.c + 1.0) / (c1.c1 + v.v))), 9) AS avg_nll
+FROM big b JOIN bc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -4138,6 +4365,9 @@ SQL_QUERIES = {
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

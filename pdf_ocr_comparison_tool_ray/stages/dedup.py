@@ -567,8 +567,24 @@ def _hyperplane_bucket_batch(batch: pd.DataFrame, planes: np.ndarray) -> pd.Data
     return pd.concat(frames, ignore_index=True)
 
 
-def _cosine_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _cosine_pairs_group(group: pd.DataFrame, threshold: float,
+                        cap: int | None = None) -> pd.DataFrame:
     rows = group.sort_values("vec_id")
+    # hot-bucket guard: the in-bucket verify is O(n^2); a degenerate
+    # corpus (many identical embeddings -> one bucket) would go
+    # quadratic.  Buckets larger than ``cap`` split into consecutive
+    # vec_id-ordered chunks of ``cap`` and verify within-chunk only —
+    # O(n * cap) worst case.  Recall trade (documented in
+    # embedding_dup_pairs): cross-chunk pairs inside one physical bucket
+    # are skipped for oversized buckets; buckets <= cap are bit-exact.
+    if cap is not None and len(rows) > cap:
+        return pd.concat(
+            [
+                _cosine_pairs_group(rows.iloc[i : i + cap], threshold)
+                for i in range(0, len(rows), cap)
+            ],
+            ignore_index=True,
+        )
     ids = rows["vec_id"].tolist()
     vecs = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -595,7 +611,7 @@ def _cosine_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                         n_tables: int = 1, dim: int | None = None,
-                        seed: int = 11):
+                        seed: int = 11, hot_bucket_cap: int = 2048):
     """Near-dup embedding pairs via hyperplane-LSH bucketing + in-bucket
     cosine.
 
@@ -603,6 +619,16 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     needs one collision across tables); a pair surfacing from several
     tables is deduped vectorized, so semantics stay set-of-pairs.  Work
     scales linearly in tables — rows replicate, never all-pairs.
+
+    ``hot_bucket_cap``: buckets larger than this verify in consecutive
+    vec_id-ordered chunks of the cap instead of one n^2 block (O(n*cap)
+    — a planted all-identical corpus stays linear).  Cross-chunk pairs
+    inside such a bucket are skipped, a bounded recall trade that only
+    engages on degenerate buckets; every member of an oversized bucket
+    still surfaces in some within-chunk pair, so a downstream
+    cluster+keep pass retains at most ceil(n/cap) representatives
+    instead of 1.  Buckets <= cap (every bucket on the driver corpora,
+    asserted in tests) are bit-exact vs the uncapped verify.
     """
     sample = ds.take(1)
     d = dim or len(sample[0]["embedding"])
@@ -613,7 +639,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
 
     def pairs_bucket(chunk: pd.DataFrame) -> pd.DataFrame:
         outs = [
-            _cosine_pairs_group(g, threshold)
+            _cosine_pairs_group(g, threshold, cap=hot_bucket_cap)
             for _, g in chunk.groupby("bucket", sort=False)
         ]
         return pd.concat(outs, ignore_index=True)

@@ -227,3 +227,48 @@ def test_empty_pair_tables_keep_schema():
     )
     assert list(out.columns) == ["doc_a", "doc_b", "hamming"]
     assert len(out) == 0 and out["doc_a"].dtype == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_hot_bucket_guard():
+    """A planted degenerate corpus — every embedding identical, so ALL
+    rows land in one LSH bucket — must not go quadratic: with a cap of
+    C the verify emits within-chunk pairs only, O(n*C) work, and every
+    vector still surfaces in some pair (cluster+keep downstream retains
+    <= ceil(n/C) representatives instead of n^2 pair explosion)."""
+    from pdf_ocr_comparison_tool_ray.stages.dedup import embedding_dup_pairs
+
+    n, cap = 2000, 128
+    vec = np.ones(8) / np.sqrt(8)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [vec] * n}
+    )
+    ds = ray.data.from_pandas(df)
+    pairs = embedding_dup_pairs(
+        ds, threshold=0.95, n_planes=4, n_tables=1, hot_bucket_cap=cap
+    ).to_pandas()
+    # capped: chunks of 128 -> per-chunk C*(C-1)/2 pairs; uncapped would
+    # be n*(n-1)/2 = ~2M rows (and an n^2 sims matrix)
+    chunk_sizes = [cap] * (n // cap) + ([n % cap] if n % cap else [])
+    expected = sum(c * (c - 1) // 2 for c in chunk_sizes)
+    assert len(pairs) == expected
+    assert expected < n * (n - 1) // 2 / 7
+    # every vector appears in at least one pair (dedup keep still works)
+    seen = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    assert seen == set(range(n))
+    # buckets <= cap stay bit-exact: small distinct corpus, cap huge
+    rng = np.random.RandomState(3)
+    small = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [rng.normal(size=8) for _ in range(40)],
+        }
+    )
+    a = embedding_dup_pairs(
+        ray.data.from_pandas(small), threshold=0.5, n_planes=4, hot_bucket_cap=2048
+    ).to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    b = embedding_dup_pairs(
+        ray.data.from_pandas(small), threshold=0.5, n_planes=4,
+        hot_bucket_cap=10**9
+    ).to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
