@@ -4169,7 +4169,7 @@ def q_pack_sequences(sf_dir: str):
 
 
 SQL_PACK_SEQUENCES = f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)

@@ -93,8 +93,15 @@ def main():
     global STRICT
     args = [a for a in sys.argv[1:] if a != "--strict"]
     STRICT = "--strict" in sys.argv[1:]
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        raise SystemExit(f"unknown flags {unknown}; usage: "
+                         "check_queries.py SF_DIR [--strict] [query ...]")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    # accept space- AND comma-separated query names; an unmatched name is
+    # an ERROR (a vacuous 'FAILURES: none' from a typo'd filter once
+    # passed for a real check — never again)
+    only = {n for a in args[1:] for n in a.split(",") if n}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
@@ -108,10 +115,16 @@ def main():
 
     from pdf_ocr_comparison_tool_ray.pipelines.queries import SQL_QUERIES
 
+    missing = only - set(SQL_QUERIES)
+    if missing:
+        raise SystemExit(f"unknown query names: {sorted(missing)}")
+
     failures = []
+    n_checked = 0
     for name, (fn, sql) in SQL_QUERIES.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             ray_df = to_df(fn(sf_dir))
             sql_df = con.sql(sql).df()
@@ -120,6 +133,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"  [{name}] ERROR {type(e).__name__}: {e}")
             failures.append(name)
+    print(f"CHECKED: {n_checked}")
     print("FAILURES:", failures if failures else "none")
     ray.shutdown()
     return 1 if failures else 0
