@@ -12,9 +12,13 @@ $GRAFT_SF_DIR documents, replicated GRAFT_BENCH_REPLICATION times
 (deterministic doc_id suffixes) so the corpus is large enough to
 saturate the actor pool.
 
---scaling: run the headline twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and print throughput at both plus the
-scaling efficiency (speedup / cpu-ratio).
+--scaling: N->4N efficiency via CO-SCHEDULED fresh-process legs — a
+6-cpu and a 24-cpu session run simultaneously on disjoint core
+partitions with equal per-core work, so both legs share the identical
+host window (this box's speed swings up to ~3x across minutes, which
+made sequentially-measured ratios meaningless); an idle-box 8/32
+reference pair and core-speed probes quantify the turbo differential
+the co-scheduling removes.  See _scaling_legs for the full rationale.
 """
 
 from __future__ import annotations
@@ -81,12 +85,25 @@ def run_headline() -> dict:
     flat = _replicated_flat(SF_DIR, REPLICATION)
     n_docs = flat.count()
 
+    # default pool: reserve 2 cores for read/shuffle tasks.  The scaling
+    # legs set GRAFT_BENCH_POOL_FRACTION so BOTH legs run the same pool
+    # FRACTION: the 2-core reserve is a fixed per-CLUSTER cost, so under
+    # reserve-2 an 8-cpu leg pools 75% of its cores vs 94% at 32 and the
+    # A/B measures the reserve policy, not the engine's scaling
+    # (structural ratio (30/32)/(6/8) = 1.25 — measured as spuriously
+    # super-linear efficiency before this knob existed).
+    frac = os.environ.get("GRAFT_BENCH_POOL_FRACTION")
+    if frac:
+        pool = max(2, round(NUM_CPUS * float(frac)))
+    else:
+        pool = max(2, NUM_CPUS - 2)
+
     # untimed pilot on a small slice: pays the one-time worker imports +
     # first pool spin-up so the timed runs measure steady-state (matters
     # most for the scaling legs, which time a SINGLE run per subprocess)
     run_extraction(
         interleave(flat.limit(2000)),
-        ocr_concurrency=max(2, NUM_CPUS - 2),
+        ocr_concurrency=pool,
         batch_size=None,
     ).count()
 
@@ -96,7 +113,7 @@ def run_headline() -> dict:
             interleave(flat),
             # fixed-size pool: an autoscaling (1,N) pool ramps up too slowly
             # to saturate a short run; at 100 TB either works, per node
-            ocr_concurrency=max(2, NUM_CPUS - 2),
+            ocr_concurrency=pool,
             batch_size=None,  # batch == block; read blocks set parallelism
         )
         n_spans = out.count()
@@ -151,6 +168,10 @@ def run_queries() -> dict:
         # the flagship extract-and-compare match join (broadcast-index
         # plan, full sf corpus paginated on both sides)
         "compare_pipeline",
+        # round-4 breadth: sub-document dedup, sequence packing, LM scoring
+        "paragraph_dedup",
+        "pack_sequences",
+        "bigram_logprob",
     ]
     times = {}
     for name in picks:
@@ -171,25 +192,34 @@ def run_queries() -> dict:
 
 
 def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
-    """N->4N measurement as INTERLEAVED (lo, hi) pairs in fresh
-    subprocesses, with bracketed pure-CPU core-speed probes — the
-    evidence block the driver's BENCH record carries.
+    """N->4N scaling, CO-SCHEDULED on disjoint core partitions: the
+    lo-cpu and hi-cpu sessions (hi = 4*lo; fresh processes, own Ray
+    clusters, same input table) run SIMULTANEOUSLY, taskset-pinned to
+    disjoint cores, with per-core work held equal (hi replicates the
+    corpus 4x).  Efficiency = hi throughput / (4 x lo throughput).
 
-    Why pairs: the host's speed drifts ~1.7x over tens of minutes
-    (BASELINE.md), so an efficiency built from legs measured in
-    different windows measures the DRIFT, not the scaling (round-3
-    stamped 0.70 raw while same-config windows elsewhere read
-    0.82-0.99).  Each pair runs its lo and hi legs back to back so both
-    see the same window; per-pair efficiencies are all reported, the
-    headline ``scaling_efficiency`` is the best pair (best-of-N over
-    clean windows — noise is one-sided, it only ever LOWERS a pair), and
-    the median plus min-leg variant ride along for the audit.  The
-    frequency-adjusted number (bracketed probes) quantifies the
-    single-box per-core turbo/thermal penalty that vanishes on a real
-    N-node vs 4N-node cluster where every node runs the same per-core
-    load."""
+    Why co-scheduled: this host's speed swings up to ~3x across minutes
+    (identical 32-cpu legs measured 23-76 s in one session), so ANY
+    efficiency built from legs run at different times measures the
+    window, not the engine — sequential-pair stamps swung 0.64-1.09.
+    Co-residency gives both legs the identical frequency/steal window by
+    construction; measured cycle efficiencies agree within ~2% while
+    absolute walls swing 15%+ between cycles.
 
-    def run(ncpu: int) -> dict:
+    Both legs run the same actor-pool FRACTION (5/6 of cores): the
+    default reserve-2 pool is a fixed per-CLUSTER cost, so reserve-2 in
+    both legs pools 75% of an 8-cpu leg vs 94% of a 32-cpu leg and the
+    ratio measures the reserve policy, not the engine (structural
+    (30/32)/(6/8) = 1.25x, observed as spuriously super-linear
+    efficiency).  An idle-box lo/hi reference pair with the production
+    reserve-2 pools rides along, plus core-speed probes quantifying the
+    idle-vs-busy turbo differential the co-scheduling removes."""
+
+    me = os.path.abspath(__file__)
+    cwd = os.path.dirname(me)
+    n_ratio = hi // lo
+
+    def env_for(ncpu: int, rep: int, frac: str | None) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -197,50 +227,110 @@ def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
             GRAFT_BENCH_NO_SCALING="1",
             GRAFT_BENCH_RUNS="1",
             GRAFT_SF_DIR=SF_DIR,
-            GRAFT_BENCH_REPLICATION=replication,
+            GRAFT_BENCH_REPLICATION=str(rep),
+            RAY_GRAFT_OBJECT_STORE_BYTES=str(12 * 1024**3),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
+        if frac:
+            env["GRAFT_BENCH_POOL_FRACTION"] = frac
+        return env
+
+    def parse(out: str) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
-    n_pairs = max(2, int(os.environ.get("GRAFT_SCALING_PAIRS", "3")))
-    probe_lo0, probe_hi0 = _core_speed(lo), _core_speed(hi)
-    pairs = [(run(lo), run(hi)) for _ in range(n_pairs)]
-    probe_lo = (probe_lo0 + _core_speed(lo)) / 2.0
-    probe_hi = (probe_hi0 + _core_speed(hi)) / 2.0
-    effs = [
-        round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3)
-        for r_lo, r_hi in pairs
-    ]
-    best = max(range(n_pairs), key=lambda i: effs[i])
-    r_lo, r_hi = pairs[best]
-    eff = effs[best]
-    sec_lo_min = min(p[0]["value"] for p in pairs)
-    sec_hi_min = min(p[1]["value"] for p in pairs)
-    core_slowdown = probe_hi / probe_lo
+    def run_idle(ncpu: int, rep: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, me], env=env_for(ncpu, rep, None),
+            capture_output=True, text=True, check=True, cwd=cwd,
+        ).stdout
+        return parse(out)
+
+    # co-scheduled legs must fit the box TOGETHER: lo + hi <= total cores.
+    # With 32 cores the co-resident pair is 6 vs 24 (N and 4N, 2 cores
+    # spare for OS noise); the idle reference pair keeps the caller's
+    # lo/hi (8 vs 32) for continuity with earlier rounds.
+    idle_lo, idle_hi = lo, hi
+    total = lo + hi  # callers pass (8, 32) -> co-resident pair 6/24
+    co_lo = max(2, (total * 3) // 20)
+    co_hi = co_lo * n_ratio
+    base_rep = int(replication)
+    lo_rep = max(1, base_rep * co_lo // 8)
+    hi_rep = lo_rep * n_ratio
+    hi_cores = f"0-{co_hi - 1}"
+    lo_cores = f"{co_hi}-{co_hi + co_lo - 1}"
+    frac = "0.8333334"  # 5/6 in both legs
+
+    n_cycles = max(1, int(os.environ.get("GRAFT_SCALING_CYCLES", "3")))
+    probe0 = _core_speed(co_hi + co_lo)
+    cycles = []
+    for _ in range(n_cycles):
+        p_hi = subprocess.Popen(
+            ["taskset", "-c", hi_cores, sys.executable, me],
+            env=env_for(co_hi, hi_rep, frac), stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, cwd=cwd,
+        )
+        p_lo = subprocess.Popen(
+            ["taskset", "-c", lo_cores, sys.executable, me],
+            env=env_for(co_lo, lo_rep, frac), stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, cwd=cwd,
+        )
+        r_hi = parse(p_hi.communicate()[0])
+        r_lo = parse(p_lo.communicate()[0])
+        cycles.append(
+            {
+                "lo": r_lo,
+                "hi": r_hi,
+                "eff": round(
+                    r_hi["docs_per_sec"] / (n_ratio * r_lo["docs_per_sec"]), 3
+                ),
+            }
+        )
+    probe1 = _core_speed(co_hi + co_lo)
+    # idle-box reference pair (production reserve-2 pools, sequential,
+    # otherwise-idle box) — quantifies the turbo differential
+    probe_idle0 = _core_speed(idle_lo)
+    r_idle_lo = run_idle(idle_lo, base_rep)
+    probe_idle1 = _core_speed(idle_lo)
+    r_idle_hi = run_idle(idle_hi, base_rep)
+
+    effs = [c["eff"] for c in cycles]
+    med = sorted(effs)[len(effs) // 2]
+    c = cycles[[c["eff"] for c in cycles].index(med)]
+    probe_busy = (probe0 + probe1) / 2.0
+    probe_idle = (probe_idle0 + probe_idle1) / 2.0
     return {
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "docs_per_sec_lo": r_lo["docs_per_sec"],
-        "docs_per_sec_hi": r_hi["docs_per_sec"],
-        "speedup": round(r_lo["value"] / r_hi["value"], 3),
-        "scaling_efficiency": eff,
-        "scaling_efficiency_pairs": effs,
-        "scaling_efficiency_median": sorted(effs)[len(effs) // 2],
-        "scaling_efficiency_min_legs": round(
-            (sec_lo_min / sec_hi_min) / (hi / lo), 3
+        "cpus_lo": co_lo,
+        "cpus_hi": co_hi,
+        "mode": (
+            f"co-scheduled disjoint-core legs (lo on cpus {lo_cores}, hi on "
+            f"{hi_cores}, simultaneous, equal per-core work, pool fraction "
+            f"5/6 in both) — drift-immune by construction; idle-box "
+            f"reference pair alongside"
         ),
-        "sec_lo_all": [p[0]["value"] for p in pairs],
-        "sec_hi_all": [p[1]["value"] for p in pairs],
-        "core_speed_probe_sec_lo": round(probe_lo, 3),
-        "core_speed_probe_sec_hi": round(probe_hi, 3),
-        "core_slowdown_hi_vs_lo": round(core_slowdown, 3),
-        "scaling_efficiency_freq_adjusted": round(eff * core_slowdown, 3),
+        "sec_lo": c["lo"]["value"],
+        "sec_hi": c["hi"]["value"],
+        "docs_per_sec_lo": c["lo"]["docs_per_sec"],
+        "docs_per_sec_hi": c["hi"]["docs_per_sec"],
+        "n_docs_lo": c["lo"]["n_docs"],
+        "n_docs_hi": c["hi"]["n_docs"],
+        "speedup": round(c["hi"]["docs_per_sec"] / c["lo"]["docs_per_sec"], 3),
+        "scaling_efficiency": med,
+        "scaling_efficiency_cycles": effs,
+        "sec_lo_all": [cy["lo"]["value"] for cy in cycles],
+        "sec_hi_all": [cy["hi"]["value"] for cy in cycles],
+        "idle_reference": {
+            "cpus": [idle_lo, idle_hi],
+            "sec": [r_idle_lo["value"], r_idle_hi["value"]],
+            "docs_per_sec": [
+                r_idle_lo["docs_per_sec"], r_idle_hi["docs_per_sec"]
+            ],
+            "raw_idle_efficiency": round(
+                r_idle_hi["docs_per_sec"]
+                / ((idle_hi / idle_lo) * r_idle_lo["docs_per_sec"]), 3
+            ),
+            "core_speed_probe_sec_idle_lo": round(probe_idle, 3),
+            "core_speed_probe_sec_busy": round(probe_busy, 3),
+            "core_slowdown_busy_vs_idle": round(probe_busy / probe_idle, 3),
+        },
     }
 
 
@@ -263,12 +353,19 @@ def main() -> None:
 
     import ray
 
+    init_kwargs = {}
+    # concurrent scaling legs cap their object stores so four 8-cpu
+    # sessions fit one box (default is 30% of RAM EACH)
+    obj_bytes = os.environ.get("RAY_GRAFT_OBJECT_STORE_BYTES")
+    if obj_bytes:
+        init_kwargs["object_store_memory"] = int(obj_bytes)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **init_kwargs,
     )
     from ray.data import DataContext
 
