@@ -59,6 +59,8 @@ _LOCAL_ONLY = {
     "paragraph_dedup",           # sub-document exact dedup + reassembly
     "pack_sequences",            # greedy token-budget packing per shard
     "bigram_logprob",            # two-pass bigram-LM NLL scoring
+    "knn_filtered",              # metadata-filtered ANN (filter at the read)
+    "domain_quota_sample",       # per-source K-cap via mergeable partials
 }
 
 

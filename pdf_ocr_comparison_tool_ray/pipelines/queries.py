@@ -1019,6 +1019,111 @@ SELECT query_id, vec_id, rk, round(c, 6) AS cosine FROM r WHERE rk <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Filtered ANN — vector search restricted by a metadata predicate (the
+# "filtered vector search" case every retrieval pipeline needs).  The
+# predicate is PUSHED TO THE READ (parquet row filter + column prune),
+# so non-matching vectors never enter the object store, let alone the
+# scoring matmul — at 100 TB the filter selectivity directly divides
+# bytes read.  Queries come from the unfiltered table (a query need not
+# satisfy the predicate its search set does).
+# ---------------------------------------------------------------------------
+_KNNF_LABEL = 2
+
+
+def q_knn_filtered(sf_dir: str):
+    from ..stages.knn import knn_cosine
+
+    qdf = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    filtered = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("label") == _KNNF_LABEL),
+    )
+    result = knn_cosine(
+        filtered, qdf["vec_id"].tolist(), np.stack(qdf["embedding"].to_numpy()),
+        k=10,
+    ).to_pandas()
+    result["cosine"] = result["cosine"].round(6)
+    result["query_id"] = result["query_id"].astype("int64")
+    result["vec_id"] = result["vec_id"].astype("int64")
+    result = result.rename(columns={"rank": "rk"})
+    return result[["query_id", "vec_id", "rk", "cosine"]]
+
+
+SQL_KNN_FILTERED = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+  FROM embeddings e CROSS JOIN q WHERE e.label = {_KNNF_LABEL}
+), r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, rk, round(c, 6) AS cosine FROM r WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota sampling — cap each source (domain) at K docs, chosen
+# by deterministic md5 order (the curation op that stops one crawl
+# domain from dominating a training mix).  Skew-free mergeable shape:
+# each batch emits only its LOCAL K-smallest md5 keys per source
+# (bounded at n_sources x K rows per batch no matter how hot a source
+# is), the driver reduces the bounded partial table to the global
+# K-smallest per source.  No shuffle.
+# ---------------------------------------------------------------------------
+_QUOTA_K = 10
+
+
+def q_domain_quota_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["doc_id", "source"]).to_pandas()
+        df["pick_key"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        return (
+            df.sort_values(["source", "pick_key"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(_QUOTA_K)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    kept = (
+        parts.sort_values(["source", "pick_key"], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(_QUOTA_K)
+        .drop(columns=["pick_key"])
+        .reset_index(drop=True)
+    )
+    kept["doc_id"] = kept["doc_id"].astype("int64")
+    return kept[["doc_id", "source"]]
+
+
+SQL_DOMAIN_QUOTA_SAMPLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA_K}
+"""
+
+
 def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
     """Exact all-pairs near-dup: each batch scores against the broadcast matrix."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -4368,6 +4473,8 @@ SQL_QUERIES = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "knn_filtered": (q_knn_filtered, SQL_KNN_FILTERED),
+    "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
