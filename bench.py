@@ -168,10 +168,13 @@ def run_queries() -> dict:
         # the flagship extract-and-compare match join (broadcast-index
         # plan, full sf corpus paginated on both sides)
         "compare_pipeline",
-        # round-4 breadth: sub-document dedup, sequence packing, LM scoring
+        # round-4 breadth: sub-document dedup, sequence packing, LM
+        # scoring, filtered ANN, per-source quotas
         "paragraph_dedup",
         "pack_sequences",
         "bigram_logprob",
+        "knn_filtered",
+        "domain_quota_sample",
     ]
     times = {}
     for name in picks:

@@ -34,6 +34,12 @@ FAST_QUERIES = [
     "near_dedup_keep",
     "subword_token_stats",
     "top_tokens_by_lang",
+    # round-4 breadth
+    "paragraph_dedup",
+    "pack_sequences",
+    "bigram_logprob",
+    "knn_filtered",
+    "domain_quota_sample",
 ]
 
 
