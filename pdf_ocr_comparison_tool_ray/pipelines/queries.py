@@ -4231,6 +4231,22 @@ _PACK_BUDGET = 256
 _PACK_SHARDS = 16
 
 
+def greedy_bins(n_tokens, budget: int):
+    """Pure greedy bin assignment over an ordered token-count sequence:
+    a doc opens a new bin when it would overflow the current one; a doc
+    larger than the budget gets a bin of its own.  Invariants
+    (property-pinned): bin ids are consecutive from 0; every bin's
+    total <= budget unless it holds exactly one over-budget doc."""
+    bins, bin_id, acc = [], 0, 0
+    for n in n_tokens:
+        if acc + n > budget and acc > 0:
+            bin_id += 1
+            acc = 0
+        acc += n
+        bins.append(bin_id)
+    return bins
+
+
 def q_pack_sequences(sf_dir: str):
     from ..stages.bucketed import bucketed_map_groups
 
@@ -4251,14 +4267,11 @@ def q_pack_sequences(sf_dir: str):
         outs = []
         for _, g in df.groupby("shard", sort=False):
             g = g.sort_values("doc_id", kind="mergesort").copy()
-            bins, bin_id, acc = [], 0, 0
-            for n in g["n_tokens"]:
-                if acc + n > _PACK_BUDGET and acc > 0:
-                    bin_id += 1
-                    acc = 0
-                acc += n
-                bins.append(bin_id)
-            g["bin"] = pd.Series(bins, index=g.index, dtype="int64")
+            g["bin"] = pd.Series(
+                greedy_bins(g["n_tokens"].tolist(), _PACK_BUDGET),
+                index=g.index,
+                dtype="int64",
+            )
             outs.append(g)
         out = pd.concat(outs, ignore_index=True)
         out["shard"] = out["shard"].astype("int64")

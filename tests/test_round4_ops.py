@@ -132,3 +132,44 @@ def test_domain_quota_sample_caps_hot_source(tmp_path):
         range(100), key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
     )[:_QUOTA_K]
     assert sorted(by["hot"]) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# pure greedy-packing invariants (no Ray)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_ocr_comparison_tool_ray.pipelines.queries import greedy_bins
+
+
+@given(
+    st.lists(st.integers(0, 400), max_size=60),
+    st.integers(1, 300),
+)
+@settings(max_examples=200)
+def test_greedy_bins_invariants(tokens, budget):
+    bins = greedy_bins(tokens, budget)
+    assert len(bins) == len(tokens)
+    if not bins:
+        return
+    # consecutive ids from 0 (each step same bin or +1)
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # every bin's total <= budget unless it holds one over-budget doc
+    totals: dict[int, list[int]] = {}
+    for n, b in zip(tokens, bins):
+        totals.setdefault(b, []).append(n)
+    for members in totals.values():
+        assert sum(members) <= budget or (
+            len(members) == 1 and members[0] > budget
+        )
+    # greedy = no doc could move to the PREVIOUS bin (it was full for it)
+    for (n, b) in zip(tokens, bins):
+        if b > 0:
+            prev_total = sum(totals[b - 1])
+            first_in_bin = totals[b][0]
+            if n == first_in_bin and bins.index(b) == len(
+                [x for x in bins if x < b]
+            ):
+                assert prev_total + n > budget
