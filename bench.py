@@ -345,13 +345,15 @@ def main() -> None:
     if NUM_CPUS >= 16 and not (
         HEADLINE_ONLY or os.environ.get("GRAFT_BENCH_NO_SCALING")
     ):
-        # replication 256 (1.28M docs, ~6.4M spans): the hi leg must run
-        # >~20 s so fixed costs (driver planning, pool spin-up, the read)
-        # amortize — measured raw efficiency by leg length: 0.68 @ rep 64
-        # (hi ~10 s), 0.71 @ 128 (~15 s), 0.89 @ 256 (~24 s).  The ratio
-        # at short legs measures fixed-cost share, not scaling.
+        # Under the old sequential design leg length mattered (fixed
+        # costs hit the short hi leg asymmetrically: 0.68 @ rep 64 vs
+        # 0.89 @ 256).  The co-scheduled harness holds PER-CORE work
+        # equal, so fixed costs are symmetric and cancel in the ratio —
+        # a rep-64 smoke read 0.991 vs 0.989 at rep 256.  Default 128
+        # keeps legs ~60 s (long enough to stream, short enough that
+        # the driver-run bench stays ~10 min end to end).
         scaling_block = _scaling_legs(
-            8, NUM_CPUS, os.environ.get("GRAFT_SCALING_REPLICATION", "256")
+            8, NUM_CPUS, os.environ.get("GRAFT_SCALING_REPLICATION", "128")
         )
 
     import ray
@@ -510,7 +512,7 @@ def scaling() -> None:
     amortize — the regime that actually represents the 100 TB target
     (raw efficiency: 0.68 @ rep 64, 0.71 @ 128, 0.89 @ 256)."""
     block = _scaling_legs(
-        8, 32, os.environ.get("GRAFT_BENCH_REPLICATION", "256")
+        8, 32, os.environ.get("GRAFT_BENCH_REPLICATION", "128")
     )
     block["metric"] = "N->4N scaling of the extraction headline"
     block["sf"] = SF_DIR
