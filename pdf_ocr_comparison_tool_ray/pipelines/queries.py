@@ -4233,16 +4233,22 @@ _PACK_SHARDS = 16
 
 def greedy_bins(n_tokens, budget: int):
     """Pure greedy bin assignment over an ordered token-count sequence:
-    a doc opens a new bin when it would overflow the current one; a doc
-    larger than the budget gets a bin of its own.  Invariants
+    the first doc opens bin 0 unconditionally; every later doc opens a
+    new bin iff adding it would overflow the current one — EXACTLY the
+    SQL oracle's recursion (an earlier ``acc > 0`` guard diverged from
+    the SQL when a zero-token doc opened a bin just before an
+    over-budget doc; hypothesis found it).  Invariants
     (property-pinned): bin ids are consecutive from 0; every bin's
-    total <= budget unless it holds exactly one over-budget doc."""
-    bins, bin_id, acc = [], 0, 0
+    total <= budget unless it holds exactly one doc."""
+    bins, bin_id, acc = [], 0, None
     for n in n_tokens:
-        if acc + n > budget and acc > 0:
+        if acc is None:
+            acc = n
+        elif acc + n > budget:
             bin_id += 1
-            acc = 0
-        acc += n
+            acc = n
+        else:
+            acc += n
         bins.append(bin_id)
     return bins
 

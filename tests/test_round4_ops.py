@@ -143,6 +143,14 @@ from hypothesis import strategies as st
 from pdf_ocr_comparison_tool_ray.pipelines.queries import greedy_bins
 
 
+def test_greedy_bins_zero_token_regression():
+    """The hypothesis-found divergence, pinned explicitly: a zero-token
+    doc opening a bin must NOT let the next over-budget doc join it
+    (the SQL recursion starts a new bin; the engine now matches)."""
+    assert greedy_bins([0, 2], 1) == [0, 1]
+    assert greedy_bins([5, 0, 9], 4) == [0, 1, 2]
+
+
 @given(
     st.lists(st.integers(0, 400), max_size=60),
     st.integers(1, 300),
@@ -156,14 +164,14 @@ def test_greedy_bins_invariants(tokens, budget):
     # consecutive ids from 0 (each step same bin or +1)
     assert bins[0] == 0
     assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
-    # every bin's total <= budget unless it holds one over-budget doc
+    # every bin's total <= budget unless it holds exactly one doc
+    # (an over-budget doc always sits alone — even a zero-token doc
+    # opens a fresh bin after it, matching the SQL recursion)
     totals: dict[int, list[int]] = {}
     for n, b in zip(tokens, bins):
         totals.setdefault(b, []).append(n)
     for members in totals.values():
-        assert sum(members) <= budget or (
-            len(members) == 1 and members[0] > budget
-        )
+        assert sum(members) <= budget or len(members) == 1
     # greedy = no doc could move to the PREVIOUS bin (it was full for it)
     for (n, b) in zip(tokens, bins):
         if b > 0:
