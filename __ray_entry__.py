@@ -47,7 +47,7 @@ _LOCAL_ONLY = {
     "hash_sample",               # one-line hash-mod sampling (stratified_sample cousin)
     "promo_revenue_ratio",       # single-row ratio agg cousin of token_stats
     "knn_cosine_ivf",            # IVF plan variant of knn_cosine (same top-k contract)
-    "embedding_dup_lsh",         # LSH plan variant of embedding_dup
+    "embedding_dup",             # exact O(n^2) plan variant of embedding_dup_lsh
     "ngram_jaccard_pairs",       # LSH-blocked cousin of minhash_lsh_pairs
     "simhash_pairs",             # hamming-banded cousin of minhash_lsh_pairs
     "multimodal_preprocessed",   # preprocess=True variant of multimodal_features
@@ -55,13 +55,15 @@ _LOCAL_ONLY = {
     "approx_top_tokens",         # Count-Min variant of keyword_topk's exact top-k
     "user_value_median",         # single-quantile special case of user_value_quantiles
     "render_full_text",          # framing-only sink variant of merge_by_category
-    # round-4 breadth additions (full SQL oracles through the local
-    # mirror; rotate into the window next round)
-    "paragraph_dedup",           # sub-document exact dedup + reassembly
-    "pack_sequences",            # greedy token-budget packing per shard
-    "bigram_logprob",            # two-pass bigram-LM NLL scoring
-    "knn_filtered",              # metadata-filtered ANN (filter at the read)
-    "domain_quota_sample",       # per-source K-cap via mergeable partials
+    # round-5 rotation: the five round-4 breadth ops + embedding_dup_lsh
+    # moved INTO the window; these five cousins (each a sibling of a
+    # still-checked entry) rotated out in their place.  All remain
+    # strict-green through the local mirror at sf0.001/0.01/0.1.
+    "distinct_sources_by_lang",  # exact-distinct sibling of approx_distinct_by_lang
+    "order_events_1d",           # range-join cousin of asof_event_order
+    "hopping_window",            # time-bucketed window cousin of events_daily
+    "rolling_user_value",        # rolling-window cousin of user_value_quantiles
+    "top_tokens_by_lang",        # per-group top-k cousin of keyword_topk
 }
 
 

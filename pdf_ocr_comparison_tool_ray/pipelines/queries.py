@@ -1125,7 +1125,12 @@ SELECT doc_id, source FROM (
 
 
 def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
-    """Exact all-pairs near-dup: each batch scores against the broadcast matrix."""
+    """Exact all-pairs near-dup: each batch scores against the broadcast matrix.
+
+    Local-only PLAN VARIANT since round 5: it driver-materializes the
+    whole embedding table and is O(n^2) — exact recall at small/medium
+    corpora only.  The exposed, scale-safe plan is ``embedding_dup_lsh``
+    (hyperplane multi-table LSH, hot-bucket-capped)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     all_df = ds.to_pandas().sort_values("vec_id")
     ids = all_df["vec_id"].to_numpy()
@@ -1140,18 +1145,14 @@ def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
         bids = batch["vec_id"].to_numpy()
         u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         sims = u @ unit_mat.T
-        rows_a, rows_b, rows_c = [], [], []
-        for i in range(len(bids)):
-            mask = (sims[i] >= threshold) & (all_ids > bids[i])
-            for j in np.where(mask)[0]:
-                rows_a.append(int(bids[i]))
-                rows_b.append(int(all_ids[j]))
-                rows_c.append(round(float(sims[i, j]), 6))
+        # one 2-D mask + fancy indexing (keeps int64 even when empty)
+        mask = (sims >= threshold) & (all_ids[None, :] > bids[:, None])
+        ii, jj = np.nonzero(mask)
         return pd.DataFrame(
             {
-                "vec_a": pd.Series(rows_a, dtype="int64"),
-                "vec_b": pd.Series(rows_b, dtype="int64"),
-                "cosine": pd.Series(rows_c, dtype="float64"),
+                "vec_a": bids[ii].astype("int64"),
+                "vec_b": all_ids[jj].astype("int64"),
+                "cosine": np.round(sims[ii, jj], 6).astype("float64"),
             }
         )
 
