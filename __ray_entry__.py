@@ -64,6 +64,9 @@ _LOCAL_ONLY = {
     "hopping_window",            # time-bucketed window cousin of events_daily
     "rolling_user_value",        # rolling-window cousin of user_value_quantiles
     "top_tokens_by_lang",        # per-group top-k cousin of keyword_topk
+    # rotated out to make room for streaming_dedup_ingest (the online
+    # mutable-gate dedup finally earns a driver row, VERDICT r4 item 5)
+    "top_users_by_value",        # per-group top-k cousin of keyword_topk
 }
 
 

@@ -175,6 +175,8 @@ def run_queries() -> dict:
         "bigram_logprob",
         "knn_filtered",
         "domain_quota_sample",
+        # round-5: the online mutable-gate dedup (sharded seen-set actors)
+        "streaming_dedup_ingest",
     ]
     times = {}
     for name in picks:

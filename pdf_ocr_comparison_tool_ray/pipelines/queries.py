@@ -161,6 +161,37 @@ FROM documents
 GROUP BY 1
 """
 
+
+def q_streaming_dedup_ingest(sf_dir: str):
+    """Online first-arrival dedup through the sharded mutable-gate tier
+    (stages/streaming_dedup.py) — the ingestion-shaped sibling of
+    ``exact_dedup``.  WHICH row survives is arrival-dependent under
+    parallelism, so the oracled output is the arrival-INDEPENDENT part:
+    the admitted key set (one md5 per distinct text), which the gate's
+    set-level law fixes exactly.  SQL replay: SELECT DISTINCT md5(text).
+    """
+    from ..stages.streaming_dedup import streaming_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, _gate = streaming_dedup(ds, key_col="text", n_shards=8)
+
+    def to_key(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t in batch["text"].to_pylist()
+                ]
+            }
+        )
+
+    return kept.map_batches(to_key, batch_format="pyarrow")
+
+
+SQL_STREAMING_DEDUP_INGEST = """
+SELECT DISTINCT md5(text) AS content_md5 FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 # J1: exact-key match join (probe = odd doc_id, build = even doc_id)
 # ---------------------------------------------------------------------------
@@ -4452,6 +4483,7 @@ SQL_QUERIES = {
     "approx_top_tokens": (q_approx_top_tokens, SQL_APPROX_TOP_TOKENS),
     "normalize_hash": (q_normalize_hash, SQL_NORMALIZE_HASH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "streaming_dedup_ingest": (q_streaming_dedup_ingest, SQL_STREAMING_DEDUP_INGEST),
     "exact_match_join": (q_exact_match_join, SQL_EXACT_MATCH_JOIN),
     "keyword_topk": (q_keyword_topk, SQL_KEYWORD_TOPK),
     "keywords_per_doc": (q_keywords_per_doc, SQL_KEYWORDS_PER_DOC),

@@ -32,6 +32,7 @@ resume so re-ingested partitions dedup against prior runs.
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 from typing import Iterable, List
 
 import numpy as np
@@ -44,13 +45,32 @@ class DedupShard:
     """Owns one shard of the seen-key space.  State: a set of uint64
     key hashes.  ``check_and_add`` is atomic per actor (actor calls
     serialize), which is what makes first-claim-wins correct under
-    concurrent callers."""
+    concurrent callers.
 
-    def __init__(self) -> None:
+    Retry idempotency: a mutating call that Ray re-executes (task
+    retry / lineage reconstruction) must NOT re-adjudicate — the retry
+    would see its own first attempt's claims and reject every row, i.e.
+    silent data loss.  Callers therefore pass a ``token`` stable across
+    retries of the same task (task-id + key-bytes digest); the shard
+    memoizes the admit mask per token and REPLAYS it on a repeat call.
+    The memo is a bounded LRU (retries arrive promptly; the horizon
+    only needs to outlive in-flight work) and is deliberately excluded
+    from ``snapshot``/``restore`` — the retry window never spans a
+    checkpoint restart."""
+
+    def __init__(self, memo_horizon: int = 4096) -> None:
         self._seen: set[int] = set()
+        self._memo: OrderedDict[str, List[bool]] = OrderedDict()
+        self._memo_horizon = memo_horizon
 
-    def check_and_add(self, keys: List[int]) -> List[bool]:
-        """-> admit-mask; a key repeated WITHIN the call admits once."""
+    def check_and_add(self, keys: List[int], token: str | None = None) -> List[bool]:
+        """-> admit-mask; a key repeated WITHIN the call admits once.
+        A repeated ``token`` replays the original mask verbatim."""
+        if token is not None:
+            hit = self._memo.get(token)
+            if hit is not None:
+                self._memo.move_to_end(token)
+                return hit
         seen = self._seen
         out = []
         for k in keys:
@@ -59,6 +79,10 @@ class DedupShard:
             else:
                 seen.add(k)
                 out.append(True)
+        if token is not None:
+            self._memo[token] = out
+            while len(self._memo) > self._memo_horizon:
+                self._memo.popitem(last=False)
         return out
 
     def size(self) -> int:
@@ -100,19 +124,42 @@ class DedupGate:
             dtype=np.uint64,
         )
 
+    @staticmethod
+    def _attempt_scope() -> str | None:
+        """Retry-stable scope for idempotency tokens: Ray task ids are
+        identical across retries/lineage re-execution of the same task
+        (only the attempt number differs), so task-id + key-bytes makes
+        a token that repeats exactly when the same work repeats.  None
+        outside a task (driver-side callers are never retried, and a
+        content-only token would wrongly replay across two distinct
+        identical-content calls) — then no memoization happens."""
+        try:
+            tid = ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        return tid or None
+
     def admit_mask(self, values: Iterable) -> np.ndarray:
-        """-> boolean admit mask, one round trip per touched shard."""
+        """-> boolean admit mask, one round trip per touched shard.
+        Idempotent under Ray task retry (see ``DedupShard``)."""
         hashes = self._key_hashes(values)
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
+        scope = self._attempt_scope()
         shard_of = (hashes % self.n_shards).astype(np.int64)
         mask = np.zeros(len(hashes), dtype=bool)
         futures, idx_per_shard = [], []
         for s in np.unique(shard_of):
             idx = np.nonzero(shard_of == s)[0]
+            sub = hashes[idx]
+            token = (
+                hashlib.md5(scope.encode() + sub.tobytes()).hexdigest()
+                if scope is not None
+                else None
+            )
             futures.append(
                 self.shards[int(s)].check_and_add.remote(
-                    hashes[idx].tolist()
+                    sub.tolist(), token
                 )
             )
             idx_per_shard.append(idx)
@@ -152,9 +199,18 @@ def streaming_dedup(ds, key_col: str = "text", n_shards: int = 16,
     ``stages.dedup`` batch dedup for deterministic winners).  Returns
     (deduped_dataset, gate); pass the gate back in to continue the same
     seen-set across multiple datasets / resumed runs.
+
+    The returned dataset is MATERIALIZED: the admit filter mutates
+    shared actor state, so executing it lazily would make the output
+    single-consumption (a second ``count()``/write would re-run the
+    filter against keys the first execution already claimed and drop
+    every row).  Materializing here runs the gate exactly once; the
+    result can then be consumed any number of times.  Mid-execution
+    task retries are also safe — ``admit_mask`` tokens make replays
+    idempotent (see ``DedupShard``).
     """
     gate = gate or DedupGate(n_shards=n_shards)
     out = ds.map_batches(
         lambda b: gate.filter_batch(b, key_col), batch_format="pyarrow"
-    )
+    ).materialize()
     return out, gate

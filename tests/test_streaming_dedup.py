@@ -62,3 +62,35 @@ def test_streaming_dedup_checkpoint_roundtrip():
     # wrong shard count is an error, not silent misplacement
     with pytest.raises(ValueError):
         DedupGate(n_shards=2).restore(snaps)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_dedup_output_reconsumable():
+    # ADVICE round-4: the returned dataset must not be single-consumption.
+    df = pd.DataFrame(
+        {"doc_id": range(100), "text": [f"t{i % 25}" for i in range(100)]}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out, _ = streaming_dedup(ds, key_col="text", n_shards=4)
+    assert out.count() == 25
+    assert out.count() == 25  # second consumption: same rows, not zero
+    assert len(out.to_pandas()) == 25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_dedup_retry_token_replay():
+    from pdf_ocr_comparison_tool_ray.stages.streaming_dedup import DedupShard
+
+    shard = DedupShard.remote()
+    first = ray.get(shard.check_and_add.remote([1, 2, 3], "tok-A"))
+    assert first == [True, True, True]
+    # a RETRY of the same task (same token) replays, not re-adjudicates
+    replay = ray.get(shard.check_and_add.remote([1, 2, 3], "tok-A"))
+    assert replay == [True, True, True]
+    # a different call with overlapping keys still dedups
+    other = ray.get(shard.check_and_add.remote([3, 4], "tok-B"))
+    assert other == [False, True]
+    # tokenless (driver-side) calls never replay
+    a = ray.get(shard.check_and_add.remote([9], None))
+    b = ray.get(shard.check_and_add.remote([9], None))
+    assert a == [True] and b == [False]
