@@ -224,6 +224,66 @@ def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
     cwd = os.path.dirname(me)
     n_ratio = hi // lo
 
+    def physical_core_groups() -> list[tuple[int, ...]]:
+        """Logical cpu ids grouped by physical core (SMT siblings
+        together), in first-sibling order.  Falls back to one-cpu
+        groups when the sysfs topology is unreadable."""
+        import glob
+
+        seen, groups = set(), []
+        paths = sorted(
+            glob.glob(
+                "/sys/devices/system/cpu/cpu[0-9]*/topology/"
+                "thread_siblings_list"
+            ),
+            key=lambda p: int(p.split("/cpu")[-1].split("/")[0]),
+        )
+        for p in paths:
+            try:
+                txt = open(p).read().strip()
+            except OSError:
+                continue
+            ids = []
+            for part in txt.replace(" ", "").split(","):
+                if "-" in part:
+                    a, b = part.split("-")
+                    ids.extend(range(int(a), int(b) + 1))
+                elif part:
+                    ids.append(int(part))
+            g = tuple(sorted(ids))
+            if g and g not in seen:
+                seen.add(g)
+                groups.append(g)
+        if not groups:
+            groups = [(i,) for i in range(os.cpu_count() or 1)]
+        return groups
+
+    def leg_partitions(n_hi: int, n_lo: int):
+        """Disjoint cpu lists for the two legs, each made of WHOLE
+        physical cores, so hyperthread siblings never straddle legs
+        (an lo-leg cpu sharing a core with an hi-leg cpu would break
+        the equal-per-core-capacity premise).  Falls back to the
+        contiguous ranges (correct on no-SMT hosts) when the leg sizes
+        don't tile the sibling groups."""
+        groups = physical_core_groups()
+        hi_ids: list[int] = []
+        lo_ids: list[int] = []
+        it = iter(groups)
+        try:
+            while len(hi_ids) < n_hi:
+                hi_ids.extend(next(it))
+            while len(lo_ids) < n_lo:
+                lo_ids.extend(next(it))
+        except StopIteration:
+            hi_ids, lo_ids = [], []
+        if len(hi_ids) == n_hi and len(lo_ids) == n_lo:
+            return hi_ids, lo_ids, "whole-physical-core partitions"
+        return (
+            list(range(n_hi)),
+            list(range(n_hi, n_hi + n_lo)),
+            "contiguous ranges (sibling groups don't tile the legs)",
+        )
+
     def env_for(ncpu: int, rep: int, frac: str | None) -> dict:
         env = dict(
             os.environ,
@@ -243,11 +303,16 @@ def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run_idle(ncpu: int, rep: int) -> dict:
-        out = subprocess.run(
+        r = subprocess.run(
             [sys.executable, me], env=env_for(ncpu, rep, None),
-            capture_output=True, text=True, check=True, cwd=cwd,
-        ).stdout
-        return parse(out)
+            capture_output=True, text=True, cwd=cwd,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"idle-reference leg (cpus={ncpu}) exited {r.returncode}; "
+                f"stderr tail:\n{r.stderr[-2000:]}"
+            )
+        return parse(r.stdout)
 
     # co-scheduled legs must fit the box TOGETHER: lo + hi <= total cores.
     # With 32 cores the co-resident pair is 6 vs 24 (N and 4N, 2 cores
@@ -260,26 +325,57 @@ def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
     base_rep = int(replication)
     lo_rep = max(1, base_rep * co_lo // 8)
     hi_rep = lo_rep * n_ratio
-    hi_cores = f"0-{co_hi - 1}"
-    lo_cores = f"{co_hi}-{co_hi + co_lo - 1}"
+    hi_ids, lo_ids, part_mode = leg_partitions(co_hi, co_lo)
+    hi_cores = ",".join(str(c) for c in hi_ids)
+    lo_cores = ",".join(str(c) for c in lo_ids)
     frac = "0.8333334"  # 5/6 in both legs
 
     n_cycles = max(1, int(os.environ.get("GRAFT_SCALING_CYCLES", "3")))
     probe0 = _core_speed(co_hi + co_lo)
+
+    import tempfile
+
+    def spawn_leg(cores: str, ncpu: int, rep: int):
+        """Launch a co-scheduled leg.  stderr goes to a TEMP FILE, not a
+        pipe (Ray's stderr chatter can fill a 64 KB pipe and stall the
+        leg mid-run while the driver is draining the OTHER leg — a
+        timing distortion) and not DEVNULL (a crashed leg must be
+        attributable)."""
+        ef = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        proc = subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable, me],
+            env=env_for(ncpu, rep, frac), stdout=subprocess.PIPE,
+            stderr=ef, text=True, cwd=cwd,
+        )
+        return proc, ef
+
+    def finish_leg(proc: subprocess.Popen, ef, label: str) -> dict:
+        """Drain a leg; a crashed leg (OOM from two concurrent object
+        stores, import failure) raises with its stderr tail instead of
+        a bare JSONDecodeError."""
+        out, _ = proc.communicate()
+        ef.seek(0)
+        err = ef.read()
+        ef.close()
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"scaling {label} leg exited {proc.returncode}; "
+                f"stderr tail:\n{err[-2000:]}"
+            )
+        try:
+            return parse(out)
+        except (json.JSONDecodeError, IndexError) as exc:
+            raise RuntimeError(
+                f"scaling {label} leg produced no JSON ({exc}); "
+                f"stdout tail: {out[-500:]!r}; stderr tail:\n{err[-2000:]}"
+            ) from exc
+
     cycles = []
     for _ in range(n_cycles):
-        p_hi = subprocess.Popen(
-            ["taskset", "-c", hi_cores, sys.executable, me],
-            env=env_for(co_hi, hi_rep, frac), stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, cwd=cwd,
-        )
-        p_lo = subprocess.Popen(
-            ["taskset", "-c", lo_cores, sys.executable, me],
-            env=env_for(co_lo, lo_rep, frac), stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, cwd=cwd,
-        )
-        r_hi = parse(p_hi.communicate()[0])
-        r_lo = parse(p_lo.communicate()[0])
+        p_hi, ef_hi = spawn_leg(hi_cores, co_hi, hi_rep)
+        p_lo, ef_lo = spawn_leg(lo_cores, co_lo, lo_rep)
+        r_hi = finish_leg(p_hi, ef_hi, "hi")
+        r_lo = finish_leg(p_lo, ef_lo, "lo")
         cycles.append(
             {
                 "lo": r_lo,
@@ -307,9 +403,9 @@ def _scaling_legs(lo: int, hi: int, replication: str) -> dict:
         "cpus_hi": co_hi,
         "mode": (
             f"co-scheduled disjoint-core legs (lo on cpus {lo_cores}, hi on "
-            f"{hi_cores}, simultaneous, equal per-core work, pool fraction "
-            f"5/6 in both) — drift-immune by construction; idle-box "
-            f"reference pair alongside"
+            f"{hi_cores}, {part_mode}, simultaneous, equal per-core work, "
+            f"pool fraction 5/6 in both) — drift-immune by construction; "
+            f"idle-box reference pair alongside"
         ),
         "sec_lo": c["lo"]["value"],
         "sec_hi": c["hi"]["value"],
