@@ -67,6 +67,10 @@ _LOCAL_ONLY = {
     # rotated out to make room for streaming_dedup_ingest (the online
     # mutable-gate dedup finally earns a driver row, VERDICT r4 item 5)
     "top_users_by_value",        # per-group top-k cousin of keyword_topk
+    # rotated out to make room for the round-5 breadth ops
+    # exactsubstr_dedup + mix_resample
+    "customers_without_orders",  # anti-join cousin of order_items' semi/anti modes
+    "user_value_quantiles",      # quantile-sketch sibling of value_histogram
 }
 
 

@@ -4206,6 +4206,132 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr substring dedup (Lee et al. 2022) — the exact algorithm the
+# hashed-window `repeated_ngrams` approximates.  Every char covered by a
+# length-48 window occurring >= 2 times corpus-wide is removed; plan and
+# scale notes in stages/exactsubstr.py.  Output is (doc_id,
+# removed_chars, md5(cleaned text)) so the oracle replays the exact cut.
+# ---------------------------------------------------------------------------
+_EXACTSUBSTR_K = 48
+
+
+def q_exactsubstr_dedup(sf_dir: str):
+    from ..stages.exactsubstr import exactsubstr_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exactsubstr_dedup(ds, k=_EXACTSUBSTR_K)
+
+
+# constant series bound: this DuckDB's generate_series takes constants
+# only (no lateral/subquery params); 8192 >> max doc length in every
+# testdata tier, and the joins prune it to len(text) rows per doc.
+SQL_EXACTSUBSTR_DEDUP = f"""
+WITH series AS (
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 8192) AS t(i)
+),
+w AS (
+  SELECT d.doc_id, s.i, substr(d.text, CAST(s.i AS INT), {_EXACTSUBSTR_K}) AS win
+  FROM documents d JOIN series s ON s.i <= len(d.text) - {_EXACTSUBSTR_K - 1}
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+dpos AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (win)),
+cov AS (
+  SELECT DISTINCT dp.doc_id, s.i AS p
+  FROM dpos dp JOIN series s ON s.i BETWEEN dp.i AND dp.i + {_EXACTSUBSTR_K - 1}
+),
+chars AS (
+  SELECT d.doc_id, s.i AS p, substr(d.text, CAST(s.i AS INT), 1) AS ch
+  FROM documents d JOIN series s ON s.i <= len(d.text)
+),
+kept AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(c.ch, '' ORDER BY c.p)
+                  FILTER (WHERE cov.p IS NULL), '') AS kept_text,
+         count(cov.p) AS removed_chars
+  FROM chars c LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.p = c.p
+  GROUP BY c.doc_id
+)
+SELECT doc_id, removed_chars, md5(kept_text) AS kept_md5 FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mix-weight resampling — downsample each source to a target mixture
+# (the "data mixing" step of a training pipeline).  Two passes: a tiny
+# bounded-cardinality count reduce fixes per-source keep thresholds on
+# the driver, then a map-only md5-acceptance filter streams the corpus.
+# Thresholds are exact integers ((w*T*2^64) // (W*n)), so the SQL oracle
+# replays the decision bit-for-bit; the largest feasible total T =
+# min_s floor(n_s * W / w_s) makes every rate <= 1 (downsample-only).
+# Weights derive deterministically from the source id ((num % 4) + 1)
+# so both sides compute them without a shipped config table.
+# ---------------------------------------------------------------------------
+def q_mix_resample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = df.groupby("source", as_index=False).agg(n=("doc_id", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = _driver_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["source"],
+        ["n"],
+    )
+    weights = {
+        s: (int(s[3:]) % 4) + 1 for s in counts["source"]
+    }
+    w_sum = sum(weights.values())
+    target = min(
+        (int(n) * w_sum) // weights[s]
+        for s, n in zip(counts["source"], counts["n"])
+    )
+    cuts = {
+        s: (weights[s] * target * (1 << 64)) // (w_sum * int(n))
+        for s, n in zip(counts["source"], counts["n"])
+    }
+
+    def keep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        u = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(d).encode()).digest()[:8], "big"
+                )
+                for d in df["doc_id"]
+            ],
+            dtype=object,
+        )
+        cut = df["source"].map(cuts).to_numpy(dtype=object)
+        return df.loc[u < cut, ["doc_id", "source"]]
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_MIX_RESAMPLE = """
+WITH src AS (
+  SELECT source, count(*) AS n,
+         (CAST(substr(source, 4) AS INT) % 4) + 1 AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(w) AS wsum FROM src),
+t AS (SELECT min((n * wsum) // w) AS target FROM src, tot),
+thr AS (
+  SELECT source,
+         (w * target * CAST('18446744073709551616' AS HUGEINT))
+           // (wsum * n) AS cut
+  FROM src, tot, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+           AS UBIGINT) AS HUGEINT) < thr.cut
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sub-document (paragraph-level) exact dedup — the granularity a training
 # pipeline dedups at when whole-document dedup misses boilerplate shared
 # ACROSS distinct documents.  Fixed-window "paragraphs" (the deterministic
@@ -4527,6 +4653,8 @@ SQL_QUERIES = {
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "knn_filtered": (q_knn_filtered, SQL_KNN_FILTERED),
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
+    "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
+    "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -1,0 +1,146 @@
+"""Edge-semantics unit tests for the round-5 operators on planted
+corpora: ExactSubstr coverage rules (cross-doc span, self-repetition,
+short docs, interval merging) against an independent brute-force
+reimplementation, and mix-weight resampling against the threshold spec
+recomputed from scratch."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+    _EXACTSUBSTR_K,
+    q_exactsubstr_dedup,
+    q_mix_resample,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _brute_exactsubstr(texts: dict, k: int) -> dict:
+    """Independent O(total^2-ish) reimplementation of the spec: remove
+    every char covered by a length-k window occurring >= 2 times."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            counts[t[i : i + k]] += 1
+    out = {}
+    for did, t in texts.items():
+        covered = [False] * len(t)
+        for i in range(len(t) - k + 1):
+            if counts[t[i : i + k]] >= 2:
+                for p in range(i, i + k):
+                    covered[p] = True
+        kept = "".join(c for c, m in zip(t, covered) if not m)
+        out[did] = (sum(covered), hashlib.md5(kept.encode()).hexdigest())
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exactsubstr_planted_corpus(tmp_path):
+    k = _EXACTSUBSTR_K
+    shared = "".join(chr(ord("a") + (i * 7) % 26) for i in range(k + 20))
+    rep = "".join(chr(ord("m") + (i * 5) % 13) for i in range(k))
+    texts = {
+        1: "unique-prefix-one " + shared + " unique-suffix-one",
+        2: "other-lead " + shared + " other-tail",
+        3: "entirely distinct text with no duplicated windows at all "
+           "and padded out to be comfortably longer than the window",
+        4: rep + " middle filler between the copies " + rep,
+        5: "short doc under k",
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = (
+        q_exactsubstr_dedup(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    expect = _brute_exactsubstr(texts, k)
+    assert len(out) == len(texts)
+    for did, (removed, md5) in expect.items():
+        assert out.loc[did, "removed_chars"] == removed, did
+        assert out.loc[did, "kept_md5"] == md5, did
+    # sanity on the plant itself: the shared span is cut from BOTH docs,
+    # the self-repeated doc loses both copies, doc 3 and the short doc
+    # lose nothing
+    assert expect[1][0] >= len(shared) and expect[2][0] >= len(shared)
+    assert expect[4][0] >= 2 * k
+    assert expect[3][0] == 0 and expect[5][0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exactsubstr_interval_merge_adjacent(tmp_path):
+    # two dup windows k apart in one doc: covers touch ([p,p+k) and
+    # [p+k,p+2k)) and must merge into one 2k cut, not overcount
+    k = _EXACTSUBSTR_K
+    blk_a = "".join(chr(ord("a") + (i * 3) % 26) for i in range(k))
+    blk_b = "".join(chr(ord("b") + (i * 5) % 26) for i in range(k))
+    texts = {
+        1: blk_a + blk_b + " tail one xxxxxxxx",
+        2: "lead two yyyyyyyy " + blk_a + blk_b,
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = (
+        q_exactsubstr_dedup(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    expect = _brute_exactsubstr(texts, k)
+    for did in texts:
+        assert out.loc[did, "removed_chars"] == expect[did][0]
+        assert out.loc[did, "kept_md5"] == expect[did][1]
+    # the duplicated region is the full 2k block on both docs
+    assert expect[1][0] == 2 * k
+
+
+def _brute_mix_resample(df: pd.DataFrame) -> pd.DataFrame:
+    """Threshold spec recomputed from scratch (mirrors the SQL)."""
+    counts = df.groupby("source")["doc_id"].size()
+    w = {s: (int(s[3:]) % 4) + 1 for s in counts.index}
+    wsum = sum(w.values())
+    target = min((int(n) * wsum) // w[s] for s, n in counts.items())
+    cuts = {
+        s: (w[s] * target * (1 << 64)) // (wsum * int(n))
+        for s, n in counts.items()
+    }
+    u = df["doc_id"].map(
+        lambda d: int.from_bytes(
+            hashlib.md5(str(d).encode()).digest()[:8], "big"
+        )
+    )
+    return df[u < df["source"].map(cuts)][["doc_id", "source"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mix_resample_skewed_sources(tmp_path):
+    # skewed corpus: src1 (w=2) has 300 docs, src2 (w=3) has 30, src3
+    # (w=0+1=... src4 -> w=1) has 120
+    rows = (
+        [{"doc_id": i, "source": "src1"} for i in range(300)]
+        + [{"doc_id": 1000 + i, "source": "src2"} for i in range(30)]
+        + [{"doc_id": 2000 + i, "source": "src4"} for i in range(120)]
+    )
+    df = pd.DataFrame(rows)
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        q_mix_resample(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = _brute_mix_resample(df).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect)
+    # the binding source (src2: 30 docs at weight 3) keeps ~all of its
+    # rows; the others are downsampled toward the 2:3:1 target mix
+    kept = out.groupby("source").size()
+    assert kept["src2"] >= 25
+    assert kept["src1"] < 300 and kept["src4"] < 120
+    # every kept row is an input row
+    assert set(out["doc_id"]).issubset(set(df["doc_id"]))
