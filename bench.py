@@ -175,8 +175,11 @@ def run_queries() -> dict:
         "bigram_logprob",
         "knn_filtered",
         "domain_quota_sample",
-        # round-5: the online mutable-gate dedup (sharded seen-set actors)
+        # round-5: the online mutable-gate dedup (sharded seen-set
+        # actors), ExactSubstr substring dedup, mix-weight resampling
         "streaming_dedup_ingest",
+        "exactsubstr_dedup",
+        "mix_resample",
     ]
     times = {}
     for name in picks:
