@@ -56,36 +56,55 @@ def _window_hashes(text_bytes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarr
 
 def window_hash_batch(batch: pa.Table, k: int) -> pd.DataFrame:
     """(doc_id, text) rows -> (h1, h2, doc_id, pos) window rows.
-    Docs shorter than ``k`` emit nothing (nothing can be covered)."""
+    Docs shorter than ``k`` emit nothing (nothing can be covered).
+
+    The whole batch hashes in ONE pass: texts concatenate with a
+    k-byte 0xFF separator (impossible in ASCII, so no cross-doc window
+    can alias a real one), the rolling hash runs over the joined byte
+    array (2k vector ops per BATCH instead of per DOC — the per-doc
+    version was overhead-dominated at ~250-byte docs), and each doc
+    slices its own window range back out."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    parts_h1, parts_h2, parts_doc, parts_pos = [], [], [], []
+    sep = b"\xff" * k
+    blobs, keep_docs = [], []
     for did, text in zip(doc_ids, texts):
         if not text.isascii():
             raise ValueError("exactsubstr_dedup assumes ASCII corpora")
-        b = np.frombuffer(text.encode(), dtype=np.uint8)
-        if len(b) < k:
-            continue
-        h1, h2 = _window_hashes(b, k)
-        parts_h1.append(h1)
-        parts_h2.append(h2)
-        parts_doc.append(np.full(len(h1), did, dtype=np.int64))
-        parts_pos.append(np.arange(len(h1), dtype=np.int64))
-    if not parts_h1:
-        return pd.DataFrame(
-            {
-                "h1": pd.Series([], dtype="uint64"),
-                "h2": pd.Series([], dtype="uint64"),
-                "doc_id": pd.Series([], dtype="int64"),
-                "pos": pd.Series([], dtype="int64"),
-            }
-        )
+        blobs.append(text.encode())
+        keep_docs.append(did)
+    empty = pd.DataFrame(
+        {
+            "h1": pd.Series([], dtype="uint64"),
+            "h2": pd.Series([], dtype="uint64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "pos": pd.Series([], dtype="int64"),
+        }
+    )
+    if not blobs:
+        return empty
+    joined = np.frombuffer(sep.join(blobs), dtype=np.uint8)
+    if len(joined) < k:
+        return empty
+    h1_all, h2_all = _window_hashes(joined, k)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens + k)[:-1]))
+    n_win = np.maximum(lens - k + 1, 0)
+    idx = np.concatenate(
+        [np.arange(o, o + n) for o, n in zip(offs, n_win)]
+    ).astype(np.int64)
+    if len(idx) == 0:
+        return empty
     return pd.DataFrame(
         {
-            "h1": np.concatenate(parts_h1),
-            "h2": np.concatenate(parts_h2),
-            "doc_id": np.concatenate(parts_doc),
-            "pos": np.concatenate(parts_pos),
+            "h1": h1_all[idx],
+            "h2": h2_all[idx],
+            "doc_id": np.repeat(
+                np.asarray(keep_docs, dtype=np.int64), n_win
+            ),
+            "pos": np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in n_win]
+            ),
         }
     )
 
