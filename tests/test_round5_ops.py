@@ -144,3 +144,54 @@ def test_mix_resample_skewed_sources(tmp_path):
     assert kept["src1"] < 300 and kept["src4"] < 120
     # every kept row is an input row
     assert set(out["doc_id"]).issubset(set(df["doc_id"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exactsubstr_intermediate_volumes_linear(tmp_path):
+    # scale evidence: the shuffled window table is exactly linear in
+    # corpus chars (sum of len-k+1 per doc) and the dup-position table
+    # contains ONLY the planted duplicates — no all-pairs blow-up.
+    import numpy as np
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import (
+        bucketed_map_groups,
+    )
+    from pdf_ocr_comparison_tool_ray.stages.exactsubstr import (
+        dup_positions_bucket,
+        window_hash_batch,
+    )
+
+    k = _EXACTSUBSTR_K
+    rng = np.random.default_rng(7)
+    alpha = [chr(ord("a") + i) for i in range(26)]
+    shared = "".join(rng.choice(alpha, size=k).tolist())
+    n_docs, n_planted = 120, 8
+    texts = {}
+    for d in range(n_docs):
+        body = "".join(rng.choice(alpha, size=260).tolist())
+        # random 260-char strings over 26 letters never repeat a
+        # 48-window by chance; docs 0..n_planted-1 carry the shared one.
+        # Planted bodies get a DISTINCT leading char so the boundary
+        # windows (shared[i:] + body[:i]) can't duplicate across plants
+        # — only the pos-0 window is shared.
+        if d < n_planted:
+            texts[d] = shared + alpha[d] + body[1:]
+        else:
+            texts[d] = body
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    ds = ray.data.read_parquet(_write_docs(tmp_path, rows) + "/documents.parquet")
+
+    windows = ds.map_batches(
+        lambda b: window_hash_batch(b, k), batch_format="pyarrow"
+    ).materialize()
+    expected_windows = sum(len(t) - k + 1 for t in texts.values())
+    assert windows.count() == expected_windows  # linear, no expansion
+
+    dup = bucketed_map_groups(
+        windows, "h1", dup_positions_bucket, n_buckets=16
+    ).to_pandas()
+    # every duplicated position belongs to a planted doc's shared prefix
+    assert len(dup) == n_planted  # one window occurrence per planted doc
+    assert set(dup["doc_id"]) == set(range(n_planted))
+    assert (dup["pos"] == 0).all()
