@@ -71,6 +71,12 @@ _LOCAL_ONLY = {
     # exactsubstr_dedup + mix_resample
     "customers_without_orders",  # anti-join cousin of order_items' semi/anti modes
     "user_value_quantiles",      # quantile-sketch sibling of value_histogram
+    # rotated out for the late-round-5 ops doc_repetition_stats +
+    # frame_sample + shuffle_shards (each demotee green in rounds 1-4
+    # and still strict-green through the local mirror)
+    "region_revenue",            # broadcast-join+agg sibling of nation_revenue
+    "knn_cosine",                # brute-force base of the exposed knn_filtered
+    "events_daily",              # time-bucketed agg cousin of sessionize_events
 }
 
 

@@ -180,6 +180,11 @@ def run_queries() -> dict:
         "streaming_dedup_ingest",
         "exactsubstr_dedup",
         "mix_resample",
+        # late round-5: Gopher-style repetition stats, video frame
+        # sampling round-trip, deterministic sharded shuffle
+        "doc_repetition_stats",
+        "frame_sample",
+        "shuffle_shards",
     ]
     times = {}
     for name in picks:

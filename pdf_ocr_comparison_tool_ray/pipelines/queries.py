@@ -4578,6 +4578,205 @@ GROUP BY b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition quality stats (Rae et al. 2021, App. A1).  The
+# corpus has no line structure, so the signals are word-level: the
+# duplicate-word fraction and the character mass of the most repeated
+# word 2-gram.  Map-only (one pass, no shuffle) — the canonical shape
+# for per-doc quality filters at 100 TB.  Ratios are single divisions of
+# exact integers so the DuckDB replay is bit-identical.
+# ---------------------------------------------------------------------------
+_REPETITIVE_TOP2_FRAC = 0.08  # splits the synthetic corpus ~46/54
+
+
+def q_doc_repetition_stats(sf_dir: str):
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        n_words, n_distinct, dup_frac, top2, rep = [], [], [], [], []
+        for text in batch["text"].to_pylist():
+            toks = _LOWER_TOKEN_RE.findall(text.lower())
+            n = len(toks)
+            d = len(set(toks))
+            total_chars = sum(map(len, toks))
+            if n >= 2:
+                grams = Counter(zip(toks, toks[1:]))
+                cov = max(c * (len(a) + len(b)) for (a, b), c in grams.items())
+            else:
+                cov = 0
+            n_words.append(n)
+            n_distinct.append(d)
+            dup_frac.append(float(n - d) / n if n else 0.0)
+            top2.append(float(cov) / total_chars if total_chars else 0.0)
+            rep.append(top2[-1] > _REPETITIVE_TOP2_FRAC)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_distinct_words": pd.Series(n_distinct, dtype="int64"),
+                "dup_word_frac": pd.Series(dup_frac, dtype="float64"),
+                "top2gram_char_frac": pd.Series(top2, dtype="float64"),
+                "repetitive": pd.Series(rep, dtype="bool"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+), sizes AS (
+  SELECT doc_id, ws,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         length(array_to_string(ws, '')) AS total_chars
+  FROM base
+), grams AS (
+  SELECT doc_id,
+         ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM sizes, unnest(range(1, len(ws))) AS t(i)
+  WHERE n_words >= 2
+), gc AS (
+  SELECT doc_id, max(c * chars) AS cov
+  FROM (
+    SELECT doc_id, w1, w2, count(*) AS c,
+           length(w1) + length(w2) AS chars
+    FROM grams GROUP BY doc_id, w1, w2
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct_words,
+       CASE WHEN s.n_words > 0
+            THEN CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN s.total_chars > 0
+            THEN CAST(coalesce(g.cov, 0) AS DOUBLE) / s.total_chars
+            ELSE 0.0 END AS top2gram_char_frac,
+       (CASE WHEN s.total_chars > 0
+             THEN CAST(coalesce(g.cov, 0) AS DOUBLE) / s.total_chars
+             ELSE 0.0 END) > {_REPETITIVE_TOP2_FRAC} AS repetitive
+FROM sizes s LEFT JOIN gc g ON g.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling round-trip: synthesize media payloads from the
+# documents table, explode every video into stride-2 frame images via the
+# VideoFrameSampler actor pool (stages/multimodal.py:336), then DECODE
+# each emitted frame payload and summarize it — so the oracle pins the
+# full encode -> explode -> re-encode -> decode chain, not just row
+# counts.  mean_luma = byte_sum / 256.0 is a power-of-two division
+# (exact in both numpy and DuckDB).
+# ---------------------------------------------------------------------------
+def q_frame_sample(sf_dir: str):
+    from ..stages.multimodal import (
+        _decode_payload,
+        media_from_text_batch,
+        sample_video_frames,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    frames = sample_video_frames(media, stride=2, concurrency=2, batch_size=64)
+
+    def summarize(batch: pa.Table) -> pd.DataFrame:
+        ids, fidx, sums, means = [], [], [], []
+        for mid, fi, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["frame_idx"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            kind, arr, _ = _decode_payload(payload)
+            assert kind == "image"
+            s = int(arr[..., 0].astype(np.int64).sum())
+            ids.append(mid)
+            fidx.append(int(fi))
+            sums.append(s)
+            means.append(s / 256.0)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "byte_sum": pd.Series(sums, dtype="int64"),
+                "mean_luma": pd.Series(means, dtype="float64"),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
+SQL_FRAME_SAMPLE = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))) AS bts,
+         length(text) AS m
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(j // 256 AS BIGINT) AS frame_idx,
+       CAST(sum(bts[CAST(j % m AS INT) + 1]) AS BIGINT) AS byte_sum,
+       CAST(sum(bts[CAST(j % m AS INT) + 1]) AS DOUBLE) / 256.0 AS mean_luma
+FROM b, unnest(range(0, 2048)) AS t(j)
+WHERE (j // 256) % 2 = 0
+GROUP BY media_id, j // 256
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sharded global shuffle — the "shuffle the corpus before
+# training" step.  Shard assignment is a map-only md5 mod; the position
+# within a shard is a rank in md5 order, computed with one bucketed
+# co-partition (each bucket holds whole shards).  At 100 TB, n_shards
+# scales with the corpus so a single shard fits one worker's memory;
+# shard files are then written independently (resumable, one output
+# partition per shard).  md5(doc_id) is collision-free on ids, so the
+# ordering — and the oracle's ROW_NUMBER replay — is total.
+# ---------------------------------------------------------------------------
+_SHUFFLE_N_SHARDS = 16
+
+
+def q_shuffle_shards(sf_dir: str, n_shards: int = _SHUFFLE_N_SHARDS):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        hexes = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+        df["h"] = pd.Series(hexes, dtype="object")
+        df["shard"] = pd.Series(
+            [int(h[:8], 16) % n_shards for h in hexes], dtype="int64"
+        )
+        return df
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "h"], kind="mergesort")
+        df["pos"] = df.groupby("shard").cumcount().astype("int64")
+        return df[["doc_id", "shard", "pos"]]
+
+    return bucketed_map_groups(tagged, "shard", rank_bucket, n_buckets=n_shards)
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % {_SHUFFLE_N_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -4655,6 +4854,9 @@ SQL_QUERIES = {
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
     "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
+    "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -195,3 +195,112 @@ def test_exactsubstr_intermediate_volumes_linear(tmp_path):
     assert len(dup) == n_planted  # one window occurrence per planted doc
     assert set(dup["doc_id"]) == set(range(n_planted))
     assert (dup["pos"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# late-round-5 ops: repetition stats, frame sampling, sharded shuffle
+# ---------------------------------------------------------------------------
+def _brute_repetition(text: str):
+    import re
+    from collections import Counter
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    n, d = len(toks), len(set(toks))
+    total = sum(map(len, toks))
+    cov = (
+        max(c * (len(a) + len(b)) for (a, b), c in Counter(zip(toks, toks[1:])).items())
+        if n >= 2
+        else 0
+    )
+    return (
+        n,
+        d,
+        (n - d) / n if n else 0.0,
+        cov / total if total else 0.0,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_repetition_stats_planted(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_doc_repetition_stats,
+    )
+
+    texts = {
+        1: "spam spam spam spam",          # degenerate repetition
+        # all-distinct words, long enough that one 2-gram occurrence is a
+        # small char fraction (a 4-word doc would read "repetitive":
+        # the max-gram metric needs volume to discriminate, like Gopher's)
+        2: " ".join(f"w{i:03d}" for i in range(60)),
+        3: "solo",                         # one word: no 2-grams
+        4: "",                             # empty text
+        5: "ab ab cd ab ab",               # top gram (ab,ab) overlapping runs
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = (
+        q_doc_repetition_stats(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == len(texts)
+    for did, t in texts.items():
+        n, d, dup, top2 = _brute_repetition(t)
+        r = out.loc[did]
+        assert r["n_words"] == n and r["n_distinct_words"] == d, did
+        assert r["dup_word_frac"] == pytest.approx(dup, abs=0), did
+        assert r["top2gram_char_frac"] == pytest.approx(top2, abs=0), did
+    # overlapping occurrences make the spam doc's ratio exceed 1 — the
+    # signal is a filter score, not a probability
+    assert out.loc[1, "top2gram_char_frac"] > 1.0
+    assert bool(out.loc[1, "repetitive"]) and not bool(out.loc[2, "repetitive"])
+    assert out.loc[4, "n_words"] == 0 and out.loc[4, "dup_word_frac"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sample_roundtrip(tmp_path):
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_frame_sample
+
+    texts = {
+        2: "the quick brown fox jumps over the lazy dog repeatedly " * 4,
+        5: "another video document with its own distinct byte stream " * 4,
+        1: "audio doc must not appear in the frame output " * 4,
+        3: "image doc must not appear either " * 4,
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = q_frame_sample(_write_docs(tmp_path, rows)).to_pandas()
+    # only video docs (doc_id % 3 == 2), stride-2 of 8 frames each
+    assert set(out["media_id"]) == {"2", "5"}
+    for mid in ("2", "5"):
+        sub = out[out["media_id"] == mid].sort_values("frame_idx")
+        assert list(sub["frame_idx"]) == [0, 2, 4, 6]
+        raw = np.frombuffer(
+            texts[int(mid)].encode()[:4096].ljust(16, b"\0"), dtype=np.uint8
+        )
+        flat = np.resize(raw, 2048).astype(np.int64)
+        for fi, bs, ml in zip(sub["frame_idx"], sub["byte_sum"], sub["mean_luma"]):
+            expect = int(flat[fi * 256 : (fi + 1) * 256].sum())
+            assert bs == expect and ml == expect / 256.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_shards_total_order(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _SHUFFLE_N_SHARDS,
+        q_shuffle_shards,
+    )
+
+    ids = list(range(200))
+    rows = [{"doc_id": d, "text": f"doc {d}"} for d in ids]
+    out = q_shuffle_shards(_write_docs(tmp_path, rows)).to_pandas()
+    assert sorted(out["doc_id"]) == ids  # a permutation: nothing lost
+    hexes = {d: hashlib.md5(str(d).encode()).hexdigest() for d in ids}
+    for d, shard in zip(out["doc_id"], out["shard"]):
+        assert shard == int(hexes[d][:8], 16) % _SHUFFLE_N_SHARDS
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(len(grp)))  # dense ranks
+        hx = [hexes[d] for d in grp["doc_id"]]
+        assert hx == sorted(hx)  # pos follows md5 order
