@@ -48,13 +48,8 @@ _LOCAL_ONLY = {
     "promo_revenue_ratio",       # single-row ratio agg cousin of token_stats
     "knn_cosine_ivf",            # IVF plan variant of knn_cosine (same top-k contract)
     "embedding_dup",             # exact O(n^2) plan variant of embedding_dup_lsh
-    "ngram_jaccard_pairs",       # LSH-blocked cousin of minhash_lsh_pairs
-    "simhash_pairs",             # hamming-banded cousin of minhash_lsh_pairs
     "multimodal_preprocessed",   # preprocess=True variant of multimodal_features
-    "extraction_hybrid_rerun",   # smart-mode rerun variant of extraction_pipeline
-    "approx_top_tokens",         # Count-Min variant of keyword_topk's exact top-k
     "user_value_median",         # single-quantile special case of user_value_quantiles
-    "render_full_text",          # framing-only sink variant of merge_by_category
     # round-5 rotation: the five round-4 breadth ops + embedding_dup_lsh
     # moved INTO the window; these five cousins (each a sibling of a
     # still-checked entry) rotated out in their place.  All remain
@@ -77,6 +72,16 @@ _LOCAL_ONLY = {
     "region_revenue",            # broadcast-join+agg sibling of nation_revenue
     "knn_cosine",                # brute-force base of the exposed knn_filtered
     "events_daily",              # time-bucketed agg cousin of sessionize_events
+    # final-round bookkeeping swap: five DISTINCT operators that never
+    # held a driver slot (simhash_pairs, ngram_jaccard_pairs,
+    # render_full_text, extraction_hybrid_rerun, approx_top_tokens)
+    # rotate IN; these five multi-round-green entries — each subsumed
+    # or siblinged by a still-exposed query — rotate out.
+    "normalize_hash",            # M17 hash path also exercised by exact_dedup
+    "keywords_per_doc",          # per-doc stage of the exposed keyword_topk
+    "near_dedup_keep",           # composition of exposed minhash_lsh_pairs + dedup_clusters
+    "inverted_index",            # shares the token-shuffle core with exposed tfidf_topk
+    "token_stats",               # whitespace sibling of exposed subword_token_stats
 }
 
 
