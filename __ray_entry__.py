@@ -82,6 +82,8 @@ _LOCAL_ONLY = {
     "near_dedup_keep",           # composition of exposed minhash_lsh_pairs + dedup_clusters
     "inverted_index",            # shares the token-shuffle core with exposed tfidf_topk
     "token_stats",               # whitespace sibling of exposed subword_token_stats
+    "resize_digest",             # resize kernel variant of the driver-green
+                                 # multimodal family (features/frame_sample)
 }
 
 

@@ -185,6 +185,7 @@ def run_queries() -> dict:
         "doc_repetition_stats",
         "frame_sample",
         "shuffle_shards",
+        "resize_digest",
     ]
     times = {}
     for name in picks:

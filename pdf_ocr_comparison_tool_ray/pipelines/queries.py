@@ -4727,6 +4727,80 @@ GROUP BY media_id, j // 256
 
 
 # ---------------------------------------------------------------------------
+# Image resize round-trip: the last of the four multimodal kernels
+# (decode / featurize / frame-sample / RESIZE) to earn an oracle.
+# Image payloads run through the ImageResizer actor pool (16x16x3 ->
+# 8x8x3 nearest-neighbor subsample, re-encoded with the fake codec),
+# then each resized payload is decoded and digested.  The
+# position-weighted sum pins the exact pixel ORDER, which a plain byte
+# sum cannot; the SQL replays the subsample index arithmetic
+# (flat source index of resized j = ((2*(j//24))*16 + 2*((j//3)%8))*3
+# + j%3, tiled over the text bytes).
+# ---------------------------------------------------------------------------
+def q_resize_digest(sf_dir: str):
+    from ..stages.multimodal import (
+        ImageResizer,
+        _decode_payload,
+        media_from_text_batch,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
+    resized = media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    )
+
+    def digest(batch: pa.Table) -> pd.DataFrame:
+        ids, sums, wsums = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            k, arr, _ = _decode_payload(payload)
+            assert k == "image" and arr.shape == (8, 8, 3)
+            flat = arr.astype(np.int64).ravel()
+            ids.append(mid)
+            sums.append(int(flat.sum()))
+            wsums.append(int((np.arange(flat.size) * flat).sum()))
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="object"),
+                "byte_sum": pd.Series(sums, dtype="int64"),
+                "pos_weighted_sum": pd.Series(wsums, dtype="int64"),
+            }
+        )
+
+    return resized.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_RESIZE_DIGEST = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))) AS bts,
+         length(text) AS m
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT media_id, j,
+         bts[CAST((((2 * (j // 24)) * 16 + 2 * ((j // 3) % 8)) * 3 + j % 3)
+                  % m AS INT) + 1] AS byte
+  FROM b, unnest(range(0, 192)) AS t(j)
+)
+SELECT media_id,
+       CAST(sum(byte) AS BIGINT) AS byte_sum,
+       CAST(sum(j * byte) AS BIGINT) AS pos_weighted_sum
+FROM px GROUP BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sharded global shuffle — the "shuffle the corpus before
 # training" step.  Shard assignment is a map-only md5 mod; the position
 # within a shard is a rank in md5 order, computed with one bucketed
@@ -4857,6 +4931,7 @@ SQL_QUERIES = {
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "resize_digest": (q_resize_digest, SQL_RESIZE_DIGEST),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

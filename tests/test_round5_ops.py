@@ -304,3 +304,30 @@ def test_shuffle_shards_total_order(tmp_path):
         assert list(grp["pos"]) == list(range(len(grp)))  # dense ranks
         hx = [hexes[d] for d in grp["doc_id"]]
         assert hx == sorted(hx)  # pos follows md5 order
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resize_digest_matches_manual_subsample(tmp_path):
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_resize_digest
+
+    texts = {
+        0: "an image document with a distinctive byte pattern " * 6,
+        3: "another image document with different content entirely " * 6,
+        1: "audio doc must not appear " * 6,
+        2: "video doc must not appear " * 6,
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = q_resize_digest(_write_docs(tmp_path, rows)).to_pandas()
+    assert set(out["media_id"]) == {"0", "3"}
+    for mid in ("0", "3"):
+        raw = np.frombuffer(
+            texts[int(mid)].encode()[:4096].ljust(16, b"\0"), dtype=np.uint8
+        )
+        img = np.resize(raw, (16, 16, 3))
+        small = img[np.ix_(np.arange(8) * 2, np.arange(8) * 2)]
+        flat = small.astype(np.int64).ravel()
+        r = out[out["media_id"] == mid].iloc[0]
+        assert r["byte_sum"] == flat.sum()
+        assert r["pos_weighted_sum"] == (np.arange(flat.size) * flat).sum()
