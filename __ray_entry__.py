@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 26 stay
+# query must land inside that window WITH its oracle, so these 27 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus

@@ -4814,6 +4814,11 @@ _SHUFFLE_N_SHARDS = 16
 
 
 def q_shuffle_shards(sf_dir: str, n_shards: int = _SHUFFLE_N_SHARDS):
+    """NOTE: the registry oracle replays the DEFAULT n_shards — callers
+    passing another value (the deployment knob: scale n_shards so one
+    shard fits one worker) get the same semantics but must not compare
+    against SQL_SHUFFLE_SHARDS (same convention as q_session_window's
+    gap_minutes and q_embedding_dup's threshold)."""
     from ..stages.bucketed import bucketed_map_groups
 
     ds = _read(sf_dir, "documents", ["doc_id"])

@@ -201,21 +201,34 @@ def test_exactsubstr_intermediate_volumes_linear(tmp_path):
 # late-round-5 ops: repetition stats, frame sampling, sharded shuffle
 # ---------------------------------------------------------------------------
 def _brute_repetition(text: str):
+    """Structurally independent replay of the spec: re.split tokenizer
+    (not findall), O(n^2) pairwise occurrence counting (no Counter/zip),
+    explicit max loop.  The DuckDB oracle remains the primary
+    independent cross-check of the math."""
     import re
-    from collections import Counter
 
-    toks = re.findall(r"[a-z0-9]+", text.lower())
-    n, d = len(toks), len(set(toks))
-    total = sum(map(len, toks))
-    cov = (
-        max(c * (len(a) + len(b)) for (a, b), c in Counter(zip(toks, toks[1:])).items())
-        if n >= 2
-        else 0
-    )
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    n = len(toks)
+    distinct = []
+    for t in toks:
+        if t not in distinct:
+            distinct.append(t)
+    total = 0
+    for t in toks:
+        total += len(t)
+    cov = 0
+    for i in range(n - 1):
+        occurrences = 0
+        for j in range(n - 1):
+            if toks[j] == toks[i] and toks[j + 1] == toks[i + 1]:
+                occurrences += 1
+        mass = occurrences * (len(toks[i]) + len(toks[i + 1]))
+        if mass > cov:
+            cov = mass
     return (
         n,
-        d,
-        (n - d) / n if n else 0.0,
+        len(distinct),
+        (n - len(distinct)) / n if n else 0.0,
         cov / total if total else 0.0,
     )
 
