@@ -174,3 +174,33 @@ def test_image_preprocessor_idempotent_on_single_channel():
     once = pre.preprocess_one(arr)
     twice = pre.preprocess_one(once)
     assert twice.shape == (12, 12, 1) and twice.dtype == np.uint8
+
+
+def test_resize_kernel_properties():
+    """Property: for any (h, w) -> (oh, ow), the nearest-neighbor
+    subsample picks source pixel (r*h//oh, c*w//ow) — checked against
+    an independent double-loop gather over random shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_ocr_comparison_tool_ray.stages.multimodal import ImageResizer
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        oh=st.integers(1, 16),
+        ow=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, oh, ow, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = ImageResizer(out_h=oh, out_w=ow)._resize(arr)
+        assert out.shape == (oh, ow, 3)
+        for r in range(oh):
+            for c in range(ow):
+                assert (out[r, c] == arr[r * h // oh, c * w // ow]).all()
+
+    check()
