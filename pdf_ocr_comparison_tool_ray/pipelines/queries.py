@@ -3461,7 +3461,7 @@ def q_multimodal_features(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
-    feats = featurize_media(media, concurrency=2, batch_size=64)
+    feats = featurize_media(media, batch_size=64)  # (2,8) autoscale default
 
     def explode(batch: pa.Table) -> pd.DataFrame:
         ids, tys, dims, vals = [], [], [], []
@@ -3553,8 +3553,7 @@ def q_multimodal_preprocessed(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
     feats = featurize_media(
-        preprocess_media(media, concurrency=2, batch_size=64),
-        concurrency=2,
+        preprocess_media(media, batch_size=64),  # (2,8) autoscale defaults
         batch_size=64,
     )
 
