@@ -104,11 +104,15 @@ def classify_cascade(
     ds: ray.data.Dataset,
     doc_types: dict | None = None,
     llm_threshold: float = 0.7,
-    llm_concurrency=2,
+    llm_concurrency=(2, 8),
 ) -> ray.data.Dataset:
     """(doc_id, text) rows -> (doc_id, doc_type, type_confidence, classifier).
 
     Confident rule rows never touch the LLM pool (filter-split + union).
+    llm_concurrency autoscales by default: a fixed 2-actor pool caps the
+    doubtful fraction at volume (interleaved 1.28M-doc probe: 42-63 s
+    fixed vs 17-19 s autoscaled); at real deployment size it to the GPU
+    count.
     """
     types = doc_types or DOCUMENT_TYPES_ZH
 
