@@ -222,7 +222,9 @@ def run_extraction_hybrid_rerun(
     *,
     rerun_threshold: float = 0.93,
     ocr_concurrency: Optional[int] = None,
-    rerun_concurrency=2,
+    rerun_concurrency=(2, 8),  # autoscale: fixed pools cap the rerun
+    # fraction at volume (see the round-5 pool-sizing probes in NOTES);
+    # a real deployment sizes max to the second engine's GPU count
     agreement_threshold: Optional[float] = None,
 ) -> ray.data.Dataset:
     """Smart-mode extraction: first-pass engine for everything, then scan
