@@ -3456,6 +3456,29 @@ ORDER BY approx_count DESC, tok LIMIT {_CM_K}
 # means) are exact rational arithmetic SQL reproduces bit-for-bit;
 # features explode to (media_id, media_type, dim, value) rows.
 # ---------------------------------------------------------------------------
+def _explode_features(batch: pa.Table) -> pa.Table:
+    """(media_id, media_type, features list<double>) -> one row per dim.
+
+    Fully vectorized: list_flatten is zero-copy, the id/type columns
+    repeat by list length, and dim = global position minus the row's
+    flat offset (handles ragged lengths, though every featurizer emits
+    exactly N_BINS)."""
+    feats = batch["features"].combine_chunks()
+    flat = pc.list_flatten(feats)
+    lens = pc.list_value_length(feats).to_numpy().astype(np.int64)
+    offsets = np.cumsum(lens) - lens
+    dims = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(offsets, lens)
+    row_idx = pa.array(np.repeat(np.arange(len(batch)), lens))
+    return pa.table(
+        {
+            "media_id": batch["media_id"].take(row_idx),
+            "media_type": batch["media_type"].take(row_idx),
+            "dim": pa.array(dims, type=pa.int64()),
+            "value": pc.cast(flat, pa.float64()),
+        }
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import featurize_media, media_from_text_batch
 
@@ -3463,28 +3486,7 @@ def q_multimodal_features(sf_dir: str):
     media = docs.map_batches(media_from_text_batch, batch_format="pyarrow")
     feats = featurize_media(media, batch_size=64)  # (2,8) autoscale default
 
-    def explode(batch: pa.Table) -> pd.DataFrame:
-        ids, tys, dims, vals = [], [], [], []
-        for mid, ty, f in zip(
-            batch["media_id"].to_pylist(),
-            batch["media_type"].to_pylist(),
-            batch["features"].to_pylist(),
-        ):
-            for d, v in enumerate(f):
-                ids.append(mid)
-                tys.append(ty)
-                dims.append(d)
-                vals.append(v)
-        return pd.DataFrame(
-            {
-                "media_id": pd.Series(ids, dtype="object"),
-                "media_type": pd.Series(tys, dtype="object"),
-                "dim": pd.Series(dims, dtype="int64"),
-                "value": pd.Series(vals, dtype="float64"),
-            }
-        )
-
-    return feats.map_batches(explode, batch_format="pyarrow")
+    return feats.map_batches(_explode_features, batch_format="pyarrow")
 
 
 SQL_MULTIMODAL_FEATURES = """
@@ -3557,28 +3559,7 @@ def q_multimodal_preprocessed(sf_dir: str):
         batch_size=64,
     )
 
-    def explode(batch: pa.Table) -> pd.DataFrame:
-        ids, tys, dims, vals = [], [], [], []
-        for mid, ty, f in zip(
-            batch["media_id"].to_pylist(),
-            batch["media_type"].to_pylist(),
-            batch["features"].to_pylist(),
-        ):
-            for d, v in enumerate(f):
-                ids.append(mid)
-                tys.append(ty)
-                dims.append(d)
-                vals.append(v)
-        return pd.DataFrame(
-            {
-                "media_id": pd.Series(ids, dtype="object"),
-                "media_type": pd.Series(tys, dtype="object"),
-                "dim": pd.Series(dims, dtype="int64"),
-                "value": pd.Series(vals, dtype="float64"),
-            }
-        )
-
-    return feats.map_batches(explode, batch_format="pyarrow")
+    return feats.map_batches(_explode_features, batch_format="pyarrow")
 
 
 SQL_MULTIMODAL_PREPROCESSED = """
