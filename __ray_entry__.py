@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 27 stay
+# query must land inside that window WITH its oracle, so these 28 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
@@ -84,6 +84,11 @@ _LOCAL_ONLY = {
     "token_stats",               # whitespace sibling of exposed subword_token_stats
     "resize_digest",             # resize kernel variant of the driver-green
                                  # multimodal family (features/frame_sample)
+    # rotated out for the round-5 SemDeDup operator (cluster-based
+    # semantic dedup earns a driver row; this demotee is green r4 and
+    # its sampling family stays exposed via domain_quota_sample,
+    # mix_resample and hash-rate kin)
+    "stratified_sample",         # md5-rate sampling sibling of domain_quota_sample
 }
 
 

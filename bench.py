@@ -186,6 +186,8 @@ def run_queries() -> dict:
         "frame_sample",
         "shuffle_shards",
         "resize_digest",
+        # SemDeDup: cluster-based semantic dedup over the embeddings
+        "semdedup",
     ]
     times = {}
     for name in picks:

@@ -3716,6 +3716,63 @@ SQL_EMBEDDING_DUP_LSH = _sql_embedding_dup_lsh()
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster embeddings, drop within-cluster
+# semantic duplicates, keep the deduplicated corpus.  Centroids = the
+# n_clusters smallest vec_ids (zero Lloyd iterations — the oracle-safe
+# init; see stages/dedup.semdedup for the deviation notes); a vector is
+# dropped iff an earlier-vec_id vector in its cluster has cosine >=
+# threshold.  Threshold matches the LSH family's 0.45 (margin-probed:
+# min |sim - thr| >= 1.4e-4 and min argmax gap >= 4.7e-5 across all
+# three test scales, so numpy-vs-DuckDB last-ulp noise cannot flip a
+# decision).
+# ---------------------------------------------------------------------------
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+def q_semdedup(sf_dir: str):
+    from ..stages.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup(
+        ds, n_clusters=_SEMDEDUP_K, threshold=_SEMDEDUP_THRESHOLD
+    )
+    return _schema_stable_pairs(
+        out, {"vec_id": "int64", "cluster_id": "int64"}
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+  FROM u ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+),
+scored AS (
+  SELECT u.vec_id, u.v, c.cid, list_cosine_similarity(u.v, c.v) AS cs
+  FROM u CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT x.vec_id, x.cid AS cluster_id
+FROM a x
+WHERE NOT EXISTS (
+  SELECT 1 FROM a y
+  WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+    AND list_cosine_similarity(x.v, y.v) >= {_SEMDEDUP_THRESHOLD}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (curation): deterministic PII is planted from doc_id so the
 # redaction path actually fires on the synthetic word-soup corpus; the SQL
 # oracle plants the identical strings and replays the same RE2-compatible
@@ -4861,6 +4918,7 @@ SQL_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "knn_cosine_ivf": (q_knn_cosine_ivf, SQL_KNN_COSINE),
     "embedding_dup_lsh": (q_embedding_dup_lsh, SQL_EMBEDDING_DUP_LSH),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_preprocessed": (
         q_multimodal_preprocessed,

@@ -648,3 +648,147 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     if n_tables == 1:
         return pairs  # no cross-table duplicates possible
     return bucketed_drop_duplicates(pairs, ["vec_a", "vec_b"], n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-within-cluster semantic dedup
+# ---------------------------------------------------------------------------
+def _semdedup_unit(vecs: np.ndarray) -> np.ndarray:
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return v / norms
+
+
+def _semdedup_keep_mask(rows: pd.DataFrame, threshold: float,
+                        cap: int | None) -> np.ndarray:
+    """rows = ONE cluster sorted by vec_id -> boolean keep mask.
+
+    A vector is dropped iff some SMALLER-vec_id vector in the same
+    cluster has cosine >= threshold with it (dominance by any earlier
+    vector, kept or not — the rule SQL's NOT EXISTS replays exactly; a
+    keep-chain rule would need recursion on both sides).
+
+    ``cap``: clusters larger than cap check dominance within consecutive
+    vec_id-ordered chunks of the cap only — O(n*cap) on degenerate
+    all-identical corpora, bit-exact below the cap (same guard and same
+    recall trade as ``_cosine_pairs_group``)."""
+    n = len(rows)
+    if cap is not None and n > cap:
+        return np.concatenate(
+            [
+                _semdedup_keep_mask(rows.iloc[i : i + cap], threshold, None)
+                for i in range(0, n, cap)
+            ]
+        )
+    unit = _semdedup_unit(np.stack(rows["embedding"].to_numpy()))
+    sims = unit @ unit.T
+    dominated = np.triu(sims >= threshold, k=1).any(axis=0)
+    return ~dominated
+
+
+def _semdedup_bucket(chunk: pd.DataFrame, threshold: float,
+                     cap: int | None) -> pd.DataFrame:
+    """One cluster_id hash bucket (possibly several clusters) -> kept
+    (vec_id, cluster_id) rows."""
+    if len(chunk) == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+            }
+        )
+    out_ids, out_cids = [], []
+    for cid, g in chunk.groupby("cluster_id", sort=False):
+        rows = g.sort_values("vec_id")
+        keep = _semdedup_keep_mask(rows, threshold, cap)
+        kept_ids = rows["vec_id"].to_numpy()[keep]
+        out_ids.append(kept_ids)
+        out_cids.append(np.full(len(kept_ids), int(cid), dtype=np.int64))
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series(
+                np.concatenate(out_ids), dtype="int64"
+            ),
+            "cluster_id": pd.Series(
+                np.concatenate(out_cids), dtype="int64"
+            ),
+        }
+    )
+
+
+def semdedup(ds, n_clusters: int = 8, threshold: float = 0.45,
+             n_buckets: int = 32, hot_cluster_cap: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop every vector that is a semantic
+    duplicate of another vector in its cluster.
+
+    embeddings(vec_id:int64, embedding:list<float>) ->
+    (vec_id:int64, cluster_id:int64) — the KEPT (deduplicated) corpus.
+
+    Two deliberate deviations from the paper, each chosen so a
+    closed-form SQL oracle replays the op exactly (both are config
+    seams, not engine limits):
+
+    - centroid init = the embeddings of the ``n_clusters`` smallest
+      vec_ids with ZERO Lloyd iterations (the paper runs k-means; a
+      Lloyd loop is just a driver-side iteration of this same
+      assignment stage, but float mean-summation order diverges
+      between engines, so the oracle pins iteration 0);
+    - keep rule = the smallest vec_id among mutually-similar vectors
+      (the paper keeps the item least similar to the centroid; any
+      deterministic total order works — vec_id lets SQL replay it with
+      one NOT EXISTS).
+
+    100 TB plan: the centroid fetch is a bounded per-block k-smallest
+    partial + driver reduce (n_blocks x K tiny rows); assignment is
+    MAP-ONLY against a ray.put centroid matrix (K x d doubles, read
+    once per worker); the within-cluster verify is ONE co-partition
+    shuffle on cluster_id.  n_clusters grows with the corpus so
+    expected cluster size stays bounded (the paper uses ~50k clusters
+    for LAION); ``hot_cluster_cap`` keeps a degenerate skewed cluster
+    O(n*cap) instead of O(n^2), same trade as ``embedding_dup_pairs``.
+    """
+    import ray as _ray
+
+    from .broadcast import broadcast_get
+
+    def k_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("vec_id").head(n_clusters)[
+            ["vec_id", "embedding"]
+        ]
+
+    parts = ds.map_batches(k_smallest, batch_format="pandas").to_pandas()
+    cent_rows = parts.sort_values("vec_id").head(n_clusters)
+    cent_unit = _semdedup_unit(np.stack(cent_rows["embedding"].to_numpy()))
+    ref = _ray.put(cent_unit)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # ARROW in/out: the embedding stays a plain list<float> column
+        # through the cluster shuffle (a pandas object-of-ndarray column
+        # would round-trip through Ray's tensor extension, whose
+        # metadata empty sort partitions cannot reconcile)
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "cluster_id", pa.array([], type=pa.int64())
+            )
+        cu = broadcast_get(ref)
+        feats = batch["embedding"].combine_chunks()
+        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+        vecs = flat.reshape(batch.num_rows, -1)
+        sims = _semdedup_unit(vecs) @ cu.T
+        # argmax takes the FIRST max -> ties break to the lowest
+        # centroid index, matching the oracle's ORDER BY cs DESC, cid
+        return batch.append_column(
+            "cluster_id", pa.array(sims.argmax(axis=1).astype(np.int64))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return bucketed_map_groups(
+        assigned,
+        "cluster_id",
+        lambda g: _semdedup_bucket(g, threshold, hot_cluster_cap),
+        n_buckets=n_buckets,
+    )

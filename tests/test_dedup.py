@@ -272,3 +272,92 @@ def test_embedding_lsh_hot_bucket_guard():
         hot_bucket_cap=10**9
     ).to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def _emb_ds(vecs, ids):
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_semdedup_planted_duplicates():
+    """Exact copies of base vectors land in the same cluster as their
+    original and get dropped (dominance by the smaller vec_id); every
+    base vector survives."""
+    from pdf_ocr_comparison_tool_ray.stages.dedup import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(50, 8))
+    ids = list(range(50)) + [103, 107]
+    vecs = list(base) + [base[3], base[7]]
+    out = (
+        semdedup(_emb_ds(vecs, ids), n_clusters=4, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert set(out["vec_id"]) == set(range(50))  # both copies dropped
+    # sanity: threshold margin — no base pair is itself a near-dup
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, 0.0)
+    assert sims.max() < 0.95
+
+
+def test_semdedup_hot_cluster_cap_linear_and_exact():
+    """Degenerate all-identical corpus: every vector joins one cluster;
+    with cap C the dominance check chunks by C, keeping exactly one
+    representative per chunk (O(n*C), never an n^2 sims matrix).
+    Sub-cap corpora are bit-exact vs an effectively-uncapped run."""
+    from pdf_ocr_comparison_tool_ray.stages.dedup import semdedup
+
+    n, cap = 2000, 128
+    vec = np.ones(8) / np.sqrt(8)
+    out = semdedup(
+        _emb_ds([vec] * n, range(n)),
+        n_clusters=4,
+        threshold=0.95,
+        hot_cluster_cap=cap,
+    ).to_pandas()
+    assert len(out) == -(-n // cap)  # one survivor per cap-chunk
+    assert set(out["vec_id"]) == set(range(0, n, cap))
+
+    rng = np.random.RandomState(11)
+    small_vecs = rng.normal(size=(60, 8))
+    a = (
+        semdedup(_emb_ds(small_vecs, range(60)), n_clusters=4,
+                 threshold=0.6, hot_cluster_cap=4096)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semdedup(_emb_ds(small_vecs, range(60)), n_clusters=4,
+                 threshold=0.6, hot_cluster_cap=10**9)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_driver_clusters_below_cap():
+    """The driver corpora must sit in the bit-exact sub-cap regime: no
+    cluster at any test scale may exceed the default hot_cluster_cap."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        vid = np.array(t["vec_id"])
+        V = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        order = np.argsort(vid)
+        V = V[order]
+        unit = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cent = unit[:8]
+        cid = (unit @ cent.T).argmax(axis=1)
+        assert np.bincount(cid, minlength=8).max() <= 4096

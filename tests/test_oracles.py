@@ -34,6 +34,8 @@ FAST_QUERIES = [
     "near_dedup_keep",
     "subword_token_stats",
     "top_tokens_by_lang",
+    # round-5 SemDeDup (cluster-based semantic dedup)
+    "semdedup",
     # round-4 breadth
     "paragraph_dedup",
     "pack_sequences",
