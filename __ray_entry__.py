@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 28 stay
+# query must land inside that window WITH its oracle, so these 29 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
@@ -89,6 +89,11 @@ _LOCAL_ONLY = {
     # its sampling family stays exposed via domain_quota_sample,
     # mix_resample and hash-rate kin)
     "stratified_sample",         # md5-rate sampling sibling of domain_quota_sample
+    # rotated out for the round-5 DSIR selection operator (importance
+    # resampling earns a driver row; this demotee is green r3+ and the
+    # mergeable-sketch family stays exposed via approx_distinct_by_lang
+    # and approx_top_tokens)
+    "value_histogram",           # bincount-partials sketch sibling of the approx_* pair
 }
 
 

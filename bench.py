@@ -188,6 +188,8 @@ def run_queries() -> dict:
         "resize_digest",
         # SemDeDup: cluster-based semantic dedup over the embeddings
         "semdedup",
+        # DSIR: hashed-bigram importance-resampling data selection
+        "dsir_select",
     ]
     times = {}
     for name in picks:

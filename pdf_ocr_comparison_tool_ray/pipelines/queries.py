@@ -4369,6 +4369,152 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
 
 
 # ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
+# resampling with hashed-bigram features.  Target = lang='en' docs, raw
+# = the whole corpus; each bigram occurrence hashes (md5, byte-
+# replayable) into one of B buckets; the two add-one-smoothed bucket
+# models give a per-doc log importance weight
+#   sum_g [ ln p_t(h(g)) - ln p_r(h(g)) ],
+# and the K highest-weight docs are selected (the paper resamples with
+# Gumbel noise; deterministic top-k by (rounded weight, doc_id) is the
+# oracle-replayable analog).  Plan: model fit = per-batch bucket-count
+# partials with FIXED cardinality B (the HLL-partials shape) + driver
+# reduce; scoring = map-only against the broadcast B-vector of
+# log-ratios; selection = per-block top-K partials + driver reduce
+# (bounded n_blocks x K).  At 100 TB the top-k becomes a weight-
+# threshold filter calibrated on a sample quantile — same score pass,
+# map-only select.  Weight rounds to 9 (the bigram_logprob float-sum
+# convention).
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+_DSIR_K = 100
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_hash_grams(texts: list[str]) -> list[np.ndarray]:
+    """Per doc: the hashed-bucket id of every interior bigram occurrence
+    (md5 prefix mod B — the byte-replayable hash the sampling ops use).
+    Hashes memoize per unique bigram within the batch."""
+    memo: dict = {}
+    out = []
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        fs = np.empty(max(len(ws) - 1, 0), dtype=np.int64)
+        for i, g in enumerate(zip(ws, ws[1:])):
+            f = memo.get(g)
+            if f is None:
+                key = (g[0] + " " + g[1]).encode()
+                f = int(hashlib.md5(key).hexdigest()[:8], 16) % _DSIR_BUCKETS
+                memo[g] = f
+            fs[i] = f
+        out.append(fs)
+    return out
+
+
+def q_dsir_select(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        grams = _dsir_hash_grams(batch["text"].to_pylist())
+        langs = batch["lang"].to_pylist()
+        ct = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        cr = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        for fs, lang in zip(grams, langs):
+            if len(fs) == 0:
+                continue
+            binc = np.bincount(fs, minlength=_DSIR_BUCKETS)
+            cr += binc
+            if lang == _DSIR_TARGET_LANG:
+                ct += binc
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(_DSIR_BUCKETS, dtype=np.int64),
+                "ct": ct,
+                "cr": cr,
+            }
+        )
+
+    counts = _driver_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["bucket"],
+        ["ct", "cr"],
+    )
+    ct = counts.sort_values("bucket")["ct"].to_numpy(dtype=np.float64)
+    cr = counts.sort_values("bucket")["cr"].to_numpy(dtype=np.float64)
+    nt, nr = ct.sum(), cr.sum()
+    lw = np.log((ct + 1.0) / (nt + _DSIR_BUCKETS)) - np.log(
+        (cr + 1.0) / (nr + _DSIR_BUCKETS)
+    )
+    ref = ray.put(lw)
+
+    def score_topk(batch: pa.Table) -> pd.DataFrame:
+        w = _broadcast_get(ref)
+        grams = _dsir_hash_grams(batch["text"].to_pylist())
+        ids, ng, lws = [], [], []
+        for did, fs in zip(batch["doc_id"].to_pylist(), grams):
+            if len(fs) == 0:
+                continue  # no bigram, no weight (mirrors the SQL join)
+            ids.append(did)
+            ng.append(len(fs))
+            lws.append(float(w[fs].sum()))
+        part = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(ng, dtype="int64"),
+                "log_weight": pd.Series(lws, dtype="float64").round(9),
+            }
+        )
+        # per-block partial: only a block's own top-K can survive the
+        # global top-K, so ship K rows per block, not the block
+        return part.sort_values(
+            ["log_weight", "doc_id"], ascending=[False, True]
+        ).head(_DSIR_K)
+
+    parts = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["log_weight", "doc_id"], ascending=[False, True])
+        .head(_DSIR_K)
+        .reset_index(drop=True)
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, lang, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), big AS (
+  SELECT p1.doc_id, p1.lang,
+         CAST(('0x' || substr(md5(p1.w || ' ' || p2.w), 1, 8)) AS UBIGINT)
+           % {_DSIR_BUCKETS} AS f
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+), cnt AS (
+  SELECT f,
+         sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM big GROUP BY f
+), tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt
+), lw AS (
+  SELECT f,
+         ln((cnt.ct + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+         - ln((cnt.cr + 1.0) / (tot.nr + {_DSIR_BUCKETS})) AS w
+  FROM cnt CROSS JOIN tot
+), scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(lw.w), 9) AS log_weight
+  FROM big b JOIN lw USING (f)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_grams, log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sub-document (paragraph-level) exact dedup — the granularity a training
 # pipeline dedups at when whole-document dedup misses boilerplate shared
 # ACROSS distinct documents.  Fixed-window "paragraphs" (the deterministic
@@ -4977,6 +5123,7 @@ SQL_QUERIES = {
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
     "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),

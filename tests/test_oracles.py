@@ -34,8 +34,9 @@ FAST_QUERIES = [
     "near_dedup_keep",
     "subword_token_stats",
     "top_tokens_by_lang",
-    # round-5 SemDeDup (cluster-based semantic dedup)
+    # round-5 SemDeDup (cluster-based semantic dedup) + DSIR selection
     "semdedup",
+    "dsir_select",
     # round-4 breadth
     "paragraph_dedup",
     "pack_sequences",

@@ -344,3 +344,45 @@ def test_resize_digest_matches_manual_subsample(tmp_path):
         r = out[out["media_id"] == mid].iloc[0]
         assert r["byte_sum"] == flat.sum()
         assert r["pos_weighted_sum"] == (np.arange(flat.size) * flat).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_select_prefers_target_like_docs(tmp_path):
+    """Planted corpus: 'en' docs share a distinctive bigram vocabulary;
+    non-target docs either share it (target-LIKE) or don't.  DSIR must
+    rank the target-like raw docs above the dissimilar ones, and the
+    selection must be deterministic across runs."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _DSIR_K,
+        q_dsir_select,
+    )
+
+    en_text = "alpha beta gamma delta " * 10
+    like_text = "alpha beta gamma delta " * 10 + "epsilon"
+    unlike_text = "zig zag zog zug " * 10
+    rows = (
+        [{"doc_id": i, "text": en_text, "lang": "en"} for i in range(40)]
+        + [
+            {"doc_id": 100 + i, "text": like_text, "lang": "de"}
+            for i in range(10)
+        ]
+        + [
+            {"doc_id": 200 + i, "text": unlike_text, "lang": "de"}
+            for i in range(200)
+        ]
+    )
+    sf = _write_docs(tmp_path, rows)
+    out = q_dsir_select(sf)
+    assert len(out) == min(_DSIR_K, 250)
+    selected = set(out["doc_id"])
+    # all target docs and all target-LIKE docs selected; the unlike
+    # bulk fills at most the remaining slots
+    assert set(range(40)) <= selected
+    assert {100 + i for i in range(10)} <= selected
+    # target-like docs outrank every unlike doc
+    ranks = {d: r for r, d in enumerate(out["doc_id"])}
+    assert max(ranks[d] for d in range(40)) < min(
+        ranks[d] for d in selected if d >= 200
+    )
+    out2 = q_dsir_select(sf)
+    pd.testing.assert_frame_equal(out, out2)
