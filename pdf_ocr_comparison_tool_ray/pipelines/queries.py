@@ -4417,20 +4417,21 @@ def q_dsir_select(sf_dir: str):
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         grams = _dsir_hash_grams(batch["text"].to_pylist())
         langs = batch["lang"].to_pylist()
-        ct = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-        cr = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-        for fs, lang in zip(grams, langs):
-            if len(fs) == 0:
-                continue
-            binc = np.bincount(fs, minlength=_DSIR_BUCKETS)
-            cr += binc
-            if lang == _DSIR_TARGET_LANG:
-                ct += binc
+        empty = np.empty(0, dtype=np.int64)
+        all_fs = np.concatenate(grams or [empty])
+        tgt_fs = np.concatenate(
+            [
+                fs
+                for fs, lang in zip(grams, langs)
+                if lang == _DSIR_TARGET_LANG
+            ]
+            or [empty]
+        )
         return pd.DataFrame(
             {
                 "bucket": np.arange(_DSIR_BUCKETS, dtype=np.int64),
-                "ct": ct,
-                "cr": cr,
+                "ct": np.bincount(tgt_fs, minlength=_DSIR_BUCKETS),
+                "cr": np.bincount(all_fs, minlength=_DSIR_BUCKETS),
             }
         )
 
@@ -4438,9 +4439,12 @@ def q_dsir_select(sf_dir: str):
         ds.map_batches(count_partial, batch_format="pyarrow"),
         ["bucket"],
         ["ct", "cr"],
-    )
-    ct = counts.sort_values("bucket")["ct"].to_numpy(dtype=np.float64)
-    cr = counts.sort_values("bucket")["cr"].to_numpy(dtype=np.float64)
+    ).set_index("bucket")
+    # explicit reindex: scoring reads ct/cr POSITIONALLY (w[fs]), so pin
+    # row i == bucket i even if the partials ever go sparse
+    counts = counts.reindex(range(_DSIR_BUCKETS), fill_value=0)
+    ct = counts["ct"].to_numpy(dtype=np.float64)
+    cr = counts["cr"].to_numpy(dtype=np.float64)
     nt, nr = ct.sum(), cr.sum()
     lw = np.log((ct + 1.0) / (nt + _DSIR_BUCKETS)) - np.log(
         (cr + 1.0) / (nr + _DSIR_BUCKETS)

@@ -654,9 +654,16 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
 # SemDeDup — cluster-then-within-cluster semantic dedup
 # ---------------------------------------------------------------------------
 def _semdedup_unit(vecs: np.ndarray) -> np.ndarray:
+    """Unit-normalize, REJECTING zero vectors: DuckDB's
+    list_cosine_similarity returns -1.0 against a zero vector while a
+    zeroed unit row would dot to 0.0, and semdedup's argmax assignment
+    is exposed to that divergence (unlike the pairs ops, whose positive
+    thresholds exclude zero vectors identically on both sides — their
+    norms==0 guard in ``_cosine_pairs_group`` stays correct)."""
     v = vecs.astype(np.float64)
     norms = np.linalg.norm(v, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
+    if (norms == 0).any():
+        raise ValueError("semdedup requires nonzero embeddings")
     return v / norms
 
 

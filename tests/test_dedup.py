@@ -348,9 +348,17 @@ def test_semdedup_hot_cluster_cap_linear_and_exact():
 
 def test_semdedup_driver_clusters_below_cap():
     """The driver corpora must sit in the bit-exact sub-cap regime: no
-    cluster at any test scale may exceed the default hot_cluster_cap."""
+    cluster at any test scale may exceed the default hot_cluster_cap.
+    Replays the exposed query's ACTUAL parameters (K and the cap come
+    from the source, not copies) so a config bump re-arms the guard."""
+    import inspect
+
     import pyarrow.parquet as pq
 
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import _SEMDEDUP_K
+    from pdf_ocr_comparison_tool_ray.stages.dedup import semdedup
+
+    cap = inspect.signature(semdedup).parameters["hot_cluster_cap"].default
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
         vid = np.array(t["vec_id"])
@@ -358,6 +366,6 @@ def test_semdedup_driver_clusters_below_cap():
         order = np.argsort(vid)
         V = V[order]
         unit = V / np.linalg.norm(V, axis=1, keepdims=True)
-        cent = unit[:8]
+        cent = unit[:_SEMDEDUP_K]
         cid = (unit @ cent.T).argmax(axis=1)
-        assert np.bincount(cid, minlength=8).max() <= 4096
+        assert np.bincount(cid, minlength=_SEMDEDUP_K).max() <= cap
