@@ -724,8 +724,19 @@ def _semdedup_bucket(chunk: pd.DataFrame, threshold: float,
     )
 
 
+def _semdedup_batch_units(batch: pa.Table) -> np.ndarray:
+    """Arrow (…, embedding list<float>) batch -> (n, d) float64 unit
+    matrix.  list_flatten keeps the values zero-copy until the cast."""
+    import pyarrow.compute as pc
+
+    feats = batch["embedding"].combine_chunks()
+    flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+    return _semdedup_unit(flat.reshape(batch.num_rows, -1))
+
+
 def semdedup(ds, n_clusters: int = 8, threshold: float = 0.45,
-             n_buckets: int = 32, hot_cluster_cap: int = 4096):
+             n_buckets: int = 32, hot_cluster_cap: int = 4096,
+             lloyd_iters: int = 0):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then drop every vector that is a semantic
     duplicate of another vector in its cluster.
@@ -733,19 +744,22 @@ def semdedup(ds, n_clusters: int = 8, threshold: float = 0.45,
     embeddings(vec_id:int64, embedding:list<float>) ->
     (vec_id:int64, cluster_id:int64) — the KEPT (deduplicated) corpus.
 
-    Two deliberate deviations from the paper, each chosen so a
-    closed-form SQL oracle replays the op exactly (both are config
-    seams, not engine limits):
+    Clustering: centroid init = the embeddings of the ``n_clusters``
+    smallest vec_ids, refined by ``lloyd_iters`` rounds of spherical
+    k-means (assign by cosine, recentre on the mean of assigned unit
+    vectors, renormalize; an emptied cluster keeps its previous
+    centroid).  Each round is one bounded map-only pass — per-batch
+    (cluster, count, sum-vector) partials, K x d driver reduce — so the
+    loop is driver-side orchestration, not a shuffle.  The EXPOSED
+    oracle query pins ``lloyd_iters=0``: float mean-summation order
+    diverges between engines, so the closed-form SQL replays the init
+    assignment exactly; iterated runs are pytest-pinned instead
+    (planted-blob recovery).
 
-    - centroid init = the embeddings of the ``n_clusters`` smallest
-      vec_ids with ZERO Lloyd iterations (the paper runs k-means; a
-      Lloyd loop is just a driver-side iteration of this same
-      assignment stage, but float mean-summation order diverges
-      between engines, so the oracle pins iteration 0);
-    - keep rule = the smallest vec_id among mutually-similar vectors
-      (the paper keeps the item least similar to the centroid; any
-      deterministic total order works — vec_id lets SQL replay it with
-      one NOT EXISTS).
+    Keep rule: the smallest vec_id among mutually-similar vectors (the
+    paper keeps the item least similar to the centroid; any
+    deterministic total order works — vec_id lets SQL replay it with
+    one NOT EXISTS).
 
     100 TB plan: the centroid fetch is a bounded per-block k-smallest
     partial + driver reduce (n_blocks x K tiny rows); assignment is
@@ -768,6 +782,41 @@ def semdedup(ds, n_clusters: int = 8, threshold: float = 0.45,
     parts = ds.map_batches(k_smallest, batch_format="pandas").to_pandas()
     cent_rows = parts.sort_values("vec_id").head(n_clusters)
     cent_unit = _semdedup_unit(np.stack(cent_rows["embedding"].to_numpy()))
+
+    k, d = cent_unit.shape
+    for _ in range(lloyd_iters):
+        it_ref = _ray.put(cent_unit)
+
+        def mean_partial(batch: pa.Table, _r=it_ref) -> pa.Table:
+            sums = np.zeros((k, d))
+            cnts = np.zeros(k, dtype=np.int64)
+            if batch.num_rows:
+                unit = _semdedup_batch_units(batch)
+                cid = (unit @ broadcast_get(_r).T).argmax(axis=1)
+                np.add.at(sums, cid, unit)
+                np.add.at(cnts, cid, 1)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(cnts),
+                    "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                }
+            )
+
+        # bounded reduce: n_blocks x K tiny rows -> K centroids
+        agg = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+        cnts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d))
+        np.add.at(cnts, agg["cid"].to_numpy(), agg["n"].to_numpy())
+        np.add.at(sums, agg["cid"].to_numpy(), np.stack(agg["s"].to_numpy()))
+        live = cnts > 0
+        means = np.where(
+            live[:, None], sums / np.maximum(cnts, 1)[:, None], cent_unit
+        )
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent_unit = means / norms
+
     ref = _ray.put(cent_unit)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -775,17 +824,11 @@ def semdedup(ds, n_clusters: int = 8, threshold: float = 0.45,
         # through the cluster shuffle (a pandas object-of-ndarray column
         # would round-trip through Ray's tensor extension, whose
         # metadata empty sort partitions cannot reconcile)
-        import pyarrow.compute as pc
-
         if batch.num_rows == 0:
             return batch.append_column(
                 "cluster_id", pa.array([], type=pa.int64())
             )
-        cu = broadcast_get(ref)
-        feats = batch["embedding"].combine_chunks()
-        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
-        vecs = flat.reshape(batch.num_rows, -1)
-        sims = _semdedup_unit(vecs) @ cu.T
+        sims = _semdedup_batch_units(batch) @ broadcast_get(ref).T
         # argmax takes the FIRST max -> ties break to the lowest
         # centroid index, matching the oracle's ORDER BY cs DESC, cid
         return batch.append_column(

@@ -369,3 +369,51 @@ def test_semdedup_driver_clusters_below_cap():
         cent = unit[:_SEMDEDUP_K]
         cid = (unit @ cent.T).argmax(axis=1)
         assert np.bincount(cid, minlength=_SEMDEDUP_K).max() <= cap
+
+
+def test_semdedup_lloyd_iterations_recover_planted_blobs():
+    """Two orthogonal direction blobs with BOTH init centroids planted
+    inside blob A (the 2 smallest vec_ids): the zero-iteration
+    assignment cannot separate the blobs, spherical k-means iterations
+    must — each blob lands wholly in its own cluster and the kept sets
+    of further iterations are a fixpoint."""
+    from pdf_ocr_comparison_tool_ray.stages.dedup import semdedup
+
+    rng = np.random.RandomState(3)
+    d = 8
+    e0 = np.eye(d)[0]
+    e1 = np.eye(d)[1]
+    # ids 0,1 (the init centroids) are e0 +- a small e1 tilt; the rest
+    # of blob A hugs e0, blob B hugs the orthogonal e1
+    blob_a = [e0 + 0.02 * e1, e0 - 0.02 * e1] + [
+        e0 + 0.01 * rng.normal(size=d) for _ in range(38)
+    ]
+    blob_b = [e1 + 0.01 * rng.normal(size=d) for _ in range(40)]
+    ids = list(range(40)) + list(range(100, 140))
+    ds = _emb_ds(blob_a + blob_b, ids)
+
+    def clusters(iters):
+        out = semdedup(
+            _emb_ds(blob_a + blob_b, ids),
+            n_clusters=2,
+            threshold=1.1,  # cosine <= 1: nothing dominates, isolate clustering
+            lloyd_iters=iters,
+        ).to_pandas()
+        return {int(r.vec_id): int(r.cluster_id) for r in out.itertuples()}
+
+    c0 = clusters(0)
+    a_ids, b_ids = set(range(40)), set(range(100, 140))
+    # init centroids both sit in blob A -> iteration 0 cannot put the
+    # two blobs in two different clusters
+    blobs_split0 = (
+        len({c0[i] for i in a_ids}) == 1
+        and len({c0[i] for i in b_ids}) == 1
+        and {c0[i] for i in a_ids} != {c0[i] for i in b_ids}
+    )
+    assert not blobs_split0
+    c3 = clusters(3)
+    assert len({c3[i] for i in a_ids}) == 1
+    assert len({c3[i] for i in b_ids}) == 1
+    assert {c3[i] for i in a_ids} != {c3[i] for i in b_ids}
+    # fixpoint: more iterations change nothing once converged
+    assert clusters(6) == c3
