@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 29 stay
+# query must land inside that window WITH its oracle, so these 30 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
@@ -94,6 +94,8 @@ _LOCAL_ONLY = {
     # mergeable-sketch family stays exposed via approx_distinct_by_lang
     # and approx_top_tokens)
     "value_histogram",           # bincount-partials sketch sibling of the approx_* pair
+    "dsir_resample",             # Gumbel-top-k sampling-rule sibling of dsir_select
+                                 # (identical fit+score; only the selection key differs)
 }
 
 

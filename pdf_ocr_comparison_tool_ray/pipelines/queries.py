@@ -4411,8 +4411,9 @@ def _dsir_hash_grams(texts: list[str]) -> list[np.ndarray]:
     return out
 
 
-def q_dsir_select(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+def _dsir_fit_log_ratio(ds):
+    """Fit the hashed-bigram target/raw models over ``ds`` and return
+    the broadcastable per-bucket log-ratio vector (a ray ObjectRef)."""
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         grams = _dsir_hash_grams(batch["text"].to_pylist())
@@ -4449,7 +4450,14 @@ def q_dsir_select(sf_dir: str):
     lw = np.log((ct + 1.0) / (nt + _DSIR_BUCKETS)) - np.log(
         (cr + 1.0) / (nr + _DSIR_BUCKETS)
     )
-    ref = ray.put(lw)
+    return ray.put(lw)
+
+
+def _dsir_topk(ds, ref, key_fn, key_col: str):
+    """Score pass + deterministic global top-K: per-block partials ship
+    K rows each (only a block's own top-K can survive), driver reduce.
+    ``key_fn(doc_ids, weights)`` -> the float selection key, rounded 9
+    before ordering on BOTH sides."""
 
     def score_topk(batch: pa.Table) -> pd.DataFrame:
         w = _broadcast_get(ref)
@@ -4461,24 +4469,59 @@ def q_dsir_select(sf_dir: str):
             ids.append(did)
             ng.append(len(fs))
             lws.append(float(w[fs].sum()))
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        keys = key_fn(ids_arr, np.asarray(lws, dtype=np.float64))
         part = pd.DataFrame(
             {
-                "doc_id": pd.Series(ids, dtype="int64"),
+                "doc_id": pd.Series(ids_arr, dtype="int64"),
                 "n_grams": pd.Series(ng, dtype="int64"),
-                "log_weight": pd.Series(lws, dtype="float64").round(9),
+                key_col: pd.Series(keys, dtype="float64").round(9),
             }
         )
-        # per-block partial: only a block's own top-K can survive the
-        # global top-K, so ship K rows per block, not the block
         return part.sort_values(
-            ["log_weight", "doc_id"], ascending=[False, True]
+            [key_col, "doc_id"], ascending=[False, True]
         ).head(_DSIR_K)
 
     parts = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     return (
-        parts.sort_values(["log_weight", "doc_id"], ascending=[False, True])
+        parts.sort_values([key_col, "doc_id"], ascending=[False, True])
         .head(_DSIR_K)
         .reset_index(drop=True)
+    )
+
+
+def q_dsir_select(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = _dsir_fit_log_ratio(ds)
+    return _dsir_topk(ds, ref, lambda _ids, w: w, "log_weight")
+
+
+def _dsir_gumbel(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic standard-Gumbel noise: u = (md5(doc_id)[:8] + .5)
+    / 2^32, G = -ln(-ln(u)).  Byte-replayable in SQL; numpy-vs-DuckDB
+    agreement probed at 1 ulp (round-9 keys absorb it)."""
+    us = np.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            for d in doc_ids
+        ],
+        dtype=np.float64,
+    )
+    return -np.log(-np.log((us + 0.5) / 4294967296.0))
+
+
+def q_dsir_resample(sf_dir: str):
+    """The paper's actual selection rule — Gumbel-top-k sampling
+    WITHOUT replacement, P(select) proportional to the importance
+    weight — with the Gumbel noise derived from md5(doc_id) so the
+    draw is reproducible and the SQL oracle replays it exactly.
+    Local-only sampling-rule sibling of the exposed ``dsir_select``
+    (identical model fit and score pass; only the selection key
+    differs: log_weight + Gumbel vs log_weight)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = _dsir_fit_log_ratio(ds)
+    return _dsir_topk(
+        ds, ref, lambda ids, w: w + _dsir_gumbel(ids), "gumbel_key"
     )
 
 
@@ -4516,6 +4559,26 @@ FROM scored
 ORDER BY log_weight DESC, doc_id
 LIMIT {_DSIR_K}
 """
+
+
+# same program with the Gumbel-perturbed selection key (sampling
+# without replacement proportional to the importance weight — the
+# paper's rule, deterministic via md5-derived noise)
+SQL_DSIR_RESAMPLE = (
+    SQL_DSIR_SELECT.replace(
+        "         round(sum(lw.w), 9) AS log_weight",
+        "         round(sum(lw.w)\n"
+        "               - ln(-ln((CAST(('0x' || substr(md5(CAST(b.doc_id"
+        " AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)), 9)"
+        " AS gumbel_key",
+    )
+    .replace(
+        "SELECT doc_id, n_grams, log_weight",
+        "SELECT doc_id, n_grams, gumbel_key",
+    )
+    .replace("ORDER BY log_weight DESC, doc_id", "ORDER BY gumbel_key DESC, doc_id")
+)
+assert "gumbel_key" in SQL_DSIR_RESAMPLE and "log_weight" not in SQL_DSIR_RESAMPLE
 
 
 # ---------------------------------------------------------------------------
@@ -5128,6 +5191,7 @@ SQL_QUERIES = {
     "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),

@@ -386,3 +386,32 @@ def test_dsir_select_prefers_target_like_docs(tmp_path):
     )
     out2 = q_dsir_select(sf)
     pd.testing.assert_frame_equal(out, out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_resample_gumbel_properties(tmp_path):
+    """The Gumbel-top-k variant must (a) be deterministic, (b) share the
+    fit+score machinery (same registry of scored docs), and (c) still
+    skew target-ward while sampling — on a corpus where targets hold a
+    big weight edge, most (but not necessarily all) picks are target."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_dsir_resample,
+        q_dsir_select,
+    )
+
+    en_text = "alpha beta gamma delta " * 10
+    unlike_text = "zig zag zog zug " * 10
+    rows = [{"doc_id": i, "text": en_text, "lang": "en"} for i in range(150)] + [
+        {"doc_id": 1000 + i, "text": unlike_text, "lang": "de"}
+        for i in range(150)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    a = q_dsir_resample(sf)
+    b = q_dsir_resample(sf)
+    pd.testing.assert_frame_equal(a, b)
+    n_target = (a["doc_id"] < 1000).sum()
+    assert n_target > 60  # weight edge dominates the Gumbel noise
+    # the deterministic top-k picks ONLY targets here; Gumbel sampling
+    # is allowed to (and with 150/150 odds will) differ from it
+    det = q_dsir_select(sf)
+    assert (det["doc_id"] < 1000).all()
