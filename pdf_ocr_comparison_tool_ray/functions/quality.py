@@ -43,3 +43,33 @@ def quality_ok(sig: Dict[str, float], min_words: int = 10,
         and sig["punct_ratio"] <= max_punct_ratio
         and min_mean_word_len <= sig["mean_word_len"] <= max_mean_word_len
     )
+
+
+_LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def repetition_signals(text: str) -> Dict[str, float]:
+    """Gopher-style repetition signals (Rae et al. 2021 App. A1 adapted
+    to the line-free corpus): duplicate-word fraction and the character
+    mass of the most repeated word 2-gram.  NOTE the top-2-gram ratio
+    counts OVERLAPPING occurrences, so it exceeds 1.0 on degenerate
+    spam — it is a filter score, not a probability.  Shared by
+    ``q_doc_repetition_stats`` (whose SQL oracle pins the exact
+    arithmetic) and the curation job's gate."""
+    from collections import Counter
+
+    toks = _LOWER_TOKEN_RE.findall(text.lower())
+    n = len(toks)
+    d = len(set(toks))
+    total_chars = sum(map(len, toks))
+    if n >= 2:
+        grams = Counter(zip(toks, toks[1:]))
+        cov = max(c * (len(a) + len(b)) for (a, b), c in grams.items())
+    else:
+        cov = 0
+    return {
+        "n_words": n,
+        "n_distinct": d,
+        "dup_word_frac": float(n - d) / n if n else 0.0,
+        "top2_char_frac": float(cov) / total_chars if total_chars else 0.0,
+    }

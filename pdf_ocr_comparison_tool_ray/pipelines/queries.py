@@ -4839,27 +4839,19 @@ _REPETITIVE_TOP2_FRAC = 0.08  # splits the synthetic corpus ~46/54
 
 
 def q_doc_repetition_stats(sf_dir: str):
-    from collections import Counter
+    from ..functions.quality import repetition_signals
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def body(batch: pa.Table) -> pd.DataFrame:
         n_words, n_distinct, dup_frac, top2, rep = [], [], [], [], []
         for text in batch["text"].to_pylist():
-            toks = _LOWER_TOKEN_RE.findall(text.lower())
-            n = len(toks)
-            d = len(set(toks))
-            total_chars = sum(map(len, toks))
-            if n >= 2:
-                grams = Counter(zip(toks, toks[1:]))
-                cov = max(c * (len(a) + len(b)) for (a, b), c in grams.items())
-            else:
-                cov = 0
-            n_words.append(n)
-            n_distinct.append(d)
-            dup_frac.append(float(n - d) / n if n else 0.0)
-            top2.append(float(cov) / total_chars if total_chars else 0.0)
-            rep.append(top2[-1] > _REPETITIVE_TOP2_FRAC)
+            sig = repetition_signals(text)
+            n_words.append(sig["n_words"])
+            n_distinct.append(sig["n_distinct"])
+            dup_frac.append(sig["dup_word_frac"])
+            top2.append(sig["top2_char_frac"])
+            rep.append(sig["top2_char_frac"] > _REPETITIVE_TOP2_FRAC)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_pandas(),

@@ -78,6 +78,27 @@ def completed_partitions(out_dir: str, input_fp: Optional[str] = None) -> List[i
     return done
 
 
+def write_partition_atomic(
+    out_dir: str, part: int, table: pa.Table, manifest_extra: dict
+) -> dict:
+    """Atomic partition write + manifest entry: data file lands via tmp
+    + rename FIRST, the manifest entry (the resume marker) only after —
+    a crash between the two recomputes the partition, never skips it."""
+    fname = f"part-{part:05d}.parquet"
+    final = Path(out_dir) / fname
+    tmp = Path(out_dir) / f".tmp-{fname}-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)  # atomic on the same filesystem
+
+    mdir = _manifest_dir(out_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    entry = {"partition": part, "file": fname, **manifest_extra}
+    mtmp = mdir / f".tmp-p{part}.json"
+    mtmp.write_text(json.dumps(entry))
+    os.replace(mtmp, mdir / f"p{part}.json")
+    return entry
+
+
 def _make_partition_writer(out_dir: str, seed: int, input_path: str, input_fp: str = ""):
     """map_groups UDF factory: reassemble one partition, write it
     atomically, record lineage; emits the partition's metrics row."""
@@ -90,29 +111,21 @@ def _make_partition_writer(out_dir: str, seed: int, input_path: str, input_fp: s
         out_cols = ["doc_id", "seq", "kind", "text", "media_ref", "route", "score"]
         table = pa.Table.from_pandas(g[out_cols], preserve_index=False)
 
-        fname = f"part-{part:05d}.parquet"
-        final = Path(out_dir) / fname
-        tmp = Path(out_dir) / f".tmp-{fname}-{os.getpid()}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)  # atomic on the same filesystem
-
         n_docs = int(g["doc_id"].nunique())
         wall = time.perf_counter() - t0
-        mdir = _manifest_dir(out_dir)
-        mdir.mkdir(parents=True, exist_ok=True)
-        entry = {
-            "partition": part,
-            "file": fname,
-            "n_docs": n_docs,
-            "n_spans": int(len(g)),
-            "wall_sec": round(wall, 4),
-            "seed": seed,
-            "input_path": input_path,
-            "input_fp": input_fp,
-        }
-        mtmp = mdir / f".tmp-p{part}.json"
-        mtmp.write_text(json.dumps(entry))
-        os.replace(mtmp, mdir / f"p{part}.json")
+        write_partition_atomic(
+            out_dir,
+            part,
+            table,
+            {
+                "n_docs": n_docs,
+                "n_spans": int(len(g)),
+                "wall_sec": round(wall, 4),
+                "seed": seed,
+                "input_path": input_path,
+                "input_fp": input_fp,
+            },
+        )
         return pd.DataFrame(
             [
                 {

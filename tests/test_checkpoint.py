@@ -248,3 +248,95 @@ def test_compare_job_composes_with_extract_job(tmp_path):
     # differently from their reference twins — matches come from the
     # date/amount candidate paths, not guaranteed exact-hash hits
     assert summary["n_match_rows"] > 0 and summary["match_rate"] > 0.2
+
+
+def test_curate_job_cli_contract_and_resume_equivalence(tmp_path):
+    """jobs/curate_job.py: quality/repetition gate + global dedup +
+    partitioned output via the real CLI; a crash-resume (one partition's
+    data+manifest deleted) must rebuild EXACTLY the fresh run's corpus
+    (the global first-wins dedup recomputes, so resume == fresh)."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).head(150)
+    from pdf_ocr_comparison_tool_ray.functions.quality import (
+        quality_ok,
+        quality_signals,
+        repetition_signals,
+    )
+
+    # duplicate a doc that provably SURVIVES the gate, so the absence of
+    # its copy is attributable to the dedup stage alone
+    winner = next(
+        r
+        for _, r in base.iterrows()
+        if quality_ok(quality_signals(r["text"]))
+        and repetition_signals(r["text"])["top2_char_frac"] <= 0.08
+    )
+    planted = pd.DataFrame(
+        [
+            # exact duplicate of a surviving doc -> dedup drops (larger id)
+            {"doc_id": 99990, "text": winner["text"],
+             "lang": "en", "source": "srcdup"},
+            # degenerate spam -> repetition filter drops
+            {"doc_id": 99991, "text": "spam ham " * 40,
+             "lang": "en", "source": "srcspam"},
+            # too short -> quality filter drops
+            {"doc_id": 99992, "text": "tiny doc", "lang": "en",
+             "source": "srctiny"},
+        ]
+    )
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "curated"
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([base, planted], ignore_index=True), preserve_index=False
+        ),
+        src,
+    )
+
+    def run():
+        env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+        p = subprocess.run(
+            [sys.executable, "jobs/curate_job.py", "--input", str(src),
+             "--output", str(out), "--partitions", "3"],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=240,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["job"] == "curate" and first["partitions_processed"] == 3
+
+    def read_corpus():
+        files = sorted(out.glob("part-*.parquet"))
+        return (
+            pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    fresh = read_corpus()
+    assert 99990 not in set(fresh["doc_id"])         # dedup victim
+    assert 99991 not in set(fresh["doc_id"])         # repetition victim
+    assert 99992 not in set(fresh["doc_id"])         # quality victim
+    assert winner["doc_id"] in set(fresh["doc_id"])  # winner kept
+    assert fresh["text_hash"].is_unique
+    assert first["n_docs_kept"] == len(fresh) > 50
+
+    # crash simulation: partition 1 loses data + manifest; resume
+    (out / "part-00001.parquet").unlink()
+    (out / "_manifest" / "p1.json").unlink()
+    second = run()
+    assert second["partitions_skipped_resume"] == 2
+    assert second["partitions_processed"] == 1
+    pd.testing.assert_frame_equal(read_corpus(), fresh)
