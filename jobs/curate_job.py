@@ -11,9 +11,12 @@ Submit to a fixed-size Ray cluster:
 
 Same checkpoint contract as jobs/extract_job.py: re-submitting after a
 failure skips partitions whose manifest entry matches the input
-fingerprint; the gate + global dedup recompute (decisions are pure
-functions of the input, so resumed output is byte-identical to a fresh
-run — see pipelines/curate.py).  Prints a one-line JSON run summary.
+fingerprint.  When the missing partitions' dedup-keys sidelines survive
+(`_dedup_keys/`), resume is a filtered gate-only recompute of just
+those partitions; otherwise the gate + global dedup recompute (either
+way resumed output is byte-identical to a fresh run — see
+pipelines/curate.py).  Prints a one-line JSON run summary including
+`resume_mode` (fresh | keys-sideline | full-recompute | noop).
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def main() -> int:
     already = completed_partitions(args.output, fp)
 
     t0 = time.perf_counter()
-    stats = run_curation_checkpointed(
+    stats, resume_mode = run_curation_checkpointed(
         args.input, args.output, num_partitions=args.partitions
     )
     print(
@@ -67,6 +70,7 @@ def main() -> int:
                 "output": args.output,
                 "partitions_total": args.partitions,
                 "partitions_skipped_resume": len(already),
+                "resume_mode": resume_mode,
                 "partitions_processed": int(len(stats)),
                 "n_docs_kept": int(stats["n_docs"].sum()) if len(stats) else 0,
                 "n_words_kept": int(stats["n_words"].sum()) if len(stats) else 0,

@@ -12,19 +12,36 @@ Resume-correctness subtlety: the first-wins dedup is a GLOBAL decision
 dropped only at the WRITE stage — the gate + dedup always run over the
 full corpus.  Decisions are pure functions of the input, so a resumed
 run writes byte-identical partitions to a fresh one (pinned by the CLI
-contract test).  The extra gate/dedup recompute on resume is the price
-of global correctness; at deploy, a weight-threshold DSIR select or a
-persisted dedup-keys sideline removes it if resume dominates.
+contract test).
+
+Fast resume via the dedup-keys sideline: each partition write also
+lands an atomic keys-only file (``_dedup_keys/k{part}-{input_fp}.
+parquet`` — just the kept doc_ids, ~16 bytes/doc).  When every missing
+partition still has its keys file, resume skips the global gate+dedup
+entirely: one pruned corpus scan filtered to the missing partitions'
+kept ids, gate-only recompute of those docs (the gate is a pure per-doc
+function), write.  Measured at 1.28M docs / 2 of 64 partitions lost:
+48.0 s full-recompute resume -> keys-sideline resume is one filtered
+scan + 1/32 of the gate.  The keys file survives unless it is lost with
+the partition, in which case the full gate+dedup path runs (both paths
+byte-identical to a fresh run, pinned by the CLI test).  At deploy the
+missing-id set ships to tasks once via the function closure; it is
+bounded by the missing fraction of the corpus — if resume after a mass
+failure dominates, route the filter through a bucketed semi-join on
+doc_id instead.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from typing import Optional
+from pathlib import Path
+from typing import Optional, Tuple
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.quality import quality_ok, quality_signals, repetition_signals
@@ -83,6 +100,30 @@ def curation_gate(batch: pa.Table) -> pa.Table:
     )
 
 
+def _keys_dir(out_dir: str) -> Path:
+    return Path(out_dir) / "_dedup_keys"
+
+
+def _keys_file(out_dir: str, part: int, input_fp: str) -> Path:
+    return _keys_dir(out_dir) / f"k{part:05d}-{input_fp}.parquet"
+
+
+def _write_keys_sideline(
+    out_dir: str, part: int, doc_ids: pd.Series, input_fp: str
+) -> None:
+    """Atomic keys-only sideline for fast resume (module doc).  Written
+    BEFORE the data file: keys are a pure function of the input, so a
+    crash at any point leaves only valid (or absent) sidelines."""
+    kdir = _keys_dir(out_dir)
+    kdir.mkdir(parents=True, exist_ok=True)
+    final = _keys_file(out_dir, part, input_fp)
+    tmp = kdir / f".tmp-k{part:05d}-{os.getpid()}"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, type=pa.int64())}), tmp
+    )
+    os.replace(tmp, final)
+
+
 def _make_curate_writer(out_dir: str, input_path: str, input_fp: str):
     def write_partition(group: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
@@ -91,6 +132,7 @@ def _make_curate_writer(out_dir: str, input_path: str, input_fp: str):
         out_cols = ["doc_id", "lang", "source", "n_words", "text", "text_hash"]
         table = pa.Table.from_pandas(g[out_cols], preserve_index=False)
         n_docs = int(len(g))
+        _write_keys_sideline(out_dir, part, g["doc_id"], input_fp)
         write_partition_atomic(
             out_dir,
             part,
@@ -111,29 +153,16 @@ def _make_curate_writer(out_dir: str, input_path: str, input_fp: str):
     return write_partition
 
 
-def run_curation_checkpointed(
-    input_path: str,
+def _write_stage(
+    kept: ray.data.Dataset,
+    done: frozenset,
+    num_partitions: int,
     out_dir: str,
-    num_partitions: int = 16,
-    n_buckets: Optional[int] = None,
+    input_path: str,
+    input_fp: str,
 ) -> pd.DataFrame:
-    """Run (or resume) the curation job; returns THIS run's
-    per-partition metrics (already-completed partitions are skipped)."""
-    os.makedirs(out_dir, exist_ok=True)
-    input_fp = input_fingerprint(input_path)
-    done = frozenset(completed_partitions(out_dir, input_fp))
-    if len(done) == num_partitions:
-        return pd.DataFrame(columns=["partition", "n_docs", "n_words"])
-
-    ds = ray.data.read_parquet(
-        input_path, columns=["doc_id", "text", "lang", "source"]
-    )
-    gated = ds.map_batches(curation_gate, batch_format="pyarrow")
-    # global first-wins dedup BEFORE the resume filter (see module doc)
-    kept = bucketed_drop_duplicates(
-        gated, "text_hash", sort_within=["doc_id"],
-        n_buckets=n_buckets or max(num_partitions, 16),
-    )
+    """Shared tail of both resume paths: partition assignment, drop of
+    already-completed partitions, atomic per-partition write."""
     np_ = num_partitions
 
     def add_partition_drop_done(batch: pd.DataFrame) -> pd.DataFrame:
@@ -153,3 +182,68 @@ def run_curation_checkpointed(
         batch_format="pandas",
     )
     return stats.to_pandas().sort_values("partition").reset_index(drop=True)
+
+
+def run_curation_checkpointed(
+    input_path: str,
+    out_dir: str,
+    num_partitions: int = 16,
+    n_buckets: Optional[int] = None,
+) -> Tuple[pd.DataFrame, str]:
+    """Run (or resume) the curation job; returns (THIS run's
+    per-partition metrics — already-completed partitions are skipped —
+    and the resume mode: 'fresh' | 'keys-sideline' | 'full-recompute' |
+    'noop')."""
+    os.makedirs(out_dir, exist_ok=True)
+    input_fp = input_fingerprint(input_path)
+    done = frozenset(completed_partitions(out_dir, input_fp))
+    empty = pd.DataFrame(columns=["partition", "n_docs", "n_words"])
+    if len(done) == num_partitions:
+        return empty, "noop"
+
+    missing = [p for p in range(num_partitions) if p not in done]
+    key_files = [_keys_file(out_dir, p, input_fp) for p in missing]
+    if done and all(f.exists() for f in key_files):
+        # FAST PATH (module doc): every missing partition still has its
+        # dedup-keys sideline, so the global gate+dedup decisions are
+        # known — filter the scan to those ids and gate-only recompute.
+        missing_ids = pa.array(
+            sorted(
+                int(x)
+                for f in key_files
+                for x in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            ),
+            type=pa.int64(),
+        )
+        if len(missing_ids) == 0:
+            # the lost partitions were legitimately empty; nothing to
+            # write (their keys files prove it)
+            return empty, "keys-sideline"
+        ds = ray.data.read_parquet(
+            input_path, columns=["doc_id", "text", "lang", "source"]
+        )
+
+        def keep_missing(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=missing_ids))
+
+        kept = ds.map_batches(
+            keep_missing, batch_format="pyarrow"
+        ).map_batches(curation_gate, batch_format="pyarrow")
+        stats = _write_stage(
+            kept, done, num_partitions, out_dir, input_path, input_fp
+        )
+        return stats, "keys-sideline"
+
+    ds = ray.data.read_parquet(
+        input_path, columns=["doc_id", "text", "lang", "source"]
+    )
+    gated = ds.map_batches(curation_gate, batch_format="pyarrow")
+    # global first-wins dedup BEFORE the resume filter (see module doc)
+    kept = bucketed_drop_duplicates(
+        gated, "text_hash", sort_within=["doc_id"],
+        n_buckets=n_buckets or max(num_partitions, 16),
+    )
+    stats = _write_stage(
+        kept, done, num_partitions, out_dir, input_path, input_fp
+    )
+    return stats, "full-recompute" if done else "fresh"

@@ -252,9 +252,11 @@ def test_compare_job_composes_with_extract_job(tmp_path):
 
 def test_curate_job_cli_contract_and_resume_equivalence(tmp_path):
     """jobs/curate_job.py: quality/repetition gate + global dedup +
-    partitioned output via the real CLI; a crash-resume (one partition's
-    data+manifest deleted) must rebuild EXACTLY the fresh run's corpus
-    (the global first-wins dedup recomputes, so resume == fresh)."""
+    partitioned output via the real CLI; a crash-resume must rebuild
+    EXACTLY the fresh run's corpus via BOTH paths — the keys-sideline
+    fast path (data+manifest lost, `_dedup_keys` intact: gate-only
+    recompute of the missing partitions) and the full-recompute path
+    (keys lost too: the global first-wins dedup reruns)."""
     import json
     import subprocess
     import sys
@@ -316,6 +318,7 @@ def test_curate_job_cli_contract_and_resume_equivalence(tmp_path):
 
     first = run()
     assert first["job"] == "curate" and first["partitions_processed"] == 3
+    assert first["resume_mode"] == "fresh"
 
     def read_corpus():
         files = sorted(out.glob("part-*.parquet"))
@@ -333,10 +336,24 @@ def test_curate_job_cli_contract_and_resume_equivalence(tmp_path):
     assert fresh["text_hash"].is_unique
     assert first["n_docs_kept"] == len(fresh) > 50
 
-    # crash simulation: partition 1 loses data + manifest; resume
+    # crash simulation A: partition 1 loses data + manifest but its
+    # dedup-keys sideline survives -> the fast gate-only resume path
     (out / "part-00001.parquet").unlink()
     (out / "_manifest" / "p1.json").unlink()
     second = run()
+    assert second["resume_mode"] == "keys-sideline"
     assert second["partitions_skipped_resume"] == 2
     assert second["partitions_processed"] == 1
+    pd.testing.assert_frame_equal(read_corpus(), fresh)
+
+    # crash simulation B: partition 2 loses data + manifest AND its
+    # keys sideline -> the full gate+global-dedup recompute path
+    fp = first["input_fp"]
+    (out / "part-00002.parquet").unlink()
+    (out / "_manifest" / "p2.json").unlink()
+    (out / "_dedup_keys" / f"k00002-{fp}.parquet").unlink()
+    third = run()
+    assert third["resume_mode"] == "full-recompute"
+    assert third["partitions_skipped_resume"] == 2
+    assert third["partitions_processed"] == 1
     pd.testing.assert_frame_equal(read_corpus(), fresh)
