@@ -197,6 +197,44 @@ def test_exactsubstr_intermediate_volumes_linear(tmp_path):
     assert (dup["pos"] == 0).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_exactsubstr_routes_equivalent(tmp_path):
+    """The size-routed plans (broadcast dup-key set vs full
+    co-partition) must both match the brute-force spec bit-for-bit —
+    the route is forced each way via broadcast_cap."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.exactsubstr import (
+        exactsubstr_dedup,
+    )
+
+    k = _EXACTSUBSTR_K
+    shared = "".join(chr(ord("a") + (i * 11) % 26) for i in range(k + 7))
+    texts = {
+        1: "lead-one " + shared + " tail-one",
+        2: "lead-two-longer " + shared + " tail-two",
+        3: shared,  # exactly the shared span, no padding
+        4: "no duplicated windows here, padded well past the window "
+           "length with distinct filler text so nothing matches",
+        5: "tiny",
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    path = _write_docs(tmp_path, rows) + "/documents.parquet"
+    expect = _brute_exactsubstr(texts, k)
+
+    for cap in (0, 10_000_000):  # 0 forces co-partition, big forces broadcast
+        ds = ray.data.read_parquet(path)
+        out = (
+            exactsubstr_dedup(ds, k=k, n_buckets=8, broadcast_cap=cap)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == len(texts), cap
+        for did, (removed, md5) in expect.items():
+            assert out.loc[did, "removed_chars"] == removed, (cap, did)
+            assert out.loc[did, "kept_md5"] == md5, (cap, did)
+
+
 # ---------------------------------------------------------------------------
 # late-round-5 ops: repetition stats, frame sampling, sharded shuffle
 # ---------------------------------------------------------------------------
