@@ -1,0 +1,133 @@
+"""Worker-loss fault injection: on a 256-node cluster worker death is
+routine, so the pipeline must retry lost work and produce IDENTICAL
+output — no dropped rows, no duplicated rows, same values.
+
+The crash is an ``os._exit`` (process death, as a preempted node or
+OOM-killed worker looks to Ray — not a Python exception a try/except
+could swallow), fired EXACTLY ONCE across the cluster via an
+``O_CREAT|O_EXCL`` sentinel file.  Two injection points:
+
+* the stateful extractor ACTOR pool — the worker holding warmed model
+  state dies mid-batch; Ray Data restarts the actor (its default pool
+  sets ``max_restarts=-1`` / ``max_task_retries=-1``), ``__init__``
+  re-warms the state, and the lost batch reruns;
+* a stateless map_batches TASK — process death mid-task; Ray's default
+  task retry (system failures) reruns it on another worker.
+
+Retry safety here rests on the stages being PURE (same batch in, same
+rows out).  The one stage with shared mutable state — the streaming
+dedup gate — handles retry idempotency separately via per-token admit
+memoization (stages/streaming_dedup.py, tested in test_streaming_dedup).
+"""
+
+import os
+import sys
+
+import pyarrow as pa
+from ray import cloudpickle
+
+# The crash-injecting subclass below must survive an ACTOR RESTART: Ray
+# re-deserializes the stored constructor args in a brand-new worker
+# process, and `tests/` is on the driver's sys.path only (pytest puts it
+# there), so a by-reference pickle of this module hangs the restart loop
+# with ModuleNotFoundError.  Pickle this module by value instead (must be
+# Ray's vendored cloudpickle — the standalone package is a different
+# registry).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+    interleave,
+    read_flat_documents,
+    reassemble,
+    tune_context,
+)
+from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
+from pdf_ocr_comparison_tool_ray.stages.extract import SpanExtractor
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class CrashOnceExtractor(SpanExtractor):
+    """SpanExtractor whose hosting worker dies on the first batch any
+    actor sees (cluster-wide once), then behaves normally on retry."""
+
+    def __init__(self, sentinel_path: str, **kwargs):
+        super().__init__(**kwargs)
+        self._sentinel = sentinel_path
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        try:
+            fd = os.open(self._sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)  # simulate worker/node loss mid-batch
+        except FileExistsError:
+            pass
+        return super().__call__(batch)
+
+
+def _sorted_frame(ds):
+    df = ds.to_pandas()
+    return (
+        df.sort_values(["doc_id", "seq"], kind="mergesort")
+        .reset_index(drop=True)[sorted(df.columns)]
+    )
+
+
+def _docs():
+    return interleave(read_flat_documents(f"{SF_DIR}/documents.parquet"))
+
+
+def test_actor_death_mid_batch_output_identical(ray_session, tmp_path):
+    tune_context()
+    spans = _docs().map_batches(explode_spans, batch_format="pyarrow")
+
+    def pool(cls, **ctor):
+        return spans.map_batches(
+            cls,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            fn_constructor_kwargs=ctor,
+        )
+
+    baseline = _sorted_frame(reassemble(pool(SpanExtractor)))
+    sentinel = str(tmp_path / "crash-once")
+    crashed = _sorted_frame(
+        reassemble(pool(CrashOnceExtractor, sentinel_path=sentinel))
+    )
+    assert os.path.exists(sentinel), "the fault never fired"
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(crashed, baseline)
+
+
+def test_task_death_mid_task_output_identical(ray_session, tmp_path):
+    tune_context()
+    sentinel = str(tmp_path / "crash-once-task")
+
+    def crash_once_identity(batch: pa.Table) -> pa.Table:
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            pass
+        return batch
+
+    spans = _docs().map_batches(explode_spans, batch_format="pyarrow")
+    baseline = _sorted_frame(
+        reassemble(spans.map_batches(SpanExtractor, batch_format="pyarrow",
+                                     batch_size=64, concurrency=2))
+    )
+    wounded = (
+        _docs()
+        .map_batches(explode_spans, batch_format="pyarrow")
+        .map_batches(crash_once_identity, batch_format="pyarrow")
+        .map_batches(SpanExtractor, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+    )
+    out = _sorted_frame(reassemble(wounded))
+    assert os.path.exists(sentinel)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, baseline)
