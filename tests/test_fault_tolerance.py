@@ -101,6 +101,54 @@ def test_actor_death_mid_batch_output_identical(ray_session, tmp_path):
     pd.testing.assert_frame_equal(crashed, baseline)
 
 
+def test_worker_death_after_shuffle_output_identical(ray_session, tmp_path):
+    """Worker loss on the CONSUMER side of the all-to-all: the crash fires
+    inside the post-shuffle bucket function (groupby(bucket).map_groups),
+    so recovery must replay a task whose inputs are shuffle outputs —
+    lineage across the sort boundary, not just a map retry."""
+    from pdf_ocr_comparison_tool_ray.pipelines.extraction import (
+        reassemble_batch_local,
+    )
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_map_groups
+
+    tune_context()
+    sentinel = str(tmp_path / "crash-once-shuffle")
+
+    def crash_once_reassemble(group: pa.Table) -> pa.Table:
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            pass
+        return reassemble_batch_local(group)
+
+    def extracted():
+        return (
+            _docs()
+            .map_batches(explode_spans, batch_format="pyarrow")
+            .map_batches(SpanExtractor, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+        )
+
+    baseline = _sorted_frame(
+        bucketed_map_groups(
+            extracted(), "doc_id", reassemble_batch_local,
+            n_buckets=8, batch_format="pyarrow",
+        )
+    )
+    wounded = _sorted_frame(
+        bucketed_map_groups(
+            extracted(), "doc_id", crash_once_reassemble,
+            n_buckets=8, batch_format="pyarrow",
+        )
+    )
+    assert os.path.exists(sentinel), "the fault never fired"
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(wounded, baseline)
+
+
 def test_task_death_mid_task_output_identical(ray_session, tmp_path):
     tune_context()
     sentinel = str(tmp_path / "crash-once-task")
