@@ -194,9 +194,19 @@ def run_curation_checkpointed(
     per-partition metrics — already-completed partitions are skipped —
     and the resume mode: 'fresh' | 'keys-sideline' | 'full-recompute' |
     'noop')."""
+    from ..state.progress import write_job_stamp
+
     os.makedirs(out_dir, exist_ok=True)
     input_fp = input_fingerprint(input_path)
     done = frozenset(completed_partitions(out_dir, input_fp))
+    write_job_stamp(
+        out_dir,
+        job="curate",
+        partitions_total=num_partitions,
+        input_path=input_path,
+        input_fp=input_fp,
+        partitions_resumed=len(done),
+    )
     empty = pd.DataFrame(columns=["partition", "n_docs", "n_words"])
     if len(done) == num_partitions:
         return empty, "noop"

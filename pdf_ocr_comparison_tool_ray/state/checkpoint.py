@@ -92,7 +92,14 @@ def write_partition_atomic(
 
     mdir = _manifest_dir(out_dir)
     mdir.mkdir(parents=True, exist_ok=True)
-    entry = {"partition": part, "file": fname, **manifest_extra}
+    # completion ts feeds the progress watcher (state/progress.py):
+    # rate/ETA count only entries stamped after the current run started
+    entry = {
+        "partition": part,
+        "file": fname,
+        "ts": round(time.time(), 3),
+        **manifest_extra,
+    }
     mtmp = mdir / f".tmp-p{part}.json"
     mtmp.write_text(json.dumps(entry))
     os.replace(mtmp, mdir / f"p{part}.json")
@@ -152,9 +159,19 @@ def run_extraction_checkpointed(
     Returns the per-partition metrics of THIS run (already-completed
     partitions are skipped and do not appear).
     """
+    from .progress import write_job_stamp
+
     os.makedirs(out_dir, exist_ok=True)
     input_fp = input_fingerprint(flat_path)
     done = set(completed_partitions(out_dir, input_fp))
+    write_job_stamp(
+        out_dir,
+        job="extract",
+        partitions_total=num_partitions,
+        input_path=flat_path,
+        input_fp=input_fp,
+        partitions_resumed=len(done),
+    )
     remaining = [p for p in range(num_partitions) if p not in done]
     if not remaining:
         return pd.DataFrame(columns=["partition", "n_docs", "n_spans", "wall_sec"])
