@@ -22,6 +22,7 @@ memoization (stages/streaming_dedup.py, tested in test_streaming_dedup).
 
 import os
 import sys
+from pathlib import Path
 
 import pyarrow as pa
 from ray import cloudpickle
@@ -45,6 +46,72 @@ from pdf_ocr_comparison_tool_ray.stages.explode import explode_spans
 from pdf_ocr_comparison_tool_ray.stages.extract import SpanExtractor
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_driver_death_midrun_resume_identical(tmp_path):
+    """DRIVER/NODE loss (vs the worker losses below): SIGKILL the whole
+    extract-job process GROUP — driver, raylet, workers — as soon as the
+    first partition has landed, then resume via the real CLI and compare
+    against an uninterrupted run in a separate directory.  Exercises the
+    crash window the atomic write+manifest ordering exists for (tmp
+    files mid-rename, manifests behind data files)."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_comparison_tool_ray.state.progress import job_progress
+    from pdf_ocr_comparison_tool_ray.synth import make_corpus
+
+    src = tmp_path / "docs.parquet"
+    docs = make_corpus(60, seed=7, skew_docs=1)
+    pd.DataFrame(docs)[["doc_id", "text"]].to_parquet(src, index=False)
+    env = {"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+
+    def launch(out):
+        return subprocess.Popen(
+            [sys.executable, "jobs/extract_job.py", "--input", str(src),
+             "--output", str(out), "--partitions", "8"],
+            cwd="/root/repo", env=env, start_new_session=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    # uninterrupted reference run
+    ref_out = tmp_path / "ref"
+    p = launch(ref_out)
+    assert p.wait(timeout=240) == 0
+
+    # victim run: kill the whole process group at first landed partition
+    out = tmp_path / "out"
+    p = launch(out)
+    deadline = time.time() + 180
+    mdir = out / "_manifest"
+    while time.time() < deadline and p.poll() is None:
+        if mdir.is_dir() and any(mdir.glob("p*.json")):
+            break
+        time.sleep(0.02)
+    if p.poll() is None:
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        assert p.wait(timeout=60) != 0
+        snap = job_progress(str(out))
+        assert snap["partitions_done"] < 8, "kill landed after completion"
+
+    # resume via the same CLI; summary must account for every partition
+    p2 = launch(out)
+    assert p2.wait(timeout=240) == 0
+    summary = json.loads(p2.stdout.read().strip().splitlines()[-1])
+    assert (summary["partitions_skipped_resume"]
+            + summary["partitions_processed"]) == 8
+    assert job_progress(str(out))["complete"] is True
+
+    def frame(d):
+        df = pq.read_table(sorted(map(str, Path(d).glob("part-*.parquet")))).to_pandas()
+        return df.sort_values(["doc_id", "seq"], kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(frame(out), frame(ref_out))
 
 
 class CrashOnceExtractor(SpanExtractor):
