@@ -96,6 +96,16 @@ _LOCAL_ONLY = {
     "value_histogram",           # bincount-partials sketch sibling of the approx_* pair
     "dsir_resample",             # Gumbel-top-k sampling-rule sibling of dsir_select
                                  # (identical fit+score; only the selection key differs)
+    # continuation-3 rotation: the per-doc decontamination FRACTION
+    # (the filterable form) takes the contamination family's driver
+    # slot; the membership query it extends is green r2-r4 and remains
+    # strict-green through the local mirror
+    "contamination",             # gram-membership form of the exposed decontam_frac
+    # ... and the BPE merge-candidate counter (tokenizer-training inner
+    # loop) takes the token-stats family's slot; the per-doc counter it
+    # displaces is green r3-r4 and the family stays exposed
+    "subword_token_stats",       # per-doc token counts; tokenizer family now
+                                 # exposed via bpe_pair_counts
 }
 
 

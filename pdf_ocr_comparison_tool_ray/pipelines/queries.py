@@ -2529,6 +2529,102 @@ WHERE g.doc_id >= {_EVAL_MAX_DOC_ID}
 GROUP BY g.doc_id
 """
 
+
+# ---------------------------------------------------------------------------
+# per-doc decontamination FRACTION — the filterable form of the
+# contamination check above (the membership query reports which grams
+# collide; curation pipelines act on the per-doc overlap *rate*, cf. the
+# n-gram-overlap decontamination rules used for open-web corpora).  A
+# shorter gram (K=4) than the membership query's K=8 so the rate is
+# discriminative on partial overlap, and a keep flag at a fixed
+# threshold.  Map-only with a broadcast eval-gram set — zero shuffles,
+# the canonical per-doc-filter shape at 100 TB (the eval side is tiny by
+# construction; the corpus streams).  contam_frac is one exact int/int
+# division, so numpy and DuckDB produce the identical float64.
+# ---------------------------------------------------------------------------
+_DECONTAM_K = 4
+_DECONTAM_MAX_FRAC = 0.05
+
+
+def q_decontam_frac(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(text: str):
+        toks = _TOKEN_RE.findall(text)
+        return [
+            hashlib.md5(" ".join(toks[i : i + _DECONTAM_K]).encode()).hexdigest()
+            for i in range(len(toks) - _DECONTAM_K + 1)
+        ]
+
+    # eval side: tiny by construction -> driver-built broadcast set
+    eval_df = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], eval_max_doc_id)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    eval_grams = set()
+    for text in eval_df["text"]:
+        eval_grams.update(grams_of(text))
+    eval_ref = ray.put(eval_grams)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        grams = _broadcast_get(eval_ref)
+        ids, tot, hit = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did < eval_max_doc_id:
+                continue  # eval docs are not their own contamination
+            gs = grams_of(text)
+            ids.append(did)
+            tot.append(len(gs))
+            hit.append(sum(1 for gh in gs if gh in grams))
+        n = np.asarray(tot, dtype="int64")
+        h = np.asarray(hit, dtype="int64")
+        frac = np.where(n > 0, h / np.where(n > 0, n, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(n, dtype="int64"),
+                "n_contaminated": pd.Series(h, dtype="int64"),
+                "contam_frac": pd.Series(frac, dtype="float64"),
+                "keep": pd.Series(frac <= _DECONTAM_MAX_FRAC, dtype="bool"),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_DECONTAM_FRAC = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i + 1, i + {_DECONTAM_K}), ' ')) AS gram_hash
+  FROM toks, unnest(range(0, greatest(length(ts) - {_DECONTAM_K} + 1, 0))) AS t(i)
+), eval_g AS (
+  SELECT DISTINCT gram_hash FROM g WHERE doc_id < {_EVAL_MAX_DOC_ID}
+), tot AS (
+  SELECT doc_id, count(*) AS n FROM g
+  WHERE doc_id >= {_EVAL_MAX_DOC_ID} GROUP BY doc_id
+), hit AS (
+  SELECT g.doc_id, count(*) AS h FROM g JOIN eval_g USING (gram_hash)
+  WHERE g.doc_id >= {_EVAL_MAX_DOC_ID} GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(t.n, 0) > 0
+            THEN CAST(coalesce(h.h, 0) AS DOUBLE) / t.n
+            ELSE 0.0 END AS contam_frac,
+       (CASE WHEN coalesce(t.n, 0) > 0
+             THEN CAST(coalesce(h.h, 0) AS DOUBLE) / t.n
+             ELSE 0.0 END) <= {_DECONTAM_MAX_FRAC} AS keep
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {_EVAL_MAX_DOC_ID}
+"""
+
 # ---------------------------------------------------------------------------
 # the composed training-data curation pipeline — the canonical corpus
 # cleaning pass at 100 TB: quality gate -> language keep -> exact-dedup
@@ -4203,6 +4299,113 @@ FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-candidate pair counts — the inner loop of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016): every word becomes a symbol
+# sequence (chars + an end-of-word marker), adjacent-symbol pairs are
+# counted corpus-wide, and the top pair is the next merge.  The corpus
+# pass is map-only with BOUNDED mergeable partials — one (s1, s2, count)
+# row per distinct pair per batch, cardinality <= |symbol vocab|^2
+# regardless of corpus size or skew — reduced on the driver, so tokenizer
+# training streams a 100 TB corpus with no shuffle at all.
+# ``merge_iters`` makes it the real iterated trainer (per round: argmax
+# pair -> append merge -> one more counting pass with merges applied,
+# per-batch unique-word memo keeping the apply cost at O(unique words));
+# the EXPOSED oracle query pins merge_iters=0 (pure char pairs — a
+# multi-round merge replay is not SQL-expressible), iterated rounds are
+# pinned by pytest against an independent brute-force trainer.
+# ---------------------------------------------------------------------------
+_BPE_EOW = "</w>"
+_BPE_TOPK = 30
+
+
+def _bpe_apply_merges(symbols: list, merges: list) -> list:
+    """Apply merges in training order, each greedily left-to-right (the
+    standard BPE apply rule)."""
+    for a, b in merges:
+        out, i, n = [], 0, len(symbols)
+        while i < n:
+            if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def q_bpe_pair_counts(
+    sf_dir: str, merge_iters: int = 0, topk: int = _BPE_TOPK
+):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def count_pass(merges: list):
+        merges = list(merges)
+
+        def body(batch: pa.Table) -> pd.DataFrame:
+            pair_counts: dict = {}
+            word_syms: dict = {}  # unique-word memo: apply cost O(unique words)
+            for text in batch["text"].to_pylist():
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    syms = word_syms.get(w)
+                    if syms is None:
+                        syms = list(w) + [_BPE_EOW]
+                        if merges:
+                            syms = _bpe_apply_merges(syms, merges)
+                        word_syms[w] = syms
+                    for p in zip(syms, syms[1:]):
+                        pair_counts[p] = pair_counts.get(p, 0) + 1
+            return pd.DataFrame(
+                {
+                    "s1": [k[0] for k in pair_counts],
+                    "s2": [k[1] for k in pair_counts],
+                    "c": pd.Series(list(pair_counts.values()), dtype="int64"),
+                }
+            )
+
+        parts = ds.map_batches(body, batch_format="pyarrow").to_pandas()
+        return parts.groupby(["s1", "s2"], as_index=False)["c"].sum()
+
+    merges: list = []
+    counts = count_pass(merges)
+    for _ in range(merge_iters):
+        best = counts.sort_values(
+            ["c", "s1", "s2"], ascending=[False, True, True]
+        ).iloc[0]
+        merges.append((best["s1"], best["s2"]))
+        counts = count_pass(merges)
+
+    out = counts.sort_values(
+        ["c", "s1", "s2"], ascending=[False, True, True]
+    ).head(topk)
+    return pd.DataFrame(
+        {
+            "s1": out["s1"].to_numpy(),
+            "s2": out["s2"].to_numpy(),
+            "pair_count": out["c"].astype("int64").to_numpy(),
+        }
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 1) AS s1, substr(w, i + 1, 1) AS s2
+  FROM words, unnest(range(1, len(w))) AS t(i)
+  UNION ALL
+  SELECT substr(w, len(w), 1) AS s1, '{_BPE_EOW}' AS s2 FROM words
+)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS pair_count
+FROM pairs GROUP BY s1, s2
+ORDER BY pair_count DESC, s1, s2
+LIMIT {_BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified sampling: per-group (lang) deterministic rates — the
 # rebalancing counterpart of hash_sample's uniform thinning (a corpus
 # with 44% 'en' downsamples it while keeping the long-tail languages).
@@ -5190,6 +5393,7 @@ SQL_QUERIES = {
     "resize_digest": (q_resize_digest, SQL_RESIZE_DIGEST),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "decontam_frac": (q_decontam_frac, SQL_DECONTAM_FRAC),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
@@ -5198,5 +5402,6 @@ SQL_QUERIES = {
     "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
 }

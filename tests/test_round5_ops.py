@@ -453,3 +453,124 @@ def test_dsir_resample_gumbel_properties(tmp_path):
     # is allowed to (and with 150/150 odds will) differ from it
     det = q_dsir_select(sf)
     assert (det["doc_id"] < 1000).all()
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts: iterated trainer pinned against an independent
+# brute-force reimplementation (the exposed oracle pins merge_iters=0)
+# ---------------------------------------------------------------------------
+def _brute_bpe(texts, merge_iters, topk):
+    """Independent brute-force BPE trainer: whole-corpus symbol
+    sequences held in memory, no memoization, regex-free index loop."""
+    from collections import Counter
+
+    seqs = []
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                seqs.append(list(w) + ["</w>"])
+
+    def count(seqs):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        return c
+
+    for _ in range(merge_iters):
+        c = count(seqs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        a, b = best
+        nxt = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        seqs = nxt
+    final = count(seqs)
+    rows = sorted(final.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [(s1, s2, n) for (s1, s2), n in rows[:topk]]
+
+
+def test_bpe_apply_merge_greedy_left_to_right():
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import _bpe_apply_merges
+
+    # overlapping occurrences merge left-to-right, not nested
+    assert _bpe_apply_merges(list("aaa") + ["</w>"], [("a", "a")]) == [
+        "aa",
+        "a",
+        "</w>",
+    ]
+    # merges apply in training order; later merges see earlier outputs
+    assert _bpe_apply_merges(list("abab") + ["</w>"], [("a", "b"), ("ab", "ab")]) == [
+        "abab",
+        "</w>",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pair_counts_iterated_matches_bruteforce(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_bpe_pair_counts
+
+    texts = [
+        "the their there then the the",
+        "than that the thin thing",
+        "other ether the there",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    sf = _write_docs(tmp_path, rows)
+    for iters in (0, 3):
+        got = q_bpe_pair_counts(sf, merge_iters=iters, topk=10)
+        want = pd.DataFrame(
+            _brute_bpe(texts, iters, 10), columns=["s1", "s2", "pair_count"]
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True).astype({"pair_count": "int64"}), want
+        )
+    # after a few rounds merged multi-char symbols must dominate the top
+    # pairs, proving the merges feed the next round's counts
+    deep = q_bpe_pair_counts(sf, merge_iters=4, topk=10)
+    assert (deep["s1"].str.len() > 1).any()
+    want = pd.DataFrame(
+        _brute_bpe(texts, 4, 10), columns=["s1", "s2", "pair_count"]
+    )
+    pd.testing.assert_frame_equal(
+        deep.reset_index(drop=True).astype({"pair_count": "int64"}), want
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontam_frac: planted eval overlap, clean docs, and the zero-gram
+# (shorter-than-K) edge
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_decontam_frac_planted(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_decontam_frac
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": eval_text},  # eval doc (id < 10)
+        # copies a 5-token run of the eval doc inside fresh context:
+        # 5 overlapping tokens -> 2 contaminated 4-grams out of 7
+        {"doc_id": 10, "text": "one two beta gamma delta epsilon zeta x y z"},
+        {"doc_id": 11, "text": "wholly unrelated words only here today now"},
+        {"doc_id": 12, "text": "too short"},  # < K tokens -> zero grams
+    ]
+    out = q_decontam_frac(_write_docs(tmp_path, rows)).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [10, 11, 12]
+    assert out.loc[10, "n_grams"] == 7
+    assert out.loc[10, "n_contaminated"] == 2
+    assert out.loc[10, "contam_frac"] == pytest.approx(2 / 7)
+    assert not out.loc[10, "keep"]  # 2/7 > 0.05
+    assert out.loc[11, "n_contaminated"] == 0
+    assert out.loc[11, "keep"]
+    assert out.loc[12, "n_grams"] == 0
+    assert out.loc[12, "contam_frac"] == 0.0
+    assert out.loc[12, "keep"]
