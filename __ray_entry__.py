@@ -106,6 +106,12 @@ _LOCAL_ONLY = {
     # displaces is green r3-r4 and the family stays exposed
     "subword_token_stats",       # per-doc token counts; tokenizer family now
                                  # exposed via bpe_pair_counts
+    # ... and the quality-aware near-dup filter (keep the LONGEST
+    # cluster member, the curation convention) takes a relational
+    # slot; the demotee is green r1-r4 and the join+agg family stays
+    # exposed via order_items, doc_stats_by_lang_source and
+    # exact_match_join
+    "nation_revenue",            # broadcast-join agg; near_dedup_keep_best in
 }
 
 

@@ -3333,6 +3333,62 @@ WHERE l.cluster_id IS NULL OR l.cluster_id = CAST(d.doc_id AS VARCHAR)
 """
 
 
+def q_near_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup filter: per cluster keep the member with
+    the most characters (ties to the smallest doc_id) — the open-web
+    curation convention of retaining the longest/cleanest duplicate,
+    vs `near_dedup_keep`'s arbitrary cluster-minimum.  Plan notes in
+    stages/concomp.dedup_keep_best."""
+    from ..stages.concomp import dedup_keep_best
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_pairs(
+        ds.select_columns(["doc_id", "text"]),
+        ngram=_MINHASH_NGRAM,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    kept = dedup_keep_best(
+        ds.select_columns(["doc_id", "n_chars"]), pairs, quality_col="n_chars"
+    )
+    return kept.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NEAR_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_sql_minhash_ctes(_MINHASH_NGRAM)},
+pr AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_SQL_SHARED_BAND} AND {_SQL_EST_JACCARD} >= {_MINHASH_THRESHOLD}
+), edges AS (
+  SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr
+), cc AS (
+  SELECT u AS n, u AS l FROM edges
+  UNION
+  SELECT e.v AS n, cc.l FROM cc JOIN edges e ON cc.n = e.u
+), labels AS (
+  SELECT n AS doc_id, min(l) AS cluster_id FROM cc GROUP BY n
+), winners AS (
+  SELECT cluster_id, doc_id AS winner FROM (
+    SELECT l.cluster_id, l.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.cluster_id
+             ORDER BY d.n_chars DESC, CAST(l.doc_id AS BIGINT)
+           ) AS rn
+    FROM labels l JOIN documents d ON CAST(d.doc_id AS VARCHAR) = l.doc_id
+  ) WHERE rn = 1
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.n_chars
+FROM documents d
+LEFT JOIN labels l ON CAST(d.doc_id AS VARCHAR) = l.doc_id
+LEFT JOIN winners w ON l.cluster_id = w.cluster_id
+WHERE l.doc_id IS NULL OR w.winner = CAST(d.doc_id AS VARCHAR)
+"""
+
+
 def _schema_stable_pairs(res, spec: dict) -> pd.DataFrame:
     """Dataset -> DataFrame; a fully-empty pair table produces ZERO
     blocks through the bucketed dedup shuffle and to_pandas drops its
@@ -5401,6 +5457,7 @@ SQL_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "user_value_quantiles": (q_user_value_quantiles, SQL_USER_VALUE_QUANTILES),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
+    "near_dedup_keep_best": (q_near_dedup_keep_best, SQL_NEAR_DEDUP_KEEP_BEST),
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),

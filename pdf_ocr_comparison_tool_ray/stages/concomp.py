@@ -283,3 +283,115 @@ def dedup_keep_canonical(
         lambda t: t.filter(t["keep"]), batch_format="pyarrow"
     ).select_columns(["doc_id"])
     return kept
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+) -> ray.data.Dataset:
+    """Near-dup cluster filter keeping the BEST member, not the minimum.
+
+    The canonical-min rule (``dedup_keep_canonical``) is arbitrary about
+    WHICH duplicate survives; curation passes keep the highest-quality
+    member (here: max ``quality_col``, ties to the smallest numeric doc
+    id — the open-web convention of retaining the longest/cleanest copy).
+
+    Plan (every shuffle is O(cluster members), not O(corpus), except the
+    quality attach and final filter which stream the corpus once each):
+      1. ``label_components`` over the pairs (member-sized star rounds),
+      2. one co-partition equi join attaches ``quality_col`` to member
+         rows (doc-keyed),
+      3. one cluster-keyed co-partition picks each cluster's winner and
+         maps every member to it,
+      4. one doc-keyed co-partition union-tag filter: a doc survives iff
+         it has no membership row or IS its cluster's winner.
+    """
+    from .bucketed import bucketed_equi_join, bucketed_map_groups
+
+    members = label_components(pairs, col_a, col_b)
+
+    def doc_quality(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [str(x) for x in batch[id_col].to_pylist()],
+                "quality": batch[quality_col].cast(pa.int64()),
+            },
+            schema=pa.schema([("doc_id", pa.string()), ("quality", pa.int64())]),
+        )
+
+    members_q = bucketed_equi_join(
+        members,
+        docs.map_batches(doc_quality, batch_format="pyarrow"),
+        on="doc_id",
+        how="inner",
+    )
+
+    def assign_winner(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["_did"] = b["doc_id"].astype("int64")
+        order = b.sort_values(
+            ["cluster_id", "quality", "_did"], ascending=[True, False, True]
+        )
+        winners = order.drop_duplicates("cluster_id", keep="first")[
+            ["cluster_id", "doc_id"]
+        ].rename(columns={"doc_id": "winner"})
+        out = b.merge(winners, on="cluster_id")
+        return out[["doc_id", "winner"]]
+
+    member_winners = bucketed_map_groups(
+        members_q, "cluster_id", assign_winner, n_buckets=64
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch[id_col].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "key": ids,
+                "quality": batch[quality_col].cast(pa.int64()),
+                "winner": [""] * len(ids),
+            },
+            schema=pa.schema(
+                [("key", pa.string()), ("quality", pa.int64()), ("winner", pa.string())]
+            ),
+        )
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": batch["doc_id"].to_pylist(),
+                "quality": [0] * n,
+                "winner": batch["winner"].to_pylist(),
+            },
+            schema=pa.schema(
+                [("key", pa.string()), ("quality", pa.int64()), ("winner", pa.string())]
+            ),
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        member_winners.map_batches(tag_members, batch_format="pyarrow")
+    )
+
+    def keep_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """A doc row survives iff no membership row shares its key, or
+        the membership row's winner IS the key (exactly one membership
+        row per clustered doc — label_components emits one row per
+        member)."""
+        mrows = bucket[bucket["winner"] != ""]
+        winner_of = dict(zip(mrows["key"], mrows["winner"]))
+        drows = bucket[bucket["winner"] == ""]
+        keys = drows["key"].to_numpy()
+        win = drows["key"].map(winner_of)
+        survive = win.isna().to_numpy() | (win.to_numpy() == keys)
+        return pd.DataFrame(
+            {
+                "doc_id": keys[survive],
+                "quality": drows["quality"].to_numpy()[survive],
+            }
+        )
+
+    return bucketed_map_groups(tagged, "key", keep_bucket, n_buckets=64)

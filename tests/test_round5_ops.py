@@ -574,3 +574,35 @@ def test_decontam_frac_planted(tmp_path):
     assert out.loc[12, "n_grams"] == 0
     assert out.loc[12, "contam_frac"] == 0.0
     assert out.loc[12, "keep"]
+
+
+# ---------------------------------------------------------------------------
+# near_dedup_keep_best: quality-aware winner vs the canonical minimum
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_keep_best_planted(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_near_dedup_keep_best,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    other = "omicron sigma tau upsilon phi chi psi omega rho pi " * 3
+    rows = [
+        # near-dup cluster {1,2,3}: 3 is the LONGEST (not the min id)
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},
+        {"doc_id": 3, "text": base + "plus a few extra trailing words"},
+        # tie cluster {4,5}: equal length -> min doc_id wins
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": other},
+        # unclustered doc survives untouched
+        {"doc_id": 9, "text": "wholly unrelated content sits alone here"},
+    ]
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    out = q_near_dedup_keep_best(_write_docs(tmp_path, rows)).to_pandas()
+    kept = set(out["doc_id"])
+    assert kept == {"3", "4", "9"}
+    # quality column rides through for the kept rows
+    got = dict(zip(out["doc_id"], out["n_chars"]))
+    assert got["3"] == len(rows[2]["text"])
