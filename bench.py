@@ -190,6 +190,12 @@ def run_queries() -> dict:
         "semdedup",
         # DSIR: hashed-bigram importance-resampling data selection
         "dsir_select",
+        # continuation-3: per-doc decontamination rate, BPE pair
+        # counting (tokenizer-training inner loop), quality-aware
+        # near-dup survivor selection
+        "decontam_frac",
+        "bpe_pair_counts",
+        "near_dedup_keep_best",
     ]
     times = {}
     for name in picks:
