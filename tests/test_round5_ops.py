@@ -606,3 +606,23 @@ def test_near_dedup_keep_best_planted(tmp_path):
     # quality column rides through for the kept rows
     got = dict(zip(out["doc_id"], out["n_chars"]))
     assert got["3"] == len(rows[2]["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_keep_best_no_pairs(tmp_path):
+    """A corpus with zero near-dup pairs (empty member dataset through
+    the union-tag shuffle) must keep every doc — the empty-block schema
+    path has bitten before."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_near_dedup_keep_best,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"totally distinct content number {i} "
+                              f"{'xyz'[i % 3] * (i + 3)} words vary"}
+        for i in range(6)
+    ]
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    out = q_near_dedup_keep_best(_write_docs(tmp_path, rows)).to_pandas()
+    assert set(out["doc_id"]) == {str(i) for i in range(6)}
