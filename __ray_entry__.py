@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 30 stay
+# query must land inside that window WITH its oracle, so these 34 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
@@ -112,6 +112,12 @@ _LOCAL_ONLY = {
     # exposed via order_items, doc_stats_by_lang_source and
     # exact_match_join
     "nation_revenue",            # broadcast-join agg; near_dedup_keep_best in
+    # ... and the CCNet-style boilerplate strip (remove-all common-chunk
+    # complement of the exposed paragraph_dedup) takes the last classic
+    # partial-agg slot; the demotee is green r1-r4 and its map-side
+    # partial-aggregation family stays exposed via doc_stats_by_lang_source,
+    # timeline and match_summary
+    "lineitem_agg",              # TPC-H Q1 agg; boilerplate_strip in
 }
 
 

@@ -196,6 +196,9 @@ def run_queries() -> dict:
         "decontam_frac",
         "bpe_pair_counts",
         "near_dedup_keep_best",
+        # CCNet-style cross-doc boilerplate removal (remove-all
+        # complement of paragraph_dedup)
+        "boilerplate_strip",
     ]
     times = {}
     for name in picks:

@@ -4885,6 +4885,76 @@ FROM kept GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate strip (CCNet-style common-line removal) — the REMOVE-ALL
+# complement of paragraph_dedup's keep-first: a fixed-window chunk that
+# appears in >= _BOILERPLATE_MIN_DOCS DISTINCT documents is boilerplate
+# (nav bars, footers, license blurbs) and is dropped from EVERY document,
+# including its first occurrence.  Two co-partition shuffles, both the
+# same cost class as paragraph_dedup: one text-keyed pass computes each
+# chunk's document frequency globally (all rows of a chunk land in one
+# bucket) and marks rows, one doc-keyed pass reassembles survivors in
+# offset order.  Docs whose every chunk is boilerplate drop entirely.
+# 100 TB note: the boilerplate SET is small relative to the corpus, so a
+# deploy-scale variant can emit only the df>=T chunk hashes from pass 1,
+# broadcast them, and filter+reassemble map-side against doc-local pages
+# (the pagination derives per-doc in one batch) — kept as the bucketed
+# form here because the mark pass IS the df computation either way.
+# ---------------------------------------------------------------------------
+_BOILERPLATE_MIN_DOCS = 2
+
+
+def q_boilerplate_strip(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    pages = _paged_docs(sf_dir)  # doc_id(str), did(int64), offset(int32), text
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = (
+            df.groupby("text")["did"].transform("nunique")
+            < _BOILERPLATE_MIN_DOCS
+        )
+        return df
+
+    marked = bucketed_map_groups(pages, "text", mark, n_buckets=64)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["did", "offset"], kind="mergesort")
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_pages=("keep", "size"), n_kept=("keep", "sum")
+        )
+        t = (
+            df[df["keep"]]
+            .groupby("doc_id", as_index=False)
+            .agg(text=("text", " ".join))
+        )
+        out = g.merge(t, on="doc_id", how="inner")  # all-boilerplate docs drop
+        out["n_kept"] = out["n_kept"].astype("int64")
+        out["n_dropped"] = (out["n_pages"] - out["n_kept"]).astype("int64")
+        return out[["doc_id", "n_kept", "n_dropped", "text"]]
+
+    return bucketed_map_groups(marked, "doc_id", reassemble, n_buckets=64)
+
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH {_sql_pages(False)},
+freq AS (
+  SELECT text, count(DISTINCT did) AS df FROM pages GROUP BY text
+), sel AS (
+  SELECT p.doc_id, p.off, p.text,
+         (f.df < {_BOILERPLATE_MIN_DOCS}) AS keep
+  FROM pages p JOIN freq f USING (text)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       string_agg(text, ' ' ORDER BY off) FILTER (WHERE keep) AS text
+FROM sel GROUP BY doc_id
+HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Greedy sequence packing — assemble training sequences by packing
 # documents into fixed token-budget bins.  Packing is inherently
 # sequential, so it runs per SHARD (md5(doc_id) % n_shards, the same
@@ -5435,6 +5505,7 @@ SQL_QUERIES = {
     "distinct_sources_by_lang": (q_distinct_sources_by_lang, SQL_DISTINCT_SOURCES_BY_LANG),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "knn_filtered": (q_knn_filtered, SQL_KNN_FILTERED),

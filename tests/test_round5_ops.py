@@ -626,3 +626,38 @@ def test_near_dedup_keep_best_no_pairs(tmp_path):
         r["n_chars"] = len(r["text"])
     out = q_near_dedup_keep_best(_write_docs(tmp_path, rows)).to_pandas()
     assert set(out["doc_id"]) == {str(i) for i in range(6)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boilerplate_strip_removes_all_occurrences(tmp_path):
+    """CCNet-style semantics: a chunk shared by >=2 distinct docs is
+    dropped from EVERY doc (including the first occurrence) — the
+    remove-all complement of paragraph_dedup's keep-first, asserted
+    side by side on the same planted corpus."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_boilerplate_strip,
+        q_paragraph_dedup,
+    )
+
+    w = [f"w{i:02d}" for i in range(36)]
+    footer = " ".join(w[:12])      # the shared 12-word page
+    uniq1 = " ".join(w[12:24])
+    uniq2 = " ".join(w[24:36])
+    rows = [
+        {"doc_id": 1, "text": uniq1 + " " + footer},
+        {"doc_id": 2, "text": uniq2 + " " + footer},
+        {"doc_id": 3, "text": footer},                 # all-boilerplate doc
+        {"doc_id": 4, "text": uniq1},                  # uniq1 now df=2 too!
+    ]
+    out = q_boilerplate_strip(_write_docs(tmp_path, rows)).to_pandas()
+    got = out.set_index("doc_id")
+    # footer df=3 and uniq1 df=2 are boilerplate; uniq2 df=1 survives
+    assert set(got.index) == {"2"}
+    assert got.loc["2", "text"] == uniq2
+    assert got.loc["2", "n_kept"] == 1 and got.loc["2", "n_dropped"] == 1
+
+    # paragraph_dedup on the same corpus keeps FIRST occurrences instead
+    pd_out = q_paragraph_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(pd_out.index) == {"1", "2"}
+    assert pd_out.loc["1", "text"] == uniq1 + " " + footer
+    assert pd_out.loc["2", "text"] == uniq2
