@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -2446,27 +2447,39 @@ HAVING count(*) >= {_NGRAM_MIN}
 _EVAL_MAX_DOC_ID = 10  # the one value both engine and oracle key on
 
 
-def q_contamination(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
-    from ..stages.bucketed import bucketed_map_groups
+def _gram_hashes(text: str, k: int):
+    """md5 hashes of the k-token windows of ``text`` — the ONE gram
+    definition both contamination operators (and their SQL oracles)
+    share; change it here and both stay in lockstep."""
+    toks = _TOKEN_RE.findall(text)
+    return [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def grams_of(text: str):
-        toks = _TOKEN_RE.findall(text)
-        return [
-            hashlib.md5(" ".join(toks[i : i + _NGRAM_K]).encode()).hexdigest()
-            for i in range(len(toks) - _NGRAM_K + 1)
-        ]
-
-    # eval side: tiny by construction -> driver-built broadcast set
+def _eval_gram_ref(ds, k: int, eval_max_doc_id: int):
+    """Eval side of a contamination check: tiny by construction, so the
+    distinct gram-hash set builds on the driver and broadcasts once."""
     eval_df = ds.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], eval_max_doc_id)),
         batch_format="pyarrow",
     ).to_pandas()
     eval_grams = set()
     for text in eval_df["text"]:
-        eval_grams.update(grams_of(text))
-    eval_ref = ray.put(eval_grams)
+        eval_grams.update(_gram_hashes(text, k))
+    return ray.put(eval_grams)
+
+
+def q_contamination(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(text: str):
+        return _gram_hashes(text, _NGRAM_K)
+
+    eval_ref = _eval_gram_ref(ds, _NGRAM_K, eval_max_doc_id)
 
     def probe(batch: pa.Table) -> pa.Table:
         grams = _broadcast_get(eval_ref)
@@ -2550,21 +2563,9 @@ def q_decontam_frac(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def grams_of(text: str):
-        toks = _TOKEN_RE.findall(text)
-        return [
-            hashlib.md5(" ".join(toks[i : i + _DECONTAM_K]).encode()).hexdigest()
-            for i in range(len(toks) - _DECONTAM_K + 1)
-        ]
+        return _gram_hashes(text, _DECONTAM_K)
 
-    # eval side: tiny by construction -> driver-built broadcast set
-    eval_df = ds.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], eval_max_doc_id)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    eval_grams = set()
-    for text in eval_df["text"]:
-        eval_grams.update(grams_of(text))
-    eval_ref = ray.put(eval_grams)
+    eval_ref = _eval_gram_ref(ds, _DECONTAM_K, eval_max_doc_id)
 
     def probe(batch: pa.Table) -> pd.DataFrame:
         grams = _broadcast_get(eval_ref)
@@ -4364,8 +4365,10 @@ FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 # regardless of corpus size or skew — reduced on the driver, so tokenizer
 # training streams a 100 TB corpus with no shuffle at all.
 # ``merge_iters`` makes it the real iterated trainer (per round: argmax
-# pair -> append merge -> one more counting pass with merges applied,
-# per-batch unique-word memo keeping the apply cost at O(unique words));
+# pair -> append merge -> one more counting pass with merges applied;
+# every pass walks each batch's UNIQUE words weighted by multiplicity,
+# so symbolize + merge-apply + pair counting are all O(unique-word
+# chars) per batch, not O(total chars));
 # the EXPOSED oracle query pins merge_iters=0 (pure char pairs — a
 # multi-round merge replay is not SQL-expressible), iterated rounds are
 # pinned by pytest against an independent brute-force trainer.
@@ -4399,20 +4402,23 @@ def q_bpe_pair_counts(
         merges = list(merges)
 
         def body(batch: pa.Table) -> pd.DataFrame:
-            pair_counts: dict = {}
-            word_syms: dict = {}  # unique-word memo: apply cost O(unique words)
+            # count word multiplicities first, then walk each UNIQUE
+            # word once with its count as the pair weight — pairs never
+            # cross word boundaries, so this is exactly per-occurrence
+            # counting, but the whole pass (symbolize + merge-apply +
+            # pair walk) is O(unique-word chars), not O(total chars):
+            # the regime that matters when the top words repeat
+            # millions of times in an open-web batch
+            word_counts: Counter = Counter()
             for text in batch["text"].to_pylist():
-                for w in text.split(" "):
-                    if not w:
-                        continue
-                    syms = word_syms.get(w)
-                    if syms is None:
-                        syms = list(w) + [_BPE_EOW]
-                        if merges:
-                            syms = _bpe_apply_merges(syms, merges)
-                        word_syms[w] = syms
-                    for p in zip(syms, syms[1:]):
-                        pair_counts[p] = pair_counts.get(p, 0) + 1
+                word_counts.update(w for w in text.split(" ") if w)
+            pair_counts: dict = {}
+            for w, wc in word_counts.items():
+                syms = list(w) + [_BPE_EOW]
+                if merges:
+                    syms = _bpe_apply_merges(syms, merges)
+                for p in zip(syms, syms[1:]):
+                    pair_counts[p] = pair_counts.get(p, 0) + wc
             return pd.DataFrame(
                 {
                     "s1": [k[0] for k in pair_counts],
@@ -4933,7 +4939,24 @@ def q_boilerplate_strip(sf_dir: str):
         out["n_dropped"] = (out["n_pages"] - out["n_kept"]).astype("int64")
         return out[["doc_id", "n_kept", "n_dropped", "text"]]
 
-    return bucketed_map_groups(marked, "doc_id", reassemble, n_buckets=64)
+    res = bucketed_map_groups(
+        marked, "doc_id", reassemble, n_buckets=64
+    ).materialize()
+    if res.count() == 0:
+        # a fully-duplicated corpus drops EVERY doc; zero blocks lose the
+        # pandas schema through to_pandas (the _schema_stable_pairs
+        # lesson) — rebuild the declared schema.  The materialize() that
+        # makes count() free stays in the object store (not the driver);
+        # a production sink would write_parquet the lazy form instead.
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=object),
+                "n_kept": pd.Series([], dtype="int64"),
+                "n_dropped": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype=object),
+            }
+        )
+    return res
 
 
 SQL_BOILERPLATE_STRIP = f"""

@@ -332,7 +332,14 @@ def dedup_keep_best(
 
     def assign_winner(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.copy()
-        b["_did"] = b["doc_id"].astype("int64")
+        # tie-break on the numeric id when every id parses (matches the
+        # SQL oracle's BIGINT ordering); non-numeric ids (uuids, hashes —
+        # valid everywhere else in this module) fall back to the
+        # lexicographic order instead of crashing the worker
+        did_num = pd.to_numeric(b["doc_id"], errors="coerce")
+        b["_did"] = (
+            did_num.astype("int64") if did_num.notna().all() else b["doc_id"]
+        )
         order = b.sort_values(
             ["cluster_id", "quality", "_did"], ascending=[True, False, True]
         )
@@ -382,6 +389,15 @@ def dedup_keep_best(
         row per clustered doc — label_components emits one row per
         member)."""
         mrows = bucket[bucket["winner"] != ""]
+        # label_components emits one membership row per member at its
+        # fixpoint, but a max_rounds exit can leave a doc with two rows
+        # under different labels; reduce to the lexicographically
+        # smallest winner per key so the outcome never depends on Ray
+        # block arrival order (the dedup_keep_canonical groupby lesson)
+        if mrows["key"].duplicated().any():
+            mrows = mrows.sort_values(
+                ["key", "winner"], kind="mergesort"
+            ).drop_duplicates("key", keep="first")
         winner_of = dict(zip(mrows["key"], mrows["winner"]))
         drows = bucket[bucket["winner"] == ""]
         keys = drows["key"].to_numpy()

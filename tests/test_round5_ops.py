@@ -661,3 +661,19 @@ def test_boilerplate_strip_removes_all_occurrences(tmp_path):
     assert set(pd_out.index) == {"1", "2"}
     assert pd_out.loc["1", "text"] == uniq1 + " " + footer
     assert pd_out.loc["2", "text"] == uniq2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boilerplate_strip_all_duplicated_corpus(tmp_path):
+    """A fully-duplicated corpus drops every doc; the result must keep
+    its 4-column schema (zero blocks lose the pandas schema through
+    to_pandas — found by review, the _schema_stable_pairs lesson)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_boilerplate_strip,
+    )
+
+    rows = [{"doc_id": i, "text": "alpha beta gamma delta"} for i in range(4)]
+    out = q_boilerplate_strip(_write_docs(tmp_path, rows))
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(df.columns) == ["doc_id", "n_kept", "n_dropped", "text"]
+    assert len(df) == 0
