@@ -48,9 +48,11 @@ from ..functions.quality import quality_ok, quality_signals, repetition_signals
 from ..functions.textnorm import text_hash_many
 from ..stages.bucketed import bucketed_drop_duplicates
 from ..state.checkpoint import (
+    check_num_partitions,
     completed_partitions,
     input_fingerprint,
-    partition_of,
+    partitions_of_series,
+    stamp_empty_partition,
     write_partition_atomic,
 )
 
@@ -124,7 +126,9 @@ def _write_keys_sideline(
     os.replace(tmp, final)
 
 
-def _make_curate_writer(out_dir: str, input_path: str, input_fp: str):
+def _make_curate_writer(
+    out_dir: str, input_path: str, input_fp: str, num_partitions: int
+):
     def write_partition(group: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
         part = int(group["partition"].iloc[0])
@@ -140,10 +144,11 @@ def _make_curate_writer(out_dir: str, input_path: str, input_fp: str):
             {
                 "n_docs": n_docs,
                 "n_words": int(g["n_words"].sum()),
-                "wall_sec": round(time.perf_counter() - t0, 4),
                 "input_path": input_path,
                 "input_fp": input_fp,
+                "num_partitions": num_partitions,
             },
+            t0=t0,
         )
         return pd.DataFrame(
             [{"partition": part, "n_docs": n_docs,
@@ -162,26 +167,52 @@ def _write_stage(
     input_fp: str,
 ) -> pd.DataFrame:
     """Shared tail of both resume paths: partition assignment, drop of
-    already-completed partitions, atomic per-partition write."""
+    already-completed partitions, atomic per-partition write.  After the
+    writes land, any partition that produced ZERO rows gets a
+    manifest-only completion stamp plus an EMPTY keys sideline (the
+    writer UDF never sees empty groups; without the stamp an empty
+    partition blocks the noop and fast-resume paths forever)."""
     np_ = num_partitions
 
     def add_partition_drop_done(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["partition"] = (
-            batch["doc_id"].astype(str)
-            .map(lambda d: partition_of(d, np_))
-            .astype("int32")
-        )
+        batch["partition"] = partitions_of_series(batch["doc_id"], np_)
         return batch.loc[~batch["partition"].isin(done)]
 
     partitioned = kept.map_batches(
         add_partition_drop_done, batch_format="pandas"
     )
     stats = partitioned.groupby("partition").map_groups(
-        _make_curate_writer(out_dir, input_path, input_fp),
+        _make_curate_writer(out_dir, input_path, input_fp, num_partitions),
         batch_format="pandas",
     )
-    return stats.to_pandas().sort_values("partition").reset_index(drop=True)
+    cols = ["partition", "n_docs", "n_words"]
+    df = stats.to_pandas()
+    if not len(df.columns):
+        # zero groups lose the pandas schema through to_pandas
+        df = pd.DataFrame(columns=cols)
+    else:
+        df = df.sort_values("partition").reset_index(drop=True)
+    written = set(int(p) for p in df["partition"]) if len(df) else set()
+    for p in range(num_partitions):
+        if p in done or p in written:
+            continue
+        _write_keys_sideline(
+            out_dir, p, pd.Series([], dtype="int64"), input_fp
+        )
+        stamp_empty_partition(
+            out_dir,
+            p,
+            {
+                "n_docs": 0,
+                "n_words": 0,
+                "wall_sec": 0.0,
+                "input_path": input_path,
+                "input_fp": input_fp,
+                "num_partitions": num_partitions,
+            },
+        )
+    return df
 
 
 def run_curation_checkpointed(
@@ -197,6 +228,7 @@ def run_curation_checkpointed(
     from ..state.progress import write_job_stamp
 
     os.makedirs(out_dir, exist_ok=True)
+    check_num_partitions(out_dir, num_partitions)
     input_fp = input_fingerprint(input_path)
     done = frozenset(completed_partitions(out_dir, input_fp))
     write_job_stamp(
@@ -226,8 +258,21 @@ def run_curation_checkpointed(
             type=pa.int64(),
         )
         if len(missing_ids) == 0:
-            # the lost partitions were legitimately empty; nothing to
-            # write (their keys files prove it)
+            # the lost partitions were legitimately empty (their keys
+            # files prove it) — restamp their completion markers
+            for p in missing:
+                stamp_empty_partition(
+                    out_dir,
+                    p,
+                    {
+                        "n_docs": 0,
+                        "n_words": 0,
+                        "wall_sec": 0.0,
+                        "input_path": input_path,
+                        "input_fp": input_fp,
+                        "num_partitions": num_partitions,
+                    },
+                )
             return empty, "keys-sideline"
         ds = ray.data.read_parquet(
             input_path, columns=["doc_id", "text", "lang", "source"]

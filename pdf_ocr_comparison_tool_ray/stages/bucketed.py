@@ -156,6 +156,18 @@ def bucketed_equi_join(
         return _bucketed_semi_anti(left, right, keys, how, n_buckets)
 
     l_schema, r_schema = left.schema(), right.schema()
+    # a fully-empty Dataset reports schema() None (Ray drops the schema
+    # with the last block), which makes the joined column set
+    # unconstructable for the merge forms — fail with the cause instead
+    # of an AttributeError deep in the tag stage
+    for side, schema in (("left", l_schema), ("right", r_schema)):
+        if schema is None:
+            raise ValueError(
+                f"bucketed_equi_join(how={how!r}): the {side} side is an "
+                f"empty Dataset with no schema, so the joined columns "
+                f"cannot be constructed — materialize a schema-stable "
+                f"empty frame upstream or short-circuit the join"
+            )
     l_cols = [c for c in l_schema.names if c not in keys]
     r_cols_src = [c for c in r_schema.names if c not in keys]
     rename_r = {
@@ -252,6 +264,14 @@ def _bucketed_semi_anti(
     the existing anti-join query (``customers_without_orders``) is this
     shape hand-rolled.
     """
+    if left.schema() is None:
+        # empty left (schema dropped with the last block): both forms
+        # return no rows regardless of the right side
+        return left
+    if right.schema() is None:
+        # empty right: semi keeps nothing, anti keeps everything —
+        # both answerable without the right side's (unknowable) schema
+        return left.limit(0) if how == "semi" else left
     l_types = _schema_types(left.schema())
     l_names = list(l_types)
     union_schema = pa.schema(

@@ -357,3 +357,53 @@ def test_curate_job_cli_contract_and_resume_equivalence(tmp_path):
     assert third["partitions_skipped_resume"] == 2
     assert third["partitions_processed"] == 1
     pd.testing.assert_frame_equal(read_corpus(), fresh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_partitions_stamp_and_noop_resume(tmp_path, corpus_parquet):
+    """With more partitions than docs some partitions are empty; they
+    must stamp manifest-only completion markers so a re-submission can
+    report everything done instead of recomputing forever (review
+    finding: the writer UDF never sees empty groups)."""
+    flat_path, docs = corpus_parquet
+    out_dir = str(tmp_path / "out")
+    big_p = 64  # 25 docs -> most partitions empty
+    run_extraction_checkpointed(flat_path, out_dir, num_partitions=big_p)
+    assert len(completed_partitions(out_dir)) == big_p
+    # re-submission: nothing remaining, empty-but-schema-stable metrics
+    stats2 = run_extraction_checkpointed(
+        flat_path, out_dir, num_partitions=big_p
+    )
+    assert list(stats2.columns) == ["partition", "n_docs", "n_spans", "wall_sec"]
+    assert len(stats2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_rejects_different_num_partitions(tmp_path, corpus_parquet):
+    """Resuming an out_dir under a different partition count would mix
+    two hash-mod schemes and silently duplicate output — must raise."""
+    flat_path, _ = corpus_parquet
+    out_dir = str(tmp_path / "out")
+    run_extraction_checkpointed(flat_path, out_dir, num_partitions=P)
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_extraction_checkpointed(flat_path, out_dir, num_partitions=P * 2)
+
+
+def test_input_fingerprint_directory_sees_member_rewrite(tmp_path):
+    """A directory input must change fingerprint when a member file is
+    rewritten in place (the directory inode's stat does not)."""
+    import time as _time
+
+    from pdf_ocr_comparison_tool_ray.state.checkpoint import (
+        input_fingerprint,
+    )
+
+    d = tmp_path / "indir"
+    d.mkdir()
+    f = d / "a.parquet"
+    f.write_bytes(b"x" * 64)
+    fp1 = input_fingerprint(str(d))
+    _time.sleep(0.01)
+    f.write_bytes(b"y" * 64)  # same size, same name, new content/mtime
+    fp2 = input_fingerprint(str(d))
+    assert fp1 != fp2

@@ -340,3 +340,28 @@ def test_semi_anti_join_tolerates_empty_blocks():
     anti = bucketed_equi_join(left, right, on="k", how="anti").to_pandas()
     assert sorted(semi["k"]) == [2] and sorted(anti["k"]) == [1, 3]
     assert semi["v"].dtype == anti["v"].dtype == "int64"
+
+
+def test_bucketed_join_empty_side_behavior():
+    """A fully-empty Dataset reports schema() None; the join must not
+    AttributeError (review finding).  semi/anti degrade gracefully —
+    their output schema is the left's alone; the merge forms raise a
+    descriptive error because the joined columns are unconstructable."""
+    from pdf_ocr_comparison_tool_ray.stages.bucketed import bucketed_equi_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    )
+    # an empty dataset whose schema Ray has dropped
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"k": [99], "v": [0]})
+    ).filter(lambda r: False).materialize()
+    assert empty.schema() is None or empty.count() == 0
+
+    anti = bucketed_equi_join(left, empty, on="k", how="anti").to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 2, 3]
+    semi = bucketed_equi_join(left, empty, on="k", how="semi").to_pandas()
+    assert len(semi) == 0
+    if empty.schema() is None:
+        with pytest.raises(ValueError, match="empty Dataset"):
+            bucketed_equi_join(left, empty, on="k", how="left")
