@@ -285,6 +285,94 @@ def dedup_keep_canonical(
     return kept
 
 
+def _cluster_winners(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, cluster_id, quality) member rows -> per-member
+    (doc_id, winner).  Winner = max quality; ties to the smallest
+    NUMERIC id when every id parses (matches the SQL oracle's BIGINT
+    ordering) — non-numeric ids (uuids, hashes — valid everywhere else
+    in this module) fall back to lexicographic order instead of
+    crashing the worker."""
+    b = b.copy()
+    did_num = pd.to_numeric(b["doc_id"], errors="coerce")
+    b["_did"] = (
+        did_num.astype("int64") if did_num.notna().all() else b["doc_id"]
+    )
+    order = b.sort_values(
+        ["cluster_id", "quality", "_did"], ascending=[True, False, True]
+    )
+    winners = order.drop_duplicates("cluster_id", keep="first")[
+        ["cluster_id", "doc_id"]
+    ].rename(columns={"doc_id": "winner"})
+    return b.merge(winners, on="cluster_id")[["doc_id", "winner"]]
+
+
+def _keep_best_broadcast(
+    docs: ray.data.Dataset,
+    members: ray.data.Dataset,
+    quality_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Broadcast route for ``dedup_keep_best``: the member table fits
+    the driver, so the quality attach and the survivor filter become
+    MAP-ONLY passes against two broadcast lookups (member-id set, then
+    loser-id set) — zero corpus-wide exchanges, vs the co-partition
+    route's two.  Only member-sized tables ever land on the driver;
+    the corpus streams through both passes as zero-copy Arrow."""
+    import pyarrow.compute as pc
+
+    from .broadcast import broadcast_get
+
+    out_schema = pa.schema([("doc_id", pa.string()), ("quality", pa.int64())])
+    mdf = members.to_pandas()  # bounded by broadcast_cap (2 short strings/row)
+    if not len(mdf.columns):  # empty member set loses its schema
+        mdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=object),
+                "cluster_id": pd.Series(dtype=object),
+            }
+        )
+    member_ref = ray.put(pa.array(mdf["doc_id"].tolist(), type=pa.string()))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.string()),
+                "quality": batch[quality_col].cast(pa.int64()),
+            }
+        )
+
+    def member_quality(batch: pa.Table) -> pa.Table:
+        t = project(batch)
+        return t.filter(
+            pc.is_in(t["doc_id"], value_set=broadcast_get(member_ref))
+        )
+
+    qdf = docs.map_batches(member_quality, batch_format="pyarrow").to_pandas()
+    if not len(qdf.columns):
+        qdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=object),
+                "quality": pd.Series(dtype="int64"),
+            }
+        )
+    mw = _cluster_winners(mdf.merge(qdf, on="doc_id"))
+    # a max_rounds exit can leave a doc two membership rows under
+    # different labels; keep the lexicographically smallest winner per
+    # doc — the same arrival-order-free rule as the co-partition path
+    mw = mw.sort_values(["doc_id", "winner"], kind="mergesort").drop_duplicates(
+        "doc_id", keep="first"
+    )
+    losers = mw.loc[mw["winner"] != mw["doc_id"], "doc_id"]
+    loser_ref = ray.put(pa.array(losers.tolist(), type=pa.string()))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        t = project(batch)
+        drop = pc.is_in(t["doc_id"], value_set=broadcast_get(loser_ref))
+        return t.filter(pc.invert(drop)).cast(out_schema)
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def dedup_keep_best(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -292,6 +380,7 @@ def dedup_keep_best(
     id_col: str = "doc_id",
     col_a: str = "doc_a",
     col_b: str = "doc_b",
+    broadcast_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Near-dup cluster filter keeping the BEST member, not the minimum.
 
@@ -300,8 +389,14 @@ def dedup_keep_best(
     member (here: max ``quality_col``, ties to the smallest numeric doc
     id — the open-web convention of retaining the longest/cleanest copy).
 
-    Plan (every shuffle is O(cluster members), not O(corpus), except the
-    quality attach and final filter which stream the corpus once each):
+    Size-routed like the rest of the dedup family: cluster members are
+    a tiny fraction of the corpus in every realistic near-dup regime,
+    so when the member table is at most ``broadcast_cap`` rows the
+    whole decision runs on the driver and the corpus only ever flows
+    through two map-only filter passes (``_keep_best_broadcast``).
+    Above the cap, the shuffle plan (every exchange O(cluster members)
+    except the quality attach and final filter, which co-partition the
+    corpus once each):
       1. ``label_components`` over the pairs (member-sized star rounds),
       2. one co-partition equi join attaches ``quality_col`` to member
          rows (doc-keyed),
@@ -309,10 +404,14 @@ def dedup_keep_best(
          maps every member to it,
       4. one doc-keyed co-partition union-tag filter: a doc survives iff
          it has no membership row or IS its cluster's winner.
+    Both routes produce identical survivors (route-forced equivalence
+    test in tests/test_round5_ops.py).
     """
     from .bucketed import bucketed_equi_join, bucketed_map_groups
 
-    members = label_components(pairs, col_a, col_b)
+    members = label_components(pairs, col_a, col_b).materialize()
+    if members.count() <= broadcast_cap:
+        return _keep_best_broadcast(docs, members, quality_col, id_col)
 
     def doc_quality(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -330,27 +429,8 @@ def dedup_keep_best(
         how="inner",
     )
 
-    def assign_winner(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.copy()
-        # tie-break on the numeric id when every id parses (matches the
-        # SQL oracle's BIGINT ordering); non-numeric ids (uuids, hashes —
-        # valid everywhere else in this module) fall back to the
-        # lexicographic order instead of crashing the worker
-        did_num = pd.to_numeric(b["doc_id"], errors="coerce")
-        b["_did"] = (
-            did_num.astype("int64") if did_num.notna().all() else b["doc_id"]
-        )
-        order = b.sort_values(
-            ["cluster_id", "quality", "_did"], ascending=[True, False, True]
-        )
-        winners = order.drop_duplicates("cluster_id", keep="first")[
-            ["cluster_id", "doc_id"]
-        ].rename(columns={"doc_id": "winner"})
-        out = b.merge(winners, on="cluster_id")
-        return out[["doc_id", "winner"]]
-
     member_winners = bucketed_map_groups(
-        members_q, "cluster_id", assign_winner, n_buckets=64
+        members_q, "cluster_id", _cluster_winners, n_buckets=64
     )
 
     def tag_docs(batch: pa.Table) -> pa.Table:

@@ -609,6 +609,43 @@ def test_near_dedup_keep_best_planted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_near_dedup_keep_best_route_equivalence(tmp_path):
+    """The broadcast route (member set fits the driver — the default
+    regime) and the co-partition route (forced with broadcast_cap=-1)
+    must pick identical survivors, including the max_rounds/duplicate-
+    membership tie rule."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages.concomp import dedup_keep_best
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(1, 9)],
+            "n_chars": [10, 30, 30, 5, 50, 50, 7, 2],
+        }
+    )
+    # clusters {1,2,3} (winner 2: max quality, tie to smaller id than 3),
+    # {5,6} (winner 5 by id tie), 4/7/8 unclustered
+    pairs = pd.DataFrame(
+        {"doc_a": ["1", "2", "5"], "doc_b": ["2", "3", "6"]}
+    )
+    outs = []
+    for cap in (2_000_000, -1):
+        kept = dedup_keep_best(
+            ray.data.from_pandas(docs),
+            ray.data.from_pandas(pairs),
+            broadcast_cap=cap,
+        ).to_pandas()
+        outs.append(
+            kept.sort_values("doc_id").reset_index(drop=True)[
+                ["doc_id", "quality"]
+            ]
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert set(outs[0]["doc_id"]) == {"2", "4", "5", "7", "8"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_near_dedup_keep_best_no_pairs(tmp_path):
     """A corpus with zero near-dup pairs (empty member dataset through
     the union-tag shuffle) must keep every doc — the empty-block schema
