@@ -217,20 +217,71 @@ def label_components_local(pairs: List[tuple]) -> Dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
+def _keep_canonical_broadcast(
+    docs: ray.data.Dataset,
+    members: ray.data.Dataset,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Broadcast route for ``dedup_keep_canonical``: the member table
+    fits the driver, so the drop set (clustered docs that are NOT their
+    cluster minimum) computes locally and the corpus flows through ONE
+    map-only Arrow filter — no corpus-wide exchange.  Same survive rule
+    as the co-partition ``keep_bucket``: a member survives iff it has a
+    self row (cluster_id == doc_id) and no smaller cluster label."""
+    import pyarrow.compute as pc
+
+    from .broadcast import broadcast_get
+
+    mdf = members.to_pandas()  # bounded by broadcast_cap
+    if not len(mdf.columns):
+        mdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=object),
+                "cluster_id": pd.Series(dtype=object),
+            }
+        )
+    stats = (
+        mdf.assign(_self=mdf["cluster_id"] == mdf["doc_id"])
+        .groupby("doc_id", sort=False)
+        .agg(mc=("cluster_id", "min"), sf=("_self", "any"))
+    )
+    survive = stats["sf"].to_numpy() & (
+        stats.index.to_numpy() == stats["mc"].to_numpy()
+    )
+    losers = stats.index[~survive]
+    loser_ref = ray.put(pa.array(list(losers), type=pa.string()))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string())
+        drop = pc.is_in(ids, value_set=broadcast_get(loser_ref))
+        return pa.table({"doc_id": ids}).filter(pc.invert(drop))
+
+    return docs.map_batches(survivors, batch_format="pyarrow")
+
+
 def dedup_keep_canonical(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
     col_a: str = "doc_a",
     col_b: str = "doc_b",
+    broadcast_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Drop every clustered document except its cluster minimum.
 
-    Co-partition anti-join: membership rows and doc rows shuffle on the
-    same key (doc id as string); a doc survives iff it has no membership
-    row or IS its cluster_id.  No broadcast — scales with the corpus.
+    Size-routed: a member table at most ``broadcast_cap`` rows (the
+    common regime — members are a small fraction of the corpus)
+    computes the drop set on the driver and streams the corpus through
+    one map-only filter (``_keep_canonical_broadcast``).  Above the
+    cap, the co-partition anti-join: membership rows and doc rows
+    shuffle on the same key (doc id as string); a doc survives iff it
+    has no membership row or IS its cluster_id.  No broadcast — scales
+    with the corpus.  Route-forced equivalence pinned in
+    tests/test_concomp.py.
     """
-    members = label_components(pairs, col_a, col_b)
+    members = label_components(pairs, col_a, col_b).materialize()
+    if members.count() <= broadcast_cap:
+        return _keep_canonical_broadcast(docs, members, id_col)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = [str(x) for x in batch[id_col].to_pylist()]

@@ -58,6 +58,11 @@ def test_dedup_keep_canonical():
     pairs = _pairs_ds([("x0", "x1"), ("x1", "x2"), ("x7", "x5")])
     kept = sorted(dedup_keep_canonical(docs, pairs).to_pandas()["doc_id"])
     assert kept == ["x0", "x3", "x4", "x5", "x6", "x8", "x9"]
+    # route equivalence: forced co-partition plan picks the same set
+    kept_co = sorted(
+        dedup_keep_canonical(docs, pairs, broadcast_cap=-1).to_pandas()["doc_id"]
+    )
+    assert kept_co == kept
 
 
 @pytest.mark.usefixtures("ray_session")
