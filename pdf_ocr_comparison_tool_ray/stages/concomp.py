@@ -368,7 +368,13 @@ def _keep_best_broadcast(
     MAP-ONLY passes against two broadcast lookups (member-id set, then
     loser-id set) — zero corpus-wide exchanges, vs the co-partition
     route's two.  Only member-sized tables ever land on the driver;
-    the corpus streams through both passes as zero-copy Arrow."""
+    the corpus streams through both passes as zero-copy Arrow.
+
+    ``docs`` executes twice (member-quality collect, then the survivor
+    filter) — the same consumption count as the co-partition route's
+    quality-join + union-tag.  Parquet-backed inputs re-scan the
+    pruned columns; pass a materialized Dataset when ``docs`` is the
+    tail of an expensive derived pipeline."""
     import pyarrow.compute as pc
 
     from .broadcast import broadcast_get
