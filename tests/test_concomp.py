@@ -76,3 +76,46 @@ def test_label_components_size_router_paths_agree():
     local = _clusters_from_ray(pairs, local_threshold=10**6)
     distributed = _clusters_from_ray(pairs, local_threshold=0)
     assert local == distributed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_random_graphs_match_local_reference():
+    """Both keep-best routes vs an independent union-find + argmax
+    reference over random graphs and random qualities (numeric ids, so
+    the numeric tie-break path is the one exercised — the oracle's
+    BIGINT ordering)."""
+    from pdf_ocr_comparison_tool_ray.stages.concomp import dedup_keep_best
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        ids = [str(i) for i in range(n)]
+        quality = {d: rng.randrange(1, 6) for d in ids}  # dense ties
+        pairs = []
+        for _ in range(25):
+            a, b = rng.choice(ids), rng.choice(ids)
+            if a != b:
+                pairs.append((a, b))
+        # local reference: union-find clusters, winner = (max quality,
+        # min numeric id), survivors = everyone except non-winner members
+        labels = label_components_local(pairs)
+        clusters = {}
+        for d, c in labels.items():
+            clusters.setdefault(c, []).append(d)
+        drop = set()
+        for mems in clusters.values():
+            win = min(mems, key=lambda d: (-quality[d], int(d)))
+            drop.update(m for m in mems if m != win)
+        expect = sorted(set(ids) - drop, key=int)
+
+        docs = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ids, "n_chars": [quality[d] for d in ids]})
+        )
+        for cap in (2_000_000, -1):
+            got = dedup_keep_best(
+                docs, _pairs_ds(pairs), broadcast_cap=cap
+            ).to_pandas()
+            assert sorted(got["doc_id"], key=int) == expect, (trial, cap)
+            assert dict(zip(got["doc_id"], got["quality"])) == {
+                d: quality[d] for d in expect
+            }
