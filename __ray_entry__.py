@@ -118,6 +118,12 @@ _LOCAL_ONLY = {
     # partial-aggregation family stays exposed via doc_stats_by_lang_source,
     # timeline and match_summary
     "lineitem_agg",              # TPC-H Q1 agg; boilerplate_strip in
+    # ... and the token-budget selection (keep the best docs until a
+    # global token budget is exhausted — the data-budget cut) takes the
+    # classify family's second slot; the rule-classify pass it displaces
+    # (green r1-r4) rides INSIDE the still-exposed classify_cascade as
+    # its first stage, so the family keeps a driver row
+    "classify_documents",        # rule classify; token_budget_select in
 }
 
 

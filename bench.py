@@ -199,6 +199,9 @@ def run_queries() -> dict:
         # CCNet-style cross-doc boilerplate removal (remove-all
         # complement of paragraph_dedup)
         "boilerplate_strip",
+        # token-budget data selection (keep the best docs until the
+        # global token budget is exhausted; exact boundary resolution)
+        "token_budget_select",
     ]
     times = {}
     for name in picks:

@@ -1156,6 +1156,136 @@ SELECT doc_id, source FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget data selection: keep documents in quality order until a
+# global token budget is exhausted — the "data budget" cut of a curation
+# run (select the best B tokens, not a fraction of docs).
+# ---------------------------------------------------------------------------
+_BUDGET_BOUNDARY_CAP = 5_000_000
+
+
+def q_token_budget_select(sf_dir: str):
+    """Keep docs in (n_chars DESC, doc_id ASC) order while the running
+    token total stays within budget = total_tokens // 2.
+
+    Scale plan — zero shuffles; the corpus tokenizes ONCE into a slim
+    (doc_id, n_chars, n_tokens) projection that is materialized as the
+    fan-out pin for its three consumers (~24 B/row at 100 TB — the
+    checkpointed-table shape of the minhash/tfidf intermediates):
+      1. bounded score-histogram partials: per batch, n_chars ->
+         (n_docs, sum_tokens); distinct scores bound the partial size
+         regardless of corpus size (the value_histogram shape),
+      2. driver: descending cumulative sum finds the boundary score
+         s* — every doc scoring above s* fits the budget whole; the
+         remainder R falls inside the s* tie group,
+      3. only the s*-tie rows come back (bounded by the tie-group
+         size, refused above _BUDGET_BOUNDARY_CAP before collecting —
+         quantize scores if a single score ties millions of docs);
+         the driver resolves their per-doc prefix sums against R,
+      4. map-only Arrow filter: score > s*, or doc_id in the broadcast
+         boundary keep set.
+    Keep rule == the SQL window ``SUM(n_tokens) OVER (ORDER BY n_chars
+    DESC, doc_id) <= budget`` — integer arithmetic end to end, so the
+    oracle is bit-exact."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = batch.select(["text"]).to_pandas()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "n_tokens": pa.array(
+                    df["text"].str.count(_TOKEN_RE.pattern).to_numpy("int64")
+                ),
+            }
+        )
+
+    tok = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("n_chars", sort=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return g.reset_index()
+
+    hist = (
+        tok.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n_chars", sort=False)
+        .sum()
+        .sort_index(ascending=False)
+    )
+    budget = int(hist["sum_tokens"].sum()) // 2
+    cum = hist["sum_tokens"].cumsum()
+    over = cum > budget
+    if not over.any():
+        return tok  # the whole corpus fits the budget
+    s_star = int(over.idxmax())
+    pos = int(over.to_numpy().argmax())
+    prefix = int(cum.iloc[pos - 1]) if pos else 0
+    if int(hist.loc[s_star, "n_docs"]) > _BUDGET_BOUNDARY_CAP:
+        raise ValueError(
+            f"token_budget_select: {int(hist.loc[s_star, 'n_docs'])} docs "
+            f"tie the boundary score {s_star} (> {_BUDGET_BOUNDARY_CAP}); "
+            f"quantize the score column before selecting"
+        )
+    tie = (
+        tok.map_batches(
+            lambda t, s=s_star: t.filter(pc.equal(t["n_chars"], s)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    fits = tie["n_tokens"].cumsum() + prefix <= budget
+    n_kept = int(hist["n_docs"].iloc[:pos].sum()) + int(fits.sum())
+    if n_kept == 0:
+        # a fully-empty filtered Dataset drops its schema through
+        # to_pandas (the contamination sf0.1 lesson) — the driver knows
+        # the count, so return the typed empty frame directly
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_chars": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+            }
+        )
+    keep_ref = ray.put(
+        pa.array(tie.loc[fits, "doc_id"].to_numpy("int64"), type=pa.int64())
+    )
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        keep_ids = _broadcast_get(keep_ref)
+        mask = pc.or_(
+            pc.greater(batch["n_chars"], s_star),
+            pc.is_in(batch["doc_id"], value_set=keep_ids),
+        )
+        return batch.filter(mask)
+
+    return tok.map_batches(final_filter, batch_format="pyarrow")
+
+
+SQL_TOKEN_BUDGET_SELECT = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM t
+), w AS (
+  SELECT doc_id, n_chars, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS run
+  FROM t
+)
+SELECT w.doc_id, w.n_chars, w.n_tokens
+FROM w, b WHERE w.run <= b.budget
+"""
+
+
 def q_embedding_dup(sf_dir: str, threshold: float = 0.45):
     """Exact all-pairs near-dup: each batch scores against the broadcast matrix.
 
@@ -5533,6 +5663,7 @@ SQL_QUERIES = {
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "knn_filtered": (q_knn_filtered, SQL_KNN_FILTERED),
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
+    "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),

@@ -714,3 +714,55 @@ def test_boilerplate_strip_all_duplicated_corpus(tmp_path):
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(df.columns) == ["doc_id", "n_kept", "n_dropped", "text"]
     assert len(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select: data-budget cut with exact boundary resolution
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_select_boundary(tmp_path):
+    """The keep rule is the SQL window SUM(n_tokens) OVER (ORDER BY
+    n_chars DESC, doc_id) <= total//2 — pinned on a corpus where the
+    budget runs out INSIDE a tie group, so the per-doc boundary
+    resolution (doc_id order within the s* score) is what decides."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_token_budget_select,
+    )
+
+    def text_of(n):  # exactly n [A-Za-z0-9]+ tokens
+        return " ".join(f"w{i}" for i in range(n))
+
+    # (doc_id, n_chars, n_tokens): three docs TIE at n_chars=50 where
+    # the budget boundary lands
+    spec = [
+        (1, 90, 10),   # kept: run 10
+        (2, 50, 12),   # tie group, doc order 2,5,7: run 22 <= 26 kept
+        (5, 50, 4),    # run 26 <= 26 kept (exact-equality edge)
+        (7, 50, 9),    # run 35 > 26 dropped
+        (3, 40, 8),    # after the crossing: dropped
+        (4, 30, 9),    # dropped
+    ]
+    # total 52 -> budget 26
+    rows = [
+        {"doc_id": d, "text": text_of(t), "n_chars": c} for d, c, t in spec
+    ]
+    out = q_token_budget_select(_write_docs(tmp_path, rows)).to_pandas()
+    got = sorted(out["doc_id"].tolist())
+    assert got == [1, 2, 5]
+    assert dict(zip(out["doc_id"], out["n_tokens"])) == {1: 10, 2: 12, 5: 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_select_everything_fits(tmp_path):
+    """A one-doc corpus: budget = total//2 < its tokens, so NOTHING is
+    kept (the boundary group keeps zero members) — and the empty result
+    stays schema-stable."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_token_budget_select,
+    )
+
+    rows = [{"doc_id": 1, "text": "a b c d e", "n_chars": 9}]
+    out = q_token_budget_select(_write_docs(tmp_path, rows))
+    assert isinstance(out, pd.DataFrame)  # typed empty frame, not a Dataset
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_chars", "n_tokens"]
