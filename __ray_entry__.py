@@ -124,6 +124,12 @@ _LOCAL_ONLY = {
     # (green r1-r4) rides INSIDE the still-exposed classify_cascade as
     # its first stage, so the family keeps a driver row
     "classify_documents",        # rule classify; token_budget_select in
+    # ... and the per-language quantile quality screen (adaptive
+    # percentile thresholds, the actionable form of the quality family)
+    # takes the quality slot; the per-doc signal table it displaces
+    # (green r2-r4) stays covered via doc_repetition_stats and the
+    # curation_pipeline quality gate, both exposed
+    "quality_scores",            # per-doc signals; quality_quantile_filter in
 }
 
 

@@ -202,6 +202,8 @@ def run_queries() -> dict:
         # token-budget data selection (keep the best docs until the
         # global token budget is exhausted; exact boundary resolution)
         "token_budget_select",
+        # per-language quantile quality screen (adaptive thresholds)
+        "quality_quantile_filter",
     ]
     times = {}
     for name in picks:

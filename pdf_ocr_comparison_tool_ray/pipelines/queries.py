@@ -733,6 +733,74 @@ FROM sig
 """
 
 # ---------------------------------------------------------------------------
+# Per-language quantile quality screen: thresholds ADAPT to each
+# language's length distribution instead of one global constant — the
+# percentile form of the length filter (quality_scores' actionable kin).
+# ---------------------------------------------------------------------------
+def q_quality_quantile_filter(sf_dir: str):
+    """Drop every document shorter than its language's P25 ``n_chars``.
+
+    Scale plan (zero shuffles): bounded (lang, n_chars) frequency
+    partials -> driver reduce (distinct pairs bound the partial size
+    regardless of corpus size — the value_histogram shape); the exact
+    P25 computes from each language's cumulative counts with
+    quantile_cont's linear interpolation (position q*(n-1); the
+    interpolation weight is dyadic, so both engines' float arithmetic
+    is exact — the user_value_quantiles lesson); thresholds broadcast
+    into one map-only filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (
+            df.groupby(["lang", "n_chars"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "n_chars"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    thr = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy("int64")
+        cum = np.cumsum(g["n"].to_numpy("int64"))
+        p = 0.25 * (int(cum[-1]) - 1)
+        lo_i = int(np.floor(p))
+        lo_v = float(vals[np.searchsorted(cum, lo_i, side="right")])
+        hi_v = float(vals[np.searchsorted(cum, int(np.ceil(p)), side="right")])
+        thr[lang] = lo_v + (hi_v - lo_v) * (p - lo_i)
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = _broadcast_get(thr_ref)
+        df = batch.to_pandas()
+        mask = (
+            df["n_chars"].to_numpy("float64")
+            >= df["lang"].map(t).to_numpy("float64")
+        )
+        return pa.Table.from_pandas(df.loc[mask], preserve_index=False)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_QUANTILE_FILTER = """
+WITH q AS (
+  SELECT lang, quantile_cont(n_chars, 0.25) AS thr FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars >= q.thr
+"""
+
+
+# ---------------------------------------------------------------------------
 # token stats (global)
 # ---------------------------------------------------------------------------
 def q_token_stats(sf_dir: str):
@@ -5626,6 +5694,10 @@ SQL_QUERIES = {
     "project_detect": (q_project_detect, SQL_PROJECT_DETECT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_scores": (q_quality, SQL_QUALITY),
+    "quality_quantile_filter": (
+        q_quality_quantile_filter,
+        SQL_QUALITY_QUANTILE_FILTER,
+    ),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),

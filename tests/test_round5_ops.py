@@ -766,3 +766,28 @@ def test_token_budget_select_everything_fits(tmp_path):
     assert isinstance(out, pd.DataFrame)  # typed empty frame, not a Dataset
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "n_chars", "n_tokens"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_quantile_filter_interpolated_thresholds(tmp_path):
+    """Per-language P25 with quantile_cont interpolation: en lands
+    exactly on a value (n=5, p=1.0 -> thr=20, kept inclusive), fr
+    interpolates between ranks (n=4, p=0.75 -> thr=17.5) — thresholds
+    are independent per language."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_quality_quantile_filter,
+    )
+
+    rows = [
+        {"doc_id": 10 + i, "lang": "en", "n_chars": c, "text": "x"}
+        for i, c in enumerate([10, 20, 30, 40, 50])
+    ] + [
+        {"doc_id": 20 + i, "lang": "fr", "n_chars": c, "text": "x"}
+        for i, c in enumerate([10, 20, 30, 40])
+    ]
+    out = q_quality_quantile_filter(_write_docs(tmp_path, rows)).to_pandas()
+    kept = {(r.lang, r.n_chars) for r in out.itertuples()}
+    assert kept == {
+        ("en", 20), ("en", 30), ("en", 40), ("en", 50),
+        ("fr", 20), ("fr", 30), ("fr", 40),
+    }
