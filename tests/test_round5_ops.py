@@ -791,3 +791,18 @@ def test_quality_quantile_filter_interpolated_thresholds(tmp_path):
         ("en", 20), ("en", 30), ("en", 40), ("en", 50),
         ("fr", 20), ("fr", 30), ("fr", 40),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_select_boundary_cap_guard(tmp_path, monkeypatch):
+    """A degenerate corpus where one score ties every doc must refuse
+    (driver-side, BEFORE collecting the tie group) rather than pull an
+    unbounded table."""
+    from pdf_ocr_comparison_tool_ray.pipelines import queries as Q
+
+    rows = [
+        {"doc_id": i, "text": "a b c d", "n_chars": 77} for i in range(20)
+    ]
+    monkeypatch.setattr(Q, "_BUDGET_BOUNDARY_CAP", 10)
+    with pytest.raises(ValueError, match="tie the boundary score"):
+        Q.q_token_budget_select(_write_docs(tmp_path, rows))
