@@ -54,6 +54,7 @@ from ..state.checkpoint import (
     partitions_of_series,
     stamp_empty_partition,
     write_partition_atomic,
+    zero_partition_extra,
 )
 
 # the exposed doc_repetition_stats threshold (queries._REPETITIVE_TOP2_FRAC)
@@ -203,14 +204,12 @@ def _write_stage(
         stamp_empty_partition(
             out_dir,
             p,
-            {
-                "n_docs": 0,
-                "n_words": 0,
-                "wall_sec": 0.0,
-                "input_path": input_path,
-                "input_fp": input_fp,
-                "num_partitions": num_partitions,
-            },
+            zero_partition_extra(
+                ("n_docs", "n_words"),
+                input_path=input_path,
+                input_fp=input_fp,
+                num_partitions=num_partitions,
+            ),
         )
     return df
 
@@ -264,14 +263,12 @@ def run_curation_checkpointed(
                 stamp_empty_partition(
                     out_dir,
                     p,
-                    {
-                        "n_docs": 0,
-                        "n_words": 0,
-                        "wall_sec": 0.0,
-                        "input_path": input_path,
-                        "input_fp": input_fp,
-                        "num_partitions": num_partitions,
-                    },
+                    zero_partition_extra(
+                        ("n_docs", "n_words"),
+                        input_path=input_path,
+                        input_fp=input_fp,
+                        num_partitions=num_partitions,
+                    ),
                 )
             return empty, "keys-sideline"
         ds = ray.data.read_parquet(

@@ -278,6 +278,11 @@ def dedup_keep_canonical(
     has no membership row or IS its cluster_id.  No broadcast — scales
     with the corpus.  Route-forced equivalence pinned in
     tests/test_concomp.py.
+
+    Contract: ``id_col`` values must be UNIQUE in ``docs`` (it is the
+    corpus key).  On duplicate ids the routes diverge — the broadcast
+    filter preserves every occurrence while the co-partition
+    ``keep_bucket`` emits one row per key.
     """
     members = label_components(pairs, col_a, col_b).materialize()
     if members.count() <= broadcast_cap:

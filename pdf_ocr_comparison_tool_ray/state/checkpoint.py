@@ -131,6 +131,15 @@ def check_num_partitions(out_dir: str, num_partitions: int) -> None:
             )
 
 
+def zero_partition_extra(count_fields, **lineage) -> dict:
+    """manifest_extra for an empty-partition stamp: zeroed metric
+    fields + wall_sec + lineage.  One builder for every stamping site
+    (extraction, curation write stage, curation keys-sideline resume)
+    so a new lineage field cannot be added to one site and silently
+    missed in another."""
+    return {**{f: 0 for f in count_fields}, "wall_sec": 0.0, **lineage}
+
+
 def stamp_empty_partition(out_dir: str, part: int, manifest_extra: dict) -> None:
     """Manifest-only completion marker for a partition the run produced
     ZERO rows for (map_groups never invokes the writer on empty groups,
@@ -138,7 +147,18 @@ def stamp_empty_partition(out_dir: str, part: int, manifest_extra: dict) -> None
     incomplete and blocks the noop / fast-resume paths — review
     finding).  No data file is written: fabricating an empty parquet
     would have to guess column dtypes and could poison the schema of
-    read_checkpointed_output's merged read."""
+    read_checkpointed_output's merged read.
+
+    A STALE part file from a previous input (same out_dir, rewritten
+    source — the partition used to be nonempty) is unlinked FIRST:
+    otherwise the stamp marks the partition complete while
+    read_checkpointed_output keeps globbing the old rows in as current
+    output (review finding)."""
+    stale = Path(out_dir) / f"part-{part:05d}.parquet"
+    try:
+        stale.unlink()
+    except FileNotFoundError:
+        pass
     mdir = _manifest_dir(out_dir)
     mdir.mkdir(parents=True, exist_ok=True)
     entry = {
@@ -310,15 +330,13 @@ def run_extraction_checkpointed(
             stamp_empty_partition(
                 out_dir,
                 p,
-                {
-                    "n_docs": 0,
-                    "n_spans": 0,
-                    "wall_sec": 0.0,
-                    "seed": seed,
-                    "input_path": flat_path,
-                    "input_fp": input_fp,
-                    "num_partitions": num_partitions,
-                },
+                zero_partition_extra(
+                    ("n_docs", "n_spans"),
+                    seed=seed,
+                    input_path=flat_path,
+                    input_fp=input_fp,
+                    num_partitions=num_partitions,
+                ),
             )
     return df
 

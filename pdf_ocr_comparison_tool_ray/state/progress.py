@@ -83,12 +83,16 @@ def _scan_manifest(out_dir: str, input_fp: Optional[str]) -> list:
     for f in sorted(mdir.glob("p*.json")):
         try:
             entry = json.loads(f.read_text())
-            if not (Path(out_dir) / entry["file"]).is_file():
-                continue
+            if not entry.get("empty"):
+                # empty partitions stamp a manifest with no data file
+                # (file: null) — mirror completed_partitions' rule or
+                # the watcher crashes on them / never reports complete
+                if not (Path(out_dir) / entry["file"]).is_file():
+                    continue
             if input_fp is not None and entry.get("input_fp") != input_fp:
                 continue
             entries.append(entry)
-        except (ValueError, KeyError, OSError):
+        except (ValueError, KeyError, TypeError, OSError):
             continue
     return entries
 

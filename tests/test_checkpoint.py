@@ -407,3 +407,45 @@ def test_input_fingerprint_directory_sees_member_rewrite(tmp_path):
     f.write_bytes(b"y" * 64)  # same size, same name, new content/mtime
     fp2 = input_fingerprint(str(d))
     assert fp1 != fp2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_progress_watcher_handles_empty_stamps(tmp_path, corpus_parquet):
+    """The progress surface must count manifest-only empty-partition
+    stamps (file: null) as done — not TypeError on them, and not report
+    a forever-incomplete job (review finding)."""
+    from pdf_ocr_comparison_tool_ray.state.progress import job_progress
+
+    flat_path, _ = corpus_parquet
+    out_dir = str(tmp_path / "out")
+    big_p = 64  # 25 docs -> most partitions empty
+    run_extraction_checkpointed(flat_path, out_dir, num_partitions=big_p)
+    prog = job_progress(out_dir)
+    assert prog["partitions_done"] == big_p
+    assert prog["complete"] is True
+    assert prog["pct"] == 100.0
+
+
+def test_stamp_empty_partition_unlinks_stale_part_file(tmp_path):
+    """An empty stamp over an out_dir holding a stale part file from a
+    previous input must remove the file — otherwise the partition
+    reports complete while read_checkpointed_output serves the old rows
+    (review finding)."""
+    from pdf_ocr_comparison_tool_ray.state.checkpoint import (
+        stamp_empty_partition,
+        zero_partition_extra,
+    )
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    stale = out_dir / "part-00003.parquet"
+    pd.DataFrame({"doc_id": ["old"]}).to_parquet(stale)
+    stamp_empty_partition(
+        str(out_dir),
+        3,
+        zero_partition_extra(
+            ("n_docs", "n_spans"), input_path="x", input_fp="fp"
+        ),
+    )
+    assert not stale.exists()
+    assert completed_partitions(str(out_dir), "fp") == [3]

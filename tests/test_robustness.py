@@ -342,6 +342,7 @@ def test_semi_anti_join_tolerates_empty_blocks():
     assert semi["v"].dtype == anti["v"].dtype == "int64"
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_bucketed_join_empty_side_behavior():
     """A fully-empty Dataset reports schema() None; the join must not
     AttributeError (review finding).  semi/anti degrade gracefully —
