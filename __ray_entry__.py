@@ -130,6 +130,13 @@ _LOCAL_ONLY = {
     # (green r2-r4) stays covered via doc_repetition_stats and the
     # curation_pipeline quality gate, both exposed
     "quality_scores",            # per-doc signals; quality_quantile_filter in
+    # final-hour breadth kept OUT of the window: the dedup family
+    # already holds eleven driver slots (exact, streaming, minhash,
+    # simhash, ngram-jaccard, clusters, keep-best, paragraph,
+    # boilerplate, exactsubstr, semdedup) — this anti-join ingestion
+    # form stays local-strict (3-scale mirror + route-equivalence
+    # pytest) rather than churning the stable window again
+    "ingest_dedup",              # two-corpus anti-join form of exact_dedup
 }
 
 

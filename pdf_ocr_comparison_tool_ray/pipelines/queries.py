@@ -163,6 +163,104 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: dedupe a NEW batch against a STANDING
+# corpus (the new-crawl-vs-100TB shape) — the two-corpus anti-join form
+# of exact_dedup.  Here the odd doc_ids ingest against the even half.
+# ---------------------------------------------------------------------------
+_INGEST_KEY_CAP = 5_000_000
+
+
+def q_ingest_dedup(sf_dir: str):
+    """Admit each incoming document iff its content key does not exist
+    in the standing corpus.
+
+    Size-routed like the dedup family: the standing side reduces to
+    batch-unique content keys (32-byte rows, never texts); when the key
+    table fits (``_INGEST_KEY_CAP``) it broadcasts and the incoming
+    half streams ONE map-only membership filter — at 100 TB standing /
+    small daily increments this is the normal regime, and the standing
+    keys would come from the dedup-keys sideline the curate job already
+    lands per partition.  Above the cap, a bucketed anti-join
+    co-partitions both sides on the key (no broadcast state).  Both
+    routes are equivalence-pinned."""
+    import pyarrow.compute as pc
+
+    from ..stages.bucketed import bucketed_equi_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy("int64"), type=pa.int64()
+                ),
+                "content_key": pa.array(
+                    [_prefix_key(t) for t in df["text"]], type=pa.string()
+                ),
+            }
+        )
+
+    # fan-out pin: both halves filter the slim keyed projection
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def standing_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = df.loc[df["doc_id"] % 2 == 0, "content_key"]
+        return pa.table(
+            {"content_key": pa.array(pd.unique(k), type=pa.string())}
+        )
+
+    keys_ds = keyed_ds.map_batches(
+        standing_keys, batch_format="pyarrow"
+    ).materialize()
+
+    def incoming(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1)
+        )
+
+    if keys_ds.count() <= _INGEST_KEY_CAP:
+        kdf = keys_ds.to_pandas()  # bounded by the cap (32 B/key rows)
+        if not len(kdf.columns):
+            kdf = pd.DataFrame({"content_key": pd.Series(dtype=object)})
+        key_ref = ray.put(
+            pa.array(pd.unique(kdf["content_key"]), type=pa.string())
+        )
+
+        def admit(batch: pa.Table) -> pa.Table:
+            t = incoming(batch)
+            seen = pc.is_in(
+                t["content_key"], value_set=_broadcast_get(key_ref)
+            )
+            return t.filter(pc.invert(seen))
+
+        return keyed_ds.map_batches(admit, batch_format="pyarrow")
+
+    return bucketed_equi_join(
+        keyed_ds.map_batches(incoming, batch_format="pyarrow"),
+        keys_ds,
+        on="content_key",
+        how="anti",
+    )
+
+
+SQL_INGEST_DEDUP = f"""
+WITH k AS (
+  SELECT doc_id, {_PREFIX_KEY_SQL} AS content_key FROM documents
+)
+SELECT b.doc_id, b.content_key
+FROM k b
+WHERE b.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM k a
+    WHERE a.doc_id % 2 = 0 AND a.content_key = b.content_key
+  )
+"""
+
+
 def q_streaming_dedup_ingest(sf_dir: str):
     """Online first-arrival dedup through the sharded mutable-gate tier
     (stages/streaming_dedup.py) — the ingestion-shaped sibling of
@@ -5736,6 +5834,7 @@ SQL_QUERIES = {
     "knn_filtered": (q_knn_filtered, SQL_KNN_FILTERED),
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
+    "ingest_dedup": (q_ingest_dedup, SQL_INGEST_DEDUP),
     "exactsubstr_dedup": (q_exactsubstr_dedup, SQL_EXACTSUBSTR_DEDUP),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),

@@ -806,3 +806,36 @@ def test_token_budget_select_boundary_cap_guard(tmp_path, monkeypatch):
     monkeypatch.setattr(Q, "_BUDGET_BOUNDARY_CAP", 10)
     with pytest.raises(ValueError, match="tie the boundary score"):
         Q.q_token_budget_select(_write_docs(tmp_path, rows))
+
+
+# ---------------------------------------------------------------------------
+# ingest_dedup: incremental new-vs-standing-corpus anti-join
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_dedup_planted_and_route_equivalence(tmp_path, monkeypatch):
+    """Odd (incoming) docs are admitted iff their content key is absent
+    from the even (standing) half; the broadcast and bucketed anti-join
+    routes pick identical survivors."""
+    from pdf_ocr_comparison_tool_ray.pipelines import queries as Q
+
+    rows = [
+        # standing half (even ids)
+        {"doc_id": 0, "text": "alpha beta shared standing body one"},
+        {"doc_id": 2, "text": "gamma delta other standing body two"},
+        # incoming half (odd ids)
+        {"doc_id": 1, "text": "alpha beta same-key incoming duplicate"},  # dropped
+        {"doc_id": 3, "text": "epsilon zeta genuinely new incoming"},     # admitted
+        {"doc_id": 5, "text": "gamma delta another same-key arrival"},    # dropped
+        {"doc_id": 7, "text": "eta theta also new"},                      # admitted
+    ]
+    sf = _write_docs(tmp_path, rows)
+    broadcast = Q.q_ingest_dedup(sf).to_pandas()
+    assert sorted(broadcast["doc_id"]) == [3, 7]
+    monkeypatch.setattr(Q, "_INGEST_KEY_CAP", -1)  # force the anti-join route
+    copart = Q.q_ingest_dedup(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        broadcast.sort_values("doc_id").reset_index(drop=True),
+        copart.sort_values("doc_id").reset_index(drop=True)[
+            list(broadcast.columns)
+        ],
+    )
