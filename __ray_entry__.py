@@ -31,7 +31,7 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 34 stay
+# query must land inside that window WITH its oracle, so these 36 stay
 # out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
@@ -118,6 +118,17 @@ _LOCAL_ONLY = {
     # partial-aggregation family stays exposed via doc_stats_by_lang_source,
     # timeline and match_summary
     "lineitem_agg",              # TPC-H Q1 agg; boilerplate_strip in
+    # ... and the CCNet perplexity-bucketing op (per-language LM-score
+    # head/middle/tail split) takes a date-regex-family slot; the
+    # demotee is green r1-r4 and its M7 feature regexes stay exposed
+    # through compare_pipeline's oracle (the date/amount keys flow
+    # through its match join)
+    "timeline",                  # date-extraction agg; perplexity_buckets in
+    # ... and the mergeable histogram quantile sketch (global approximate
+    # quantiles in two bounded-state passes) takes the fingerprint slot;
+    # the demotee is green r1-r4 and the hash/fingerprint family stays
+    # exposed via exact_dedup and simhash_pairs
+    "doc_fingerprint",           # rolling-hash fingerprint; approx_quantile_hist in
     # ... and the token-budget selection (keep the best docs until a
     # global token budget is exhausted — the data-budget cut) takes the
     # classify family's second slot; the rule-classify pass it displaces

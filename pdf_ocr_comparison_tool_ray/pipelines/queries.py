@@ -5752,6 +5752,285 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+# score every document under ITS OWN language's LM and split each language
+# into head / middle / tail quality buckets at score quantiles — CCNet's
+# signature curation move.  The in-corpus add-one bigram model stands in
+# for the paper's pretrained KenLM (same fit as bigram_logprob, keyed by
+# lang), and the cuts sit at P25/P75 (dyadic interpolation weights, so
+# numpy and quantile_cont agree bit-for-bit — the quality_quantile_filter
+# lesson) instead of CCNet's equal thirds (1/3 is not dyadic).
+# Plan: model fit = bounded (lang,w1,w2) count partials + driver reduce +
+# broadcast; scoring = one map-only pass (scores 9-rounded, the
+# bigram_logprob convention that absorbs sum-order ulps); thresholds =
+# exact per-lang quantiles of the scores (driver collect of 2 scalars per
+# doc — at 100 TB calibrate them on a hash-sample quantile instead, the
+# dsir_select note; the assign pass is unchanged); bucket assign =
+# map-only vs the broadcast threshold dict.  Low avg_nll = head.
+# ---------------------------------------------------------------------------
+def q_perplexity_buckets(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def fit_partial(batch: pa.Table) -> pd.DataFrame:
+        rows: dict = {}
+        vocab: set = set()
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = [w for w in t.split(" ") if w]
+            vocab.update((lang, w) for w in ws)
+            for a, b in zip(ws, ws[1:]):
+                k = (lang, a, b)
+                rows[k] = rows.get(k, 0) + 1
+        marks = sorted(vocab)
+        return pd.DataFrame(
+            {
+                "lang": [k[0] for k in rows] + [m[0] for m in marks],
+                "w1": [k[1] for k in rows] + [m[1] for m in marks],
+                "w2": [k[2] for k in rows] + [""] * len(marks),
+                "c": pd.Series(
+                    list(rows.values()) + [0] * len(marks), dtype="int64"
+                ),
+            }
+        )
+
+    parts = ds.map_batches(fit_partial, batch_format="pyarrow").to_pandas()
+    vocab_rows = parts[parts["w2"] == ""]
+    bc = (
+        parts[parts["w2"] != ""]
+        .groupby(["lang", "w1", "w2"], as_index=False)["c"]
+        .sum()
+    )
+    models: dict = {}
+    for lang, g in bc.groupby("lang"):
+        c1 = g.groupby("w1")["c"].sum()
+        models[lang] = {
+            "bc": {
+                (a, b): int(c)
+                for a, b, c in zip(g["w1"], g["w2"], g["c"])
+            },
+            "c1": dict(zip(c1.index, c1.astype(int))),
+            "v": int(
+                vocab_rows.loc[vocab_rows["lang"] == lang, "w1"].nunique()
+            ),
+        }
+    model_ref = ray.put(models)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        ms = _broadcast_get(model_ref)
+        ids, langs, nll = [], [], []
+        for did, lang, t in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            ws = [w for w in t.split(" ") if w]
+            if len(ws) < 2:
+                continue
+            m = ms[lang]
+            bcm, c1m, v = m["bc"], m["c1"], m["v"]
+            s = 0.0
+            for a, b in zip(ws, ws[1:]):
+                s += np.log((bcm.get((a, b), 0) + 1.0) / (c1m.get(a, 0) + v))
+            ids.append(did)
+            langs.append(lang)
+            nll.append(-s / (len(ws) - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lang": pd.Series(langs, dtype="object"),
+                "avg_nll": pd.Series(nll, dtype="float64").round(9),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    def _interp_quantile(vals: np.ndarray, q: float) -> float:
+        p = q * (len(vals) - 1)
+        lo_i = int(np.floor(p))
+        hi_i = int(np.ceil(p))
+        return float(vals[lo_i] + (vals[hi_i] - vals[lo_i]) * (p - lo_i))
+
+    sc = scored.to_pandas()
+    thr = {}
+    for lang, g in sc.groupby("lang"):
+        vals = np.sort(g["avg_nll"].to_numpy("float64"))
+        thr[lang] = (
+            _interp_quantile(vals, 0.25),
+            _interp_quantile(vals, 0.75),
+        )
+    thr_ref = ray.put(thr)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        t = _broadcast_get(thr_ref)
+        df = batch.to_pandas()
+        q25 = df["lang"].map({k: v[0] for k, v in t.items()}).to_numpy(
+            "float64"
+        )
+        q75 = df["lang"].map({k: v[1] for k, v in t.items()}).to_numpy(
+            "float64"
+        )
+        s = df["avg_nll"].to_numpy("float64")
+        df["bucket"] = np.where(
+            s <= q25, "head", np.where(s <= q75, "middle", "tail")
+        )
+        return df
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, lang, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), big AS (
+  SELECT p1.doc_id, p1.lang, p1.w AS w1, p2.w AS w2
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+), bc AS (
+  SELECT lang, w1, w2, count(*) AS c FROM big GROUP BY lang, w1, w2
+), c1 AS (
+  SELECT lang, w1, sum(c) AS c1 FROM bc GROUP BY lang, w1
+), v AS (
+  SELECT lang, count(DISTINCT w) AS v FROM pos GROUP BY lang
+), scores AS (
+  SELECT b.doc_id, b.lang,
+         round(-avg(ln((bc.c + 1.0) / (c1.c1 + v.v))), 9) AS avg_nll
+  FROM big b JOIN bc USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+       JOIN v USING (lang)
+  GROUP BY b.doc_id, b.lang
+), q AS (
+  SELECT lang, quantile_cont(avg_nll, 0.25) AS q25,
+               quantile_cont(avg_nll, 0.75) AS q75
+  FROM scores GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_nll,
+       CASE WHEN s.avg_nll <= q.q25 THEN 'head'
+            WHEN s.avg_nll <= q.q75 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s JOIN q USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch — GLOBAL approximate quantiles of
+# events.value in two streaming passes with bounded state (min/max/n
+# partials, then B=256 equi-width bin-count partials + driver reduce),
+# the scale path the exact per-user quantiles' bucketed sort cannot give
+# for a corpus-wide statistic.  Everything runs in int64 cents (the
+# user_value_quantiles convention) so every bin edge, rank and
+# interpolated estimate is pure integer arithmetic the SQL oracle
+# replays bit-for-bit; error is bounded by one bin width (pinned by
+# test against the exact quantile).  Rank convention: k = pct*(n-1)//100
+# (0-indexed lower rank); within the selected bin the estimate
+# interpolates integer-linearly between the bin's edges.
+# ---------------------------------------------------------------------------
+_AQH_BINS = 256
+_AQH_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_approx_quantile_hist(sf_dir: str):
+    ds = _read(sf_dir, "events", ["value"])
+
+    def _cents(batch: pa.Table) -> np.ndarray:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return np.rint(v * 100).astype("int64")
+
+    def mm_partial(batch: pa.Table) -> pd.DataFrame:
+        v = _cents(batch)
+        if len(v) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("vmin", "vmax", "n")}
+            )
+        return pd.DataFrame(
+            {
+                "vmin": pd.Series([v.min()], dtype="int64"),
+                "vmax": pd.Series([v.max()], dtype="int64"),
+                "n": pd.Series([len(v)], dtype="int64"),
+            }
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    vmin = int(mm["vmin"].min())
+    vmax = int(mm["vmax"].max())
+    n = int(mm["n"].sum())
+    span = vmax - vmin + 1
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        v = _cents(batch)
+        idx = (v - vmin) * _AQH_BINS // span
+        binc = np.bincount(idx, minlength=_AQH_BINS)
+        nz = np.flatnonzero(binc)
+        return pd.DataFrame(
+            {
+                "bin_idx": pd.Series(nz, dtype="int64"),
+                "cnt": pd.Series(binc[nz], dtype="int64"),
+            }
+        )
+
+    hist = _driver_reduce(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["bin_idx"],
+        ["cnt"],
+    )
+    idxs = hist["bin_idx"].to_numpy("int64")
+    cnts = hist["cnt"].to_numpy("int64")
+    cumb = np.cumsum(cnts) - cnts
+
+    rows = []
+    for pct in _AQH_PCTS:
+        k = pct * (n - 1) // 100
+        j = int(np.searchsorted(cumb + cnts, k, side="right"))
+        bi, cb, ct = int(idxs[j]), int(cumb[j]), int(cnts[j])
+        lo = vmin + bi * span // _AQH_BINS
+        hi = vmin + (bi + 1) * span // _AQH_BINS
+        est = lo + (k - cb) * (hi - lo) // ct
+        rows.append((pct, k, bi, est))
+    return pd.DataFrame(
+        {
+            "pct": pd.Series([r[0] for r in rows], dtype="int64"),
+            "rank_k": pd.Series([r[1] for r in rows], dtype="int64"),
+            "bin_idx": pd.Series([r[2] for r in rows], dtype="int64"),
+            "est_cents": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+SQL_APPROX_QUANTILE_HIST = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+), mm AS (
+  SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n,
+         max(v) - min(v) + 1 AS span
+  FROM c
+), h AS (
+  SELECT (c.v - mm.vmin) * {_AQH_BINS} // mm.span AS bin_idx,
+         count(*) AS cnt
+  FROM c, mm GROUP BY 1
+), cum AS (
+  SELECT bin_idx, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin_idx) - cnt AS BIGINT) AS cumb
+  FROM h
+), ks AS (
+  SELECT t.pct, t.pct * (mm.n - 1) // 100 AS k
+  FROM (SELECT unnest([{', '.join(str(p) for p in _AQH_PCTS)}]) AS pct) t, mm
+)
+SELECT CAST(ks.pct AS BIGINT) AS pct,
+       CAST(ks.k AS BIGINT) AS rank_k,
+       CAST(cum.bin_idx AS BIGINT) AS bin_idx,
+       CAST((mm.vmin + cum.bin_idx * mm.span // {_AQH_BINS})
+            + (ks.k - cum.cumb)
+              * ((mm.vmin + (cum.bin_idx + 1) * mm.span // {_AQH_BINS})
+                 - (mm.vmin + cum.bin_idx * mm.span // {_AQH_BINS}))
+              // cum.cnt
+            AS BIGINT) AS est_cents
+FROM ks JOIN cum ON ks.k >= cum.cumb AND ks.k < cum.cumb + cum.cnt
+CROSS JOIN mm
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -5857,4 +6136,6 @@ SQL_QUERIES = {
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "approx_quantile_hist": (q_approx_quantile_hist, SQL_APPROX_QUANTILE_HIST),
 }

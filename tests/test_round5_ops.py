@@ -839,3 +839,159 @@ def test_ingest_dedup_planted_and_route_equivalence(tmp_path, monkeypatch):
             list(broadcast.columns)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets: CCNet-style per-language head/middle/tail split
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_perplexity_buckets_planted(tmp_path):
+    """Buckets recompute exactly from an independent pandas cut of the
+    scores; the most predictable doc lands in head, the gibberish one in
+    tail, per-language independently; <2-token docs are excluded."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_perplexity_buckets,
+    )
+
+    common = "the cat sat on the mat"
+    rows = (
+        [{"doc_id": i, "lang": "en", "text": common} for i in range(4)]
+        + [
+            {"doc_id": 4, "lang": "en", "text": "the cat sat on the rug"},
+            {"doc_id": 5, "lang": "en", "text": "qzx wvu jkl mno pqr stu"},
+            {"doc_id": 6, "lang": "en", "text": "the mat sat on a cat maybe"},
+            {"doc_id": 7, "lang": "en", "text": "solo"},  # <2 tokens: excluded
+        ]
+        + [
+            {"doc_id": 10 + i, "lang": "fr", "text": t}
+            for i, t in enumerate(
+                [
+                    "le chien dort ici",
+                    "le chien dort ici",
+                    "le chien dort la bas",
+                    "zyx abc def ghi jkl",
+                ]
+            )
+        ]
+    )
+    out = q_perplexity_buckets(_write_docs(tmp_path, rows)).to_pandas()
+    assert 7 not in set(out["doc_id"])
+    # independent recompute of the cut from the op's own scores
+    for lang, g in out.groupby("lang"):
+        q25 = g["avg_nll"].quantile(0.25, interpolation="linear")
+        q75 = g["avg_nll"].quantile(0.75, interpolation="linear")
+        expect = g["avg_nll"].map(
+            lambda s: "head" if s <= q25 else ("middle" if s <= q75 else "tail")
+        )
+        assert (expect == g["bucket"]).all(), lang
+    en = out[out["lang"] == "en"].set_index("doc_id")
+    assert en.loc[0, "bucket"] == "head"        # 4x-repeated phrase: most predictable
+    assert en.loc[5, "bucket"] == "tail"        # unique gibberish: least predictable
+    assert en.loc[5, "avg_nll"] == en["avg_nll"].max()
+    fr = out[out["lang"] == "fr"].set_index("doc_id")
+    assert fr.loc[13, "bucket"] == "tail"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_perplexity_buckets_single_lang_matches_bigram_logprob(tmp_path):
+    """On a single-language corpus the per-language model degenerates to
+    the global one, so the scores must equal q_bigram_logprob's avg_nll
+    bit-for-bit (same fit, same 9-rounding)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_bigram_logprob,
+        q_perplexity_buckets,
+    )
+
+    rows = [
+        {"doc_id": i, "lang": "en", "text": t}
+        for i, t in enumerate(
+            [
+                "alpha beta gamma delta alpha beta",
+                "alpha beta alpha beta alpha beta",
+                "gamma delta epsilon zeta eta theta",
+                "one two three four five six seven",
+                "alpha gamma beta delta epsilon one",
+            ]
+        )
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        q_perplexity_buckets(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        q_bigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert (got["avg_nll"] == ref["avg_nll"]).all()
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_hist: mergeable histogram sketch, bounded error
+# ---------------------------------------------------------------------------
+def _write_events(tmp_path, values):
+    pd.DataFrame({"value": values}).to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantile_hist_uniform_ramp_exact(tmp_path):
+    """On a uniform integer ramp every bin is full and interpolation is
+    exact: the estimate equals the true k-th order statistic."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _AQH_PCTS,
+        q_approx_quantile_hist,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = np.arange(2560, dtype=np.int64)
+    rng.shuffle(cents)
+    out = q_approx_quantile_hist(
+        _write_events(tmp_path, cents / 100.0)
+    ).set_index("pct")
+    for pct in _AQH_PCTS:
+        k = pct * (len(cents) - 1) // 100
+        assert out.loc[pct, "est_cents"] == k
+        assert out.loc[pct, "rank_k"] == k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantile_hist_error_bounded_by_bin_width(tmp_path):
+    """On a skewed (lognormal-ish) sample the estimate stays within one
+    bin width of the exact order statistic, and degenerate all-equal
+    input returns that value at every pct."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _AQH_BINS,
+        _AQH_PCTS,
+        q_approx_quantile_hist,
+    )
+
+    rng = np.random.default_rng(11)
+    cents = np.rint(np.exp(rng.normal(5.0, 1.2, size=5000)) + 100).astype(
+        np.int64
+    )
+    out = q_approx_quantile_hist(
+        _write_events(tmp_path, cents / 100.0)
+    ).set_index("pct")
+    srt = np.sort(cents)
+    span = int(srt[-1] - srt[0] + 1)
+    width = -(-span // _AQH_BINS)
+    for pct in _AQH_PCTS:
+        k = pct * (len(cents) - 1) // 100
+        assert abs(int(out.loc[pct, "est_cents"]) - int(srt[k])) <= width
+
+    flat_dir = tmp_path / "flat"
+    flat_dir.mkdir()
+    out2 = q_approx_quantile_hist(
+        _write_events(flat_dir, np.full(97, 12.34))
+    )
+    assert (out2["est_cents"] == 1234).all()
