@@ -204,6 +204,10 @@ def run_queries() -> dict:
         "token_budget_select",
         # per-language quantile quality screen (adaptive thresholds)
         "quality_quantile_filter",
+        # final session: CCNet perplexity bucketing + the mergeable
+        # histogram quantile sketch
+        "perplexity_buckets",
+        "approx_quantile_hist",
     ]
     times = {}
     for name in picks:
