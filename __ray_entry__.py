@@ -148,6 +148,15 @@ _LOCAL_ONLY = {
     # form stays local-strict (3-scale mirror + route-equivalence
     # pytest) rather than churning the stable window again
     "ingest_dedup",              # two-corpus anti-join form of exact_dedup
+    # ... and the context-window chunking op (RAG / pretraining window
+    # cut, a brand-new family) takes the sessionize slot; the demotee is
+    # green r1-r4 and the events family stays exposed via
+    # asof_event_order and approx_quantile_hist
+    "sessionize_events",         # gap sessionization; chunk_windows in
+    # the character-entropy quality signal stays local-strict: it is a
+    # kernel sibling of the exposed quality family
+    # (quality_quantile_filter, doc_repetition_stats)
+    "char_entropy",              # entropy quality signal; family exposed
 }
 
 

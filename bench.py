@@ -208,6 +208,9 @@ def run_queries() -> dict:
         # histogram quantile sketch
         "perplexity_buckets",
         "approx_quantile_hist",
+        # continuation-6: context-window chunking + char-entropy signal
+        "chunk_windows",
+        "char_entropy",
     ]
     times = {}
     for name in picks:

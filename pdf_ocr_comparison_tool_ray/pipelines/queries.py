@@ -6031,6 +6031,145 @@ CROSS JOIN mm
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking — the RAG / pretraining chunking op: cut each
+# document's whitespace-token stream into fixed-size windows with a
+# fixed stride (overlap = window - stride), the standard preparation for
+# embedding indexes and for context-window training sets.  Map-only
+# (zero shuffles): a document's chunks are derived entirely from its own
+# row, so the op streams at any corpus size.  The tail rule is the
+# closed-form convention: a document emits
+# ``1 if n <= W else ceil((n - W) / S) + 1`` windows — the last window
+# always reaches the end of the document and no window starts after the
+# end, so no emitted chunk is a strict subset of its predecessor.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64  # window size (tokens)
+_CHUNK_S = 48  # stride (tokens); overlap = 16
+
+
+def _chunk_starts(n: int, w: int = _CHUNK_W, s: int = _CHUNK_S) -> range:
+    import math
+
+    n_chunks = 1 if n <= w else math.ceil((n - w) / s) + 1
+    return range(0, n_chunks * s, s)
+
+
+def q_chunk_windows(sf_dir: str):
+    """Fixed-size overlapping token windows per document (W=64, S=48)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_n, out_text = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = [w for w in text.split(" ") if w]
+            n = len(toks)
+            if n == 0:
+                continue
+            for ci, start in enumerate(_chunk_starts(n)):
+                cs = toks[start : start + _CHUNK_W]
+                out_doc.append(did)
+                out_idx.append(ci)
+                out_n.append(len(cs))
+                out_text.append(" ".join(cs))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=batch["doc_id"].type),
+                "chunk_idx": pa.array(out_idx, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "text": pa.array(out_text, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), sized AS (
+  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+), chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         list_slice(ts, CAST(i AS BIGINT) * {_CHUNK_S} + 1,
+                        CAST(i AS BIGINT) * {_CHUNK_S} + {_CHUNK_W}) AS cs
+  FROM sized,
+       unnest(range(0, CASE WHEN n <= {_CHUNK_W} THEN 1
+                            ELSE CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0)
+                                      AS BIGINT) + 1
+                       END)) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(cs) AS BIGINT) AS n_tokens,
+       array_to_string(cs, ' ') AS text
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal — Shannon entropy of each document's
+# character distribution, the classic junk/low-information detector
+# (machine-generated spam and binary-garbage pages sit at the entropy
+# extremes).  Map-only, vectorized (Counter is C-speed over the string;
+# entropy from the integer count vector in one numpy expression).
+# Summation-order float noise between numpy and DuckDB's SUM is ~1e-15
+# and absorbed by the checker's 9-decimal rounding (the tfidf precedent:
+# np.log vs ln agree post-rounding).  Empty documents are excluded on
+# both sides (no character distribution exists).
+# ---------------------------------------------------------------------------
+def q_char_entropy(sf_dir: str):
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pa.Table:
+        keep_doc, n_chars, n_distinct, ent = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if not text:
+                continue
+            counts = np.fromiter(
+                Counter(text).values(), dtype=np.float64
+            )
+            n = counts.sum()
+            p = counts / n
+            keep_doc.append(did)
+            n_chars.append(int(n))
+            n_distinct.append(len(counts))
+            ent.append(float(-(p * np.log2(p)).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_doc, type=batch["doc_id"].type),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_distinct_chars": pa.array(n_distinct, type=pa.int64()),
+                "char_entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i AS BIGINT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS k FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars,
+       CAST(t.k AS BIGINT) AS n_distinct_chars,
+       -sum((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n))
+         AS char_entropy
+FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n, t.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6138,4 +6277,6 @@ SQL_QUERIES = {
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "approx_quantile_hist": (q_approx_quantile_hist, SQL_APPROX_QUANTILE_HIST),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
 }

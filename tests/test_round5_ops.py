@@ -995,3 +995,102 @@ def test_approx_quantile_hist_error_bounded_by_bin_width(tmp_path):
         _write_events(flat_dir, np.full(97, 12.34))
     )
     assert (out2["est_cents"] == 1234).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_windows_planted(tmp_path):
+    """Chunk count/boundary rules: n<=W -> 1 chunk; the last window
+    always reaches the document end; chunk i covers tokens
+    [i*S, i*S+W); empty docs emit nothing."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_chunk_windows,
+    )
+
+    W, S = _CHUNK_W, _CHUNK_S
+    mk = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        {"doc_id": 1, "text": mk(3, "a")},        # tiny -> 1 chunk
+        {"doc_id": 2, "text": mk(W, "b")},        # exactly W -> 1 chunk
+        {"doc_id": 3, "text": mk(W + 1, "c")},    # 2 chunks, 17-token tail
+        {"doc_id": 4, "text": mk(W + 2 * S, "d")},  # 3 full chunks
+        {"doc_id": 5, "text": ""},                # empty -> no rows
+    ]
+    out = (
+        q_chunk_windows(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    counts = out.groupby("doc_id").size().to_dict()
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 3}
+    for did, text in [(r["doc_id"], r["text"]) for r in rows if r["text"]]:
+        toks = text.split(" ")
+        sub = out[out["doc_id"] == did]
+        for _, r in sub.iterrows():
+            start = int(r["chunk_idx"]) * S
+            expect = toks[start : start + W]
+            assert r["text"] == " ".join(expect)
+            assert int(r["n_tokens"]) == len(expect)
+        # last window reaches the end of the document
+        last = sub.iloc[-1]
+        assert int(last["chunk_idx"]) * S + int(last["n_tokens"]) == len(toks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_windows_reconstruction_property(tmp_path):
+    """Dropping each chunk's 16-token overlap head reconstructs the
+    original token stream exactly (no token lost or duplicated)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_chunk_windows,
+    )
+
+    overlap = _CHUNK_W - _CHUNK_S
+    rows = [
+        {"doc_id": n, "text": " ".join(f"w{n}x{i}" for i in range(n))}
+        for n in (1, 63, 64, 65, 80, 112, 113, 160, 200, 500)
+    ]
+    out = (
+        q_chunk_windows(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    for n in (r["doc_id"] for r in rows):
+        rebuilt = []
+        for ci, (_, r) in enumerate(out[out["doc_id"] == n].iterrows()):
+            toks = r["text"].split(" ")
+            rebuilt.extend(toks if ci == 0 else toks[overlap:])
+        assert rebuilt == [f"w{n}x{i}" for i in range(n)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_char_entropy_planted(tmp_path):
+    """Known-entropy distributions: 1 symbol -> 0 bits, 2 uniform -> 1,
+    4 uniform -> 2; skewed 3:1 matches the closed form; empty docs are
+    excluded."""
+    import math
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_char_entropy
+
+    rows = [
+        {"doc_id": 1, "text": "aaaa"},
+        {"doc_id": 2, "text": "abab"},
+        {"doc_id": 3, "text": "abcd"},
+        {"doc_id": 4, "text": "aaab"},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = (
+        q_char_entropy(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2, 3, 4]
+    assert out.loc[1, "char_entropy"] == pytest.approx(0.0)
+    assert out.loc[2, "char_entropy"] == pytest.approx(1.0)
+    assert out.loc[3, "char_entropy"] == pytest.approx(2.0)
+    skew = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert out.loc[4, "char_entropy"] == pytest.approx(skew)
+    assert int(out.loc[4, "n_chars"]) == 4
+    assert int(out.loc[4, "n_distinct_chars"]) == 2
