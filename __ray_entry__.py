@@ -157,6 +157,12 @@ _LOCAL_ONLY = {
     # kernel sibling of the exposed quality family
     # (quality_quantile_filter, doc_repetition_stats)
     "char_entropy",              # entropy quality signal; family exposed
+    # ... and the PMI co-occurrence miner (word-association table, the
+    # word2vec/GloVe preprocessing pass — a new analysis family) takes
+    # the exact-match-join slot; the demotee is green r1-r4 and J1's
+    # hash-join family stays exposed via compare_pipeline (its
+    # short-circuit route) and order_items
+    "exact_match_join",          # J1 hash join; pmi_cooccur in
 }
 
 

@@ -209,8 +209,10 @@ def run_queries() -> dict:
         "perplexity_buckets",
         "approx_quantile_hist",
         # continuation-6: context-window chunking + char-entropy signal
+        # + PMI co-occurrence mining
         "chunk_windows",
         "char_entropy",
+        "pmi_cooccur",
     ]
     times = {}
     for name in picks:

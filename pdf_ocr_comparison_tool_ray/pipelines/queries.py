@@ -6170,6 +6170,118 @@ GROUP BY c.doc_id, t.n, t.k
 
 
 # ---------------------------------------------------------------------------
+# PMI co-occurrence mining — the word-association table behind
+# word2vec/GloVe-style corpus preprocessing: count ordered token pairs
+# within a forward window of 2 positions inside each document, then rank
+# pairs by pointwise mutual information
+# ln((c12/P) / ((c1/N)*(c2/N))), keeping pairs seen >= 5 times.
+# Engine plan: batch-local (pair, count) + (token, count) partials (one
+# dict pass per batch, the mergeable-partials shape shared with
+# bigram_logprob) -> driver reduce of the vocab-bounded count tables ->
+# vectorized PMI + top-k.  At open-web scale the reduce becomes a
+# bucketed groupby on the pair key (the tfidf df-attach routing); the
+# synthetic corpus vocab is bounded so the driver route is the
+# measured one.  Floats: both engines evaluate the identical
+# left-to-right double expression, so round-9 values match bit-for-bit
+# (the avg_nll precedent).
+# ---------------------------------------------------------------------------
+_PMI_WINDOW = 2     # forward co-occurrence distance
+_PMI_MIN_COUNT = 5  # pair support floor
+_PMI_TOPK = 100
+
+
+def q_pmi_cooccur(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pairs: dict = {}
+        unis: dict = {}
+        for t in batch["text"].to_pylist():
+            ws = [w for w in t.split(" ") if w]
+            for w in ws:
+                unis[w] = unis.get(w, 0) + 1
+            for d in range(1, _PMI_WINDOW + 1):
+                for a, b in zip(ws, ws[d:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in pairs] + list(unis),
+                "w2": [k[1] for k in pairs] + [""] * len(unis),
+                "c": pd.Series(
+                    list(pairs.values()) + list(unis.values()), dtype="int64"
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    uni = (
+        parts[parts["w2"] == ""]
+        .groupby("w1", as_index=False)["c"]
+        .sum()
+        .rename(columns={"w1": "w", "c": "cu"})
+    )
+    pc = (
+        parts[parts["w2"] != ""]
+        .groupby(["w1", "w2"], as_index=False)["c"]
+        .sum()
+    )
+    n_tok = float(uni["cu"].sum())
+    n_pair = float(pc["c"].sum())
+    pc = pc[pc["c"] >= _PMI_MIN_COUNT]
+    pc = pc.merge(
+        uni.rename(columns={"w": "w1", "cu": "c1"}), on="w1"
+    ).merge(uni.rename(columns={"w": "w2", "cu": "c2"}), on="w2")
+    c12 = pc["c"].to_numpy(dtype=np.float64)
+    c1 = pc["c1"].to_numpy(dtype=np.float64)
+    c2 = pc["c2"].to_numpy(dtype=np.float64)
+    pmi = np.round(np.log((c12 * n_tok * n_tok) / (n_pair * c1 * c2)), 9)
+    out = pd.DataFrame(
+        {
+            "w1": pc["w1"].to_numpy(),
+            "w2": pc["w2"].to_numpy(),
+            "pair_count": pc["c"].astype("int64").to_numpy(),
+            "pmi": pmi,
+        }
+    )
+    out = out.sort_values(
+        ["pmi", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(_PMI_TOPK)
+    return out.reset_index(drop=True)
+
+
+SQL_PMI_COOCCUR = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM pos
+), pairs AS (
+  SELECT p1.w AS w1, p2.w AS w2
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.i - p1.i BETWEEN 1 AND {_PMI_WINDOW}
+), ptot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS p FROM pairs
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), uc AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY w
+)
+SELECT pc.w1, pc.w2, CAST(pc.c12 AS BIGINT) AS pair_count,
+       round(ln((CAST(pc.c12 AS DOUBLE) * n.n * n.n)
+                / (ptot.p * u1.c * u2.c)), 9) AS pmi
+FROM pc
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN n CROSS JOIN ptot
+WHERE pc.c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, pc.w1, pc.w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6279,4 +6391,5 @@ SQL_QUERIES = {
     "approx_quantile_hist": (q_approx_quantile_hist, SQL_APPROX_QUANTILE_HIST),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "pmi_cooccur": (q_pmi_cooccur, SQL_PMI_COOCCUR),
 }

@@ -1094,3 +1094,53 @@ def test_char_entropy_planted(tmp_path):
     assert out.loc[4, "char_entropy"] == pytest.approx(skew)
     assert int(out.loc[4, "n_chars"]) == 4
     assert int(out.loc[4, "n_distinct_chars"]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_cooccur_planted(tmp_path):
+    """Hand-computed PMI on a tiny corpus: window-2 pairs only, the
+    min-count floor excludes rare pairs, and the score matches
+    ln((c12*N^2)/(P*c1*c2)) exactly."""
+    import math
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _PMI_MIN_COUNT,
+        q_pmi_cooccur,
+    )
+
+    assert _PMI_MIN_COUNT == 5
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma"} for i in range(5)
+    ] + [
+        {"doc_id": 10 + i, "text": "delta epsilon"} for i in range(4)
+    ]
+    out = q_pmi_cooccur(_write_docs(tmp_path, rows))
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in out.itertuples()}
+    # forward window-2 pairs of the triple, each seen 5x; the pair doc
+    # is seen only 4x and falls under the support floor
+    assert set(got) == {
+        ("alpha", "beta"),
+        ("beta", "gamma"),
+        ("alpha", "gamma"),
+    }
+    n_tok = 5 * 3 + 4 * 2          # 23
+    n_pair = 5 * 3 + 4 * 1         # 19
+    expect = round(math.log((5 * n_tok * n_tok) / (n_pair * 5 * 5)), 9)
+    for c, pmi in got.values():
+        assert c == 5
+        assert pmi == pytest.approx(expect, abs=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_cooccur_window_is_two(tmp_path):
+    """Distance-3 pairs are not counted: 'a d' never co-occurs in
+    'a b c d' even when the doc repeats enough to clear the floor."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_pmi_cooccur
+
+    rows = [{"doc_id": i, "text": "qa qb qc qd"} for i in range(6)]
+    out = q_pmi_cooccur(_write_docs(tmp_path, rows))
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("qa", "qd") not in pairs
+    assert pairs == {
+        ("qa", "qb"), ("qb", "qc"), ("qc", "qd"), ("qa", "qc"), ("qb", "qd"),
+    }
