@@ -163,6 +163,11 @@ _LOCAL_ONLY = {
     # hash-join family stays exposed via compare_pipeline (its
     # short-circuit route) and order_items
     "exact_match_join",          # J1 hash join; pmi_cooccur in
+    # ... and the winnowing fingerprint selector (the MOSS local-
+    # sampling rule, a named algorithm new to the registry) takes the
+    # repeated-ngrams slot; the demotee is green r2-r4 and its
+    # ExactSubstr-flavor family stays exposed via exactsubstr_dedup
+    "repeated_ngrams",           # hashed-window counts; winnow_fingerprint in
 }
 
 

@@ -213,6 +213,7 @@ def run_queries() -> dict:
         "chunk_windows",
         "char_entropy",
         "pmi_cooccur",
+        "winnow_fingerprint",
     ]
     times = {}
     for name in picks:

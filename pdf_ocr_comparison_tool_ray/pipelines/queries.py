@@ -6282,6 +6282,120 @@ LIMIT {_PMI_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# selection rule): hash every char k-gram, slide a w-window over the
+# hash sequence, and select the RIGHTMOST minimal hash of each window;
+# the deduplicated selections are the document's fingerprint.  The
+# guarantee the paper proves: any shared substring of length >= k+w-1
+# contributes at least one common selected hash, at expected density
+# 2/(w+1) — the local-sampling step under MOSS-style plagiarism /
+# near-dup detection.  Map-only (each doc fingerprints itself); the
+# output is a per-doc digest (count, min, xor of selected hashes) so
+# downstream joins ship 4 scalars per doc, not the selection set.
+# Docs shorter than k have no grams and are excluded on both sides;
+# docs with fewer than w grams use the single partial window (global
+# rightmost-min).  Hashes are 60-bit md5 prefixes -> int64-safe, and
+# count/min/xor are integer-exact, so the DuckDB replay is
+# bit-identical.  Per-gram md5 is the hot cost (same deploy caveat as
+# exactsubstr/dsir: swap in a vectorized rolling hash if it binds).
+# ---------------------------------------------------------------------------
+_WINNOW_K = 8  # char k-gram length
+_WINNOW_W = 4  # winnowing window (grams)
+
+
+def _winnow_positions(hs: "np.ndarray", w: int = _WINNOW_W) -> "np.ndarray":
+    """Selected gram positions: rightmost argmin of each length-w window."""
+    n = len(hs)
+    if n <= w:
+        return np.array([n - 1 - int(np.argmin(hs[::-1]))], dtype=np.int64)
+    views = np.lib.stride_tricks.sliding_window_view(hs, w)
+    right_amin = (w - 1) - np.argmin(views[:, ::-1], axis=1)
+    return np.unique(right_amin + np.arange(n - w + 1))
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        ids, n_grams, n_sel, fp_min, fp_xor = [], [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ng = len(text) - _WINNOW_K + 1
+            if ng <= 0:
+                continue
+            hs = np.fromiter(
+                (
+                    int(
+                        _hl.md5(
+                            text[i : i + _WINNOW_K].encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(ng)
+                ),
+                dtype=np.int64,
+                count=ng,
+            )
+            sel = hs[_winnow_positions(hs)]
+            ids.append(did)
+            n_grams.append(ng)
+            n_sel.append(len(sel))
+            fp_min.append(int(sel.min()))
+            fp_xor.append(int(np.bitwise_xor.reduce(sel)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(n_grams, dtype="int64"),
+                "n_selected": pd.Series(n_sel, dtype="int64"),
+                "fp_min": pd.Series(fp_min, dtype="int64"),
+                "fp_xor": pd.Series(fp_xor, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH series AS (
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 8191) AS t(i)
+), g AS (
+  SELECT d.doc_id, s.i AS j,
+         CAST(CAST(concat('0x',
+             substr(md5(substr(d.text, CAST(s.i + 1 AS INT), {_WINNOW_K})),
+                    1, 15)) AS UBIGINT) AS BIGINT) AS h,
+         len(d.text) - {_WINNOW_K} + 1 AS ng
+  FROM documents d JOIN series s ON s.i <= len(d.text) - {_WINNOW_K}
+), ngs AS (
+  SELECT DISTINCT doc_id, ng FROM g
+), wins AS (
+  SELECT n.doc_id, s.i AS ws
+  FROM ngs n JOIN series s ON s.i <= greatest(n.ng - {_WINNOW_W}, 0)
+), cand AS (
+  SELECT w.doc_id, w.ws, g.j, g.h,
+         row_number() OVER (PARTITION BY w.doc_id, w.ws
+                            ORDER BY g.h ASC, g.j DESC) AS rn
+  FROM wins w JOIN g ON g.doc_id = w.doc_id
+                    AND g.j BETWEEN w.ws AND w.ws + {_WINNOW_W} - 1
+), sel AS (
+  SELECT DISTINCT doc_id, j, h FROM cand WHERE rn = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_selected, min(h) AS fp_min,
+         bit_xor(h) AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(n.ng AS BIGINT) AS n_grams,
+       CAST(a.n_selected AS BIGINT) AS n_selected,
+       CAST(a.fp_min AS BIGINT) AS fp_min,
+       CAST(a.fp_xor AS BIGINT) AS fp_xor
+FROM ngs n JOIN agg a ON a.doc_id = n.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6392,4 +6506,5 @@ SQL_QUERIES = {
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "pmi_cooccur": (q_pmi_cooccur, SQL_PMI_COOCCUR),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
 }

@@ -1144,3 +1144,89 @@ def test_pmi_cooccur_window_is_two(tmp_path):
     assert pairs == {
         ("qa", "qb"), ("qb", "qc"), ("qc", "qd"), ("qa", "qc"), ("qb", "qd"),
     }
+
+
+def _brute_winnow(text, k, w):
+    """Independent naive winnowing: per-window rightmost-min over char
+    k-gram md5 hashes; returns (n_grams, n_selected, fp_min, fp_xor)."""
+    ng = len(text) - k + 1
+    if ng <= 0:
+        return None
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(ng)
+    ]
+    sel = set()
+    for s in range(max(ng - w, 0) + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        j = max(i for i, h in enumerate(win) if h == m) + s
+        sel.add(j)
+    picked = [hs[j] for j in sorted(sel)]
+    x = 0
+    for h in picked:
+        x ^= h
+    return (ng, len(picked), min(picked), x)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_fingerprint_matches_bruteforce(tmp_path):
+    """Pipeline digests equal a naive reimplementation on docs covering
+    long text, exact-window-length text, sub-window text, and sub-k text
+    (excluded)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    k, w = _WINNOW_K, _WINNOW_W
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 8,
+        2: "abcdefgh",                 # exactly one gram
+        3: "abcdefghij",               # ng=3 < w: single partial window
+        4: "short",                    # < k: excluded
+        5: "zz" * 200,                 # degenerate repetition: equal hashes
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = (
+        q_winnow_fingerprint(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2, 3, 5]
+    for did, t in texts.items():
+        expect = _brute_winnow(t, k, w)
+        if expect is None:
+            assert did not in out.index
+            continue
+        got = out.loc[did]
+        assert (
+            int(got["n_grams"]),
+            int(got["n_selected"]),
+            int(got["fp_min"]),
+            int(got["fp_xor"]),
+        ) == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_density_near_paper_bound(tmp_path):
+    """Expected selection density on random-ish text is ~2/(w+1)
+    (Schleimer et al. 2003, Thm 2); allow a generous band."""
+    import random
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    rng = random.Random(7)
+    text = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(20000)
+    )
+    out = q_winnow_fingerprint(
+        _write_docs(tmp_path, [{"doc_id": 1, "text": text}])
+    ).to_pandas()
+    density = out["n_selected"][0] / out["n_grams"][0]
+    target = 2 / (_WINNOW_W + 1)
+    assert 0.7 * target < density < 1.3 * target
