@@ -168,6 +168,10 @@ _LOCAL_ONLY = {
     # repeated-ngrams slot; the demotee is green r2-r4 and its
     # ExactSubstr-flavor family stays exposed via exactsubstr_dedup
     "repeated_ngrams",           # hashed-window counts; winnow_fingerprint in
+    # the JL random-projection kernel stays local-strict: the
+    # similarity-search family already holds three window slots
+    # (knn_filtered, embedding_dup_lsh, semdedup)
+    "rand_projection",           # ±1-sign JL projection; family exposed
 }
 
 

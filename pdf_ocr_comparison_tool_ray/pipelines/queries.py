@@ -6396,6 +6396,83 @@ FROM ngs n JOIN agg a ON a.doc_id = n.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss, Achlioptas-style ±1 signs) —
+# the dimensionality-reduction step that precedes LSH bucketing or IVF
+# coarse quantization at scale: project each embedding onto P=16
+# deterministic ±1 directions.  The sign matrix derives from md5(j'-'d)
+# parity, so every worker RECONSTRUCTS it locally (module-level memo,
+# nothing shipped, no broadcast) and the SQL oracle derives the exact
+# same matrix — map-only, zero shuffles, output is P floats per vector.
+# Values are rounded to 6 decimals (the knn-cosine precedent): both
+# engines sum the same 64 doubles in unspecified order, and 1e-15
+# summation noise cannot reach the 1e-6 rounding granularity.
+# ---------------------------------------------------------------------------
+_RP_DIMS = 16
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_sign_matrix(in_dims: int, out_dims: int = _RP_DIMS) -> "np.ndarray":
+    import hashlib as _hl
+
+    key = (in_dims, out_dims)
+    if key not in _RP_SIGN_CACHE:
+        m = np.empty((in_dims, out_dims), dtype=np.float64)
+        for j in range(in_dims):
+            for d in range(out_dims):
+                v = int(_hl.md5(f"{j}-{d}".encode()).hexdigest()[:8], 16)
+                m[j, d] = 1.0 - 2.0 * (v % 2)
+        _RP_SIGN_CACHE[key] = m
+    return _RP_SIGN_CACHE[key]
+
+
+def q_rand_projection(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in
+             batch["embedding"].to_pylist()]
+        )
+        proj = np.round(emb @ _rp_sign_matrix(emb.shape[1]), 6)
+        n, p = proj.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(
+                    batch["vec_id"].to_numpy(zero_copy_only=False), p
+                ),
+                "dim": np.tile(np.arange(p, dtype=np.int64), n),
+                "value": proj.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_RAND_PROJECTION = f"""
+WITH series AS (
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 255) AS t(i)
+), dims AS (
+  SELECT i AS d FROM series WHERE i < {_RP_DIMS}
+), width AS (
+  SELECT len(embedding) AS w FROM embeddings LIMIT 1
+), sgn AS (
+  SELECT s.i AS j, dims.d,
+         1.0 - 2.0 * (CAST(CAST(concat('0x',
+             substr(md5(concat(CAST(s.i AS VARCHAR), '-',
+                               CAST(dims.d AS VARCHAR))), 1, 8))
+           AS UBIGINT) AS BIGINT) % 2) AS sg
+  FROM series s CROSS JOIN dims, width
+  WHERE s.i < width.w
+)
+SELECT e.vec_id, sgn.d AS dim,
+       round(sum(CAST(e.embedding[CAST(sgn.j AS INT) + 1] AS DOUBLE)
+                 * sgn.sg), 6) AS value
+FROM embeddings e CROSS JOIN sgn
+GROUP BY e.vec_id, sgn.d
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6507,4 +6584,5 @@ SQL_QUERIES = {
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "pmi_cooccur": (q_pmi_cooccur, SQL_PMI_COOCCUR),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
+    "rand_projection": (q_rand_projection, SQL_RAND_PROJECTION),
 }

@@ -1230,3 +1230,41 @@ def test_winnow_density_near_paper_bound(tmp_path):
     density = out["n_selected"][0] / out["n_grams"][0]
     target = 2 / (_WINNOW_W + 1)
     assert 0.7 * target < density < 1.3 * target
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rand_projection_exact_and_jl_property(tmp_path):
+    """Projection equals a local matmul against the md5-derived sign
+    matrix, and the JL expectation holds: mean ||proj||^2 ~= P*||x||^2
+    across random vectors (±1 signs preserve norms in expectation)."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _RP_DIMS,
+        _rp_sign_matrix,
+        q_rand_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 32)).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs]}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = q_rand_projection(str(tmp_path)).to_pandas()
+    assert len(out) == 40 * _RP_DIMS
+    S = _rp_sign_matrix(32)
+    # spec check on one entry of the sign matrix
+    v = int(hashlib.md5(b"0-0").hexdigest()[:8], 16)
+    assert S[0, 0] == 1.0 - 2.0 * (v % 2)
+    expect = np.round(vecs.astype(np.float64) @ S, 6)
+    got = (
+        out.sort_values(["vec_id", "dim"])["value"]
+        .to_numpy()
+        .reshape(40, _RP_DIMS)
+    )
+    assert np.array_equal(got, expect)
+    ratio = (expect**2).sum(axis=1).mean() / (
+        _RP_DIMS * (vecs.astype(np.float64) ** 2).sum(axis=1).mean()
+    )
+    assert 0.7 < ratio < 1.3
