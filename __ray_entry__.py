@@ -172,6 +172,9 @@ _LOCAL_ONLY = {
     # similarity-search family already holds three window slots
     # (knn_filtered, embedding_dup_lsh, semdedup)
     "rand_projection",           # ±1-sign JL projection; family exposed
+    # the per-source corpus-overlap sketch stays local-strict: it is
+    # the corpus-level form of the exposed minhash_lsh_pairs hash family
+    "source_minhash_overlap",    # source-pair MinHash Jaccard estimate
 }
 
 

@@ -6473,6 +6473,97 @@ GROUP BY e.vec_id, sgn.d
 
 
 # ---------------------------------------------------------------------------
+# Source-level MinHash overlap — corpus telemetry: one 64-perm MinHash
+# sketch PER SOURCE (elementwise min over every document's shingle
+# hashes, the same hash family as minhash_lsh_pairs), then pairwise
+# estimated Jaccard between sources from matching sketch slots.  The
+# canonical "how much do these two crawls/snapshots overlap" question
+# answered in bounded state: partials are n_sources x 64 uint64 per
+# batch (elementwise-min-mergeable), the driver reduce is S x 64, and
+# no shingle ever crosses the wire — at 100 TB this is a single
+# streaming pass.  est_jaccard = matches/64 is dyadic, so the DuckDB
+# replay is bit-exact.
+# ---------------------------------------------------------------------------
+def q_source_minhash_overlap(sf_dir: str):
+    from ..functions.fingerprint import minhash_signature, shingles
+    from ..functions.tokenize import tokenize
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sigs: dict = {}
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            s = minhash_signature(shingles(tokenize(t), _MINHASH_NGRAM))
+            cur = sigs.get(src)
+            sigs[src] = s if cur is None else np.minimum(cur, s)
+        return pa.table(
+            {
+                "source": pa.array(list(sigs), type=pa.string()),
+                "sig": pa.array(
+                    [v.tobytes() for v in sigs.values()], type=pa.binary()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged: dict = {}
+    for src, blob in zip(parts["source"], parts["sig"]):
+        s = np.frombuffer(blob, dtype=np.uint64)
+        cur = merged.get(src)
+        merged[src] = s if cur is None else np.minimum(cur, s)
+    srcs = sorted(merged)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            m = int((merged[a] == merged[b]).sum())
+            rows.append((a, b, m, m / 64.0))
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_match", "est_jaccard"]
+    ).astype({"n_match": "int64", "est_jaccard": "float64"})
+
+
+SQL_SOURCE_MINHASH_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), shx AS (
+  SELECT source, CASE
+    WHEN len(ts) >= {_MINHASH_NGRAM} THEN
+         list_transform(range(1, len(ts) - {_MINHASH_NGRAM} + 2),
+         i -> array_to_string(list_slice(ts, i, i + {_MINHASH_NGRAM} - 1), ' '))
+    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
+    ELSE [] END AS sg
+  FROM toks
+), hv AS (
+  SELECT source, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+  FROM shx, unnest(sg) AS t(s)
+), perms(pid, pa, pb) AS (VALUES {_sql_perm_values()}),
+sigv AS (
+  SELECT hv.source, p.pid,
+         min(CAST((CAST(p.pa AS HUGEINT) * hv.h + p.pb) % {_U64_MOD}
+                  AS UBIGINT)) AS v
+  FROM hv CROSS JOIN perms p GROUP BY hv.source, p.pid
+), sig AS (
+  SELECT d.source,
+         coalesce(s.sig,
+                  list_transform(range(1, 65),
+                                 i -> CAST({_U64_MAX} AS UBIGINT))) AS sig
+  FROM (SELECT DISTINCT source FROM documents) d
+  LEFT JOIN (SELECT source, list(v ORDER BY pid) AS sig
+             FROM sigv GROUP BY source) s
+    USING (source)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+            AS BIGINT) AS n_match,
+       len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6585,4 +6676,8 @@ SQL_QUERIES = {
     "pmi_cooccur": (q_pmi_cooccur, SQL_PMI_COOCCUR),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "rand_projection": (q_rand_projection, SQL_RAND_PROJECTION),
+    "source_minhash_overlap": (
+        q_source_minhash_overlap,
+        SQL_SOURCE_MINHASH_OVERLAP,
+    ),
 }

@@ -1268,3 +1268,38 @@ def test_rand_projection_exact_and_jl_property(tmp_path):
         _RP_DIMS * (vecs.astype(np.float64) ** 2).sum(axis=1).mean()
     )
     assert 0.7 < ratio < 1.3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_minhash_overlap_planted(tmp_path):
+    """Identical sources estimate Jaccard 1.0; disjoint sources estimate
+    ~0; a half-shared source lands strictly between."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        q_source_minhash_overlap,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    mk = lambda seed: " ".join(
+        f"tok{rng.randrange(10**6)}" for _ in range(120)
+    )
+    a_docs = [mk(i) for i in range(8)]
+    c_docs = [mk(100 + i) for i in range(8)]
+    rows = []
+    for i, t in enumerate(a_docs):
+        rows.append({"doc_id": i, "source": "sa", "text": t})
+        rows.append({"doc_id": 100 + i, "source": "sb", "text": t})  # clone
+    for i, t in enumerate(c_docs):
+        rows.append({"doc_id": 200 + i, "source": "sc", "text": t})
+    # sd shares half its docs with sa
+    for i, t in enumerate(a_docs[:4] + c_docs[:4]):
+        rows.append({"doc_id": 300 + i, "source": "sd", "text": t})
+    out = q_source_minhash_overlap(_write_docs(tmp_path, rows))
+    est = {
+        (r.source_a, r.source_b): r.est_jaccard for r in out.itertuples()
+    }
+    assert est[("sa", "sb")] == 1.0
+    assert est[("sa", "sc")] < 0.2
+    assert 0.2 < est[("sa", "sd")] < 0.9
+    assert est[("sc", "sd")] > est[("sa", "sc")]
