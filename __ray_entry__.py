@@ -175,6 +175,9 @@ _LOCAL_ONLY = {
     # the per-source corpus-overlap sketch stays local-strict: it is
     # the corpus-level form of the exposed minhash_lsh_pairs hash family
     "source_minhash_overlap",    # source-pair MinHash Jaccard estimate
+    # the Bloom-filter membership variant stays local-strict: it is the
+    # fixed-state plan sibling of the exposed decontam_frac
+    "bloom_decontam",            # 8 KB-bitset decontamination membership
 }
 
 

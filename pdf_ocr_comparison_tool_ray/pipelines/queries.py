@@ -6564,6 +6564,124 @@ FROM sig a JOIN sig b ON a.source < b.source
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the fixed-size-membership variant of
+# the broadcast exact-gram-set checks above: the eval side compiles to
+# an m=65536-bit Bloom filter (4 hash slots cut straight from each
+# gram's md5 hex — no extra hashing), so the shipped state is a
+# constant 8 KB regardless of eval-set size, at the price of a bounded
+# false-positive rate.  Build = per-batch distinct-position partials
+# (bounded by m) + driver union + one broadcast; probe = map-only.
+# This is the structure that replaces the exact broadcast set when the
+# eval corpus itself is large (the 100 TB regime); the exact-set
+# queries (contamination / decontam_frac) remain the precise siblings.
+# Counts and the int/int hit fraction are exact, so the DuckDB replay
+# is bit-identical (false positives replay identically too — the
+# filter is deterministic).
+# ---------------------------------------------------------------------------
+_BLOOM_M = 65536
+_BLOOM_SLOTS = 4  # md5 hex slices [0:8) [8:16) [16:24) [24:32)
+
+
+def _bloom_positions(gram_hex: str) -> tuple:
+    return tuple(
+        int(gram_hex[8 * j : 8 * j + 8], 16) % _BLOOM_M
+        for j in range(_BLOOM_SLOTS)
+    )
+
+
+def q_bloom_decontam(sf_dir: str, eval_max_doc_id: int = _EVAL_MAX_DOC_ID):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_partial(batch: pa.Table) -> pd.DataFrame:
+        pos = set()
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did >= eval_max_doc_id:
+                continue
+            for gh in _gram_hashes(text, _DECONTAM_K):
+                pos.update(_bloom_positions(gh))
+        return pd.DataFrame({"p": pd.Series(sorted(pos), dtype="int64")})
+
+    parts = ds.map_batches(build_partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    bits[parts["p"].to_numpy()] = True
+    ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        b = _broadcast_get(ref)
+        ids, n_grams, n_hits = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did < eval_max_doc_id:
+                continue
+            grams = _gram_hashes(text, _DECONTAM_K)
+            if not grams:
+                continue
+            h = sum(
+                1
+                for gh in grams
+                if all(b[p] for p in _bloom_positions(gh))
+            )
+            ids.append(did)
+            n_grams.append(len(grams))
+            n_hits.append(h)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(n_grams, dtype="int64"),
+                "n_bloom_hits": pd.Series(n_hits, dtype="int64"),
+            }
+        )
+        out["bloom_hit_frac"] = (
+            out["n_bloom_hits"].to_numpy(dtype=np.float64)
+            / out["n_grams"].to_numpy(dtype=np.float64)
+            if len(out)
+            else pd.Series([], dtype="float64")
+        )
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+_BLOOM_POS_SQL = " , ".join(
+    f"CAST(CAST(concat('0x', substr(gh, {8 * j + 1}, 8)) AS UBIGINT)"
+    f" % {_BLOOM_M} AS BIGINT) AS p{j}"
+    for j in range(_BLOOM_SLOTS)
+)
+_BLOOM_HIT_SQL = " AND ".join(
+    f"p{j} IN (SELECT p FROM bits)" for j in range(_BLOOM_SLOTS)
+)
+
+SQL_BLOOM_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i + 1, i + {_DECONTAM_K}), ' '))
+           AS gh
+  FROM toks,
+       unnest(range(0, greatest(len(ts) - {_DECONTAM_K} + 1, 0))) AS t(i)
+), pos AS (
+  SELECT doc_id, {_BLOOM_POS_SQL} FROM g
+), bits AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT p{j} AS p FROM pos WHERE doc_id < {_EVAL_MAX_DOC_ID}" for j in range(_BLOOM_SLOTS))}
+  )
+), hit AS (
+  SELECT doc_id, ({_BLOOM_HIT_SQL}) AS h
+  FROM pos WHERE doc_id >= {_EVAL_MAX_DOC_ID}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (h) AS BIGINT) AS n_bloom_hits,
+       CAST(count(*) FILTER (h) AS DOUBLE) / count(*) AS bloom_hit_frac
+FROM hit GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6680,4 +6798,5 @@ SQL_QUERIES = {
         q_source_minhash_overlap,
         SQL_SOURCE_MINHASH_OVERLAP,
     ),
+    "bloom_decontam": (q_bloom_decontam, SQL_BLOOM_DECONTAM),
 }

@@ -1303,3 +1303,62 @@ def test_source_minhash_overlap_planted(tmp_path):
     assert est[("sa", "sc")] < 0.2
     assert 0.2 < est[("sa", "sd")] < 0.9
     assert est[("sc", "sd")] > est[("sa", "sc")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_decontam_no_false_negatives_and_brute_parity(tmp_path):
+    """The Bloom probe can never miss a truly shared gram (superset of the
+    exact check), and its hit counts equal an independent bitset
+    reimplementation (false positives replay identically)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _BLOOM_M,
+        _DECONTAM_K,
+        _EVAL_MAX_DOC_ID,
+        _bloom_positions,
+        _gram_hashes,
+        q_bloom_decontam,
+    )
+
+    assert _EVAL_MAX_DOC_ID > 2
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": eval_text},
+        {"doc_id": 1, "text": "iota kappa lambda mu nu xi omicron pi"},
+        # probe containing an exact eval gram (alpha..delta)
+        {"doc_id": 900, "text": "noise alpha beta gamma delta more noise"},
+        # probe with no overlap
+        {"doc_id": 901, "text": "rho sigma tau upsilon phi chi psi omega"},
+        {"doc_id": 902, "text": "xy"},  # no grams -> excluded
+    ]
+    out = (
+        q_bloom_decontam(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [900, 901]
+
+    # independent bitset build + probe
+    bits = set()
+    for r in rows:
+        if r["doc_id"] < _EVAL_MAX_DOC_ID:
+            for gh in _gram_hashes(r["text"], _DECONTAM_K):
+                bits.update(_bloom_positions(gh))
+    exact = set()
+    for r in rows:
+        if r["doc_id"] < _EVAL_MAX_DOC_ID:
+            exact.update(_gram_hashes(r["text"], _DECONTAM_K))
+    for r in rows:
+        did = r["doc_id"]
+        if did < _EVAL_MAX_DOC_ID or did not in out.index:
+            continue
+        grams = _gram_hashes(r["text"], _DECONTAM_K)
+        brute = sum(
+            1
+            for gh in grams
+            if all(p in bits for p in _bloom_positions(gh))
+        )
+        assert int(out.loc[did, "n_bloom_hits"]) == brute
+        # superset: every exact-shared gram is a bloom hit
+        n_exact = sum(1 for gh in grams if gh in exact)
+        assert int(out.loc[did, "n_bloom_hits"]) >= n_exact
+    assert int(out.loc[900, "n_bloom_hits"]) >= 1
