@@ -178,6 +178,10 @@ _LOCAL_ONLY = {
     # the Bloom-filter membership variant stays local-strict: it is the
     # fixed-state plan sibling of the exposed decontam_frac
     "bloom_decontam",            # 8 KB-bitset decontamination membership
+    # the Efraimidis-Spirakis weighted sampler stays local-strict: the
+    # sampling-rule family holds driver slots via domain_quota_sample
+    # and mix_resample (and dsir_select for the importance-weighted kin)
+    "priority_sample",           # weighted sampling w/o replacement
 }
 
 

@@ -6682,6 +6682,84 @@ FROM hit GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling (Efraimidis & Spirakis 2006) — k-item
+# weighted sampling WITHOUT replacement in one streaming pass: each doc
+# draws priority ln(u)/w (u an md5-derived uniform keyed on doc_id, the
+# dsir_resample noise convention; w = token count) and the global top-K
+# priorities ARE a weighted sample without replacement.  The classic
+# one-pass alternative to rate-based sampling when per-item weights
+# vary: per-block top-K partials (only a block's own top-K can
+# survive) + a K-row driver reduce — bounded state at any corpus size.
+# Deterministic noise makes the run reproducible and SQL-replayable
+# (round-9 keys absorb numpy-vs-DuckDB ln noise, the dsir precedent).
+# ---------------------------------------------------------------------------
+_PRIORITY_K = 200
+
+
+def q_priority_sample(sf_dir: str):
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score_topk(batch: pa.Table) -> pd.DataFrame:
+        ids, ws = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            w = len([t for t in text.split(" ") if t])
+            if w == 0:
+                continue
+            ids.append(did)
+            ws.append(w)
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        u = np.array(
+            [
+                int(_hl.md5(str(d).encode()).hexdigest()[:8], 16)
+                for d in ids_arr
+            ],
+            dtype=np.float64,
+        )
+        pri = np.round(
+            np.log((u + 0.5) / 4294967296.0)
+            / np.asarray(ws, dtype=np.float64),
+            9,
+        )
+        part = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids_arr, dtype="int64"),
+                "n_tokens": pd.Series(ws, dtype="int64"),
+                "priority": pd.Series(pri, dtype="float64"),
+            }
+        )
+        return part.sort_values(
+            ["priority", "doc_id"], ascending=[False, True]
+        ).head(_PRIORITY_K)
+
+    parts = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(_PRIORITY_K)
+        .reset_index(drop=True)
+    )
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[^ ]+')) AS w FROM documents
+), k AS (
+  SELECT doc_id, w,
+         round(ln((CAST(CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / w, 9) AS priority
+  FROM t WHERE w > 0
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, priority
+FROM k ORDER BY priority DESC, doc_id LIMIT {_PRIORITY_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6799,4 +6877,5 @@ SQL_QUERIES = {
         SQL_SOURCE_MINHASH_OVERLAP,
     ),
     "bloom_decontam": (q_bloom_decontam, SQL_BLOOM_DECONTAM),
+    "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
 }

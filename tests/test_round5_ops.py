@@ -1362,3 +1362,37 @@ def test_bloom_decontam_no_false_negatives_and_brute_parity(tmp_path):
         n_exact = sum(1 for gh in grams if gh in exact)
         assert int(out.loc[did, "n_bloom_hits"]) >= n_exact
     assert int(out.loc[900, "n_bloom_hits"]) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_sample_weighted_and_exact_key(tmp_path):
+    """The Efraimidis-Spirakis keys match the hand formula, and heavy
+    documents dominate the top-K (weighted inclusion), while the
+    selection stays deterministic across runs."""
+    import math
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _PRIORITY_K,
+        q_priority_sample,
+    )
+
+    rows = []
+    for i in range(1000):
+        rows.append({"doc_id": i, "text": " ".join(["h"] * 100)})      # heavy
+        rows.append({"doc_id": 10000 + i, "text": "a b c d e"})        # light
+    sf = _write_docs(tmp_path, rows)
+    out = q_priority_sample(sf)
+    assert len(out) == _PRIORITY_K
+    # exact key for the top row
+    top = out.iloc[0]
+    u = int(
+        hashlib.md5(str(int(top["doc_id"])).encode()).hexdigest()[:8], 16
+    )
+    expect = round(math.log((u + 0.5) / 2**32) / int(top["n_tokens"]), 9)
+    assert top["priority"] == pytest.approx(expect, abs=1e-12)
+    # heavy docs (20x weight) should take the large majority of slots
+    n_heavy = int((out["doc_id"] < 10000).sum())
+    assert n_heavy > 0.8 * _PRIORITY_K
+    # deterministic: a second run returns the identical frame
+    out2 = q_priority_sample(sf)
+    assert out.equals(out2)
