@@ -3510,32 +3510,34 @@ def _sql_perm_values() -> str:
     return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
 
 
-def _sql_minhash_ctes(ngram: int) -> str:
-    """CTE chain ending in sig(doc_id, sig UBIGINT[64]); caller supplies
-    the WITH [RECURSIVE] prefix."""
+def _sql_minhash_ctes(ngram: int, key: str = "doc_id") -> str:
+    """CTE chain ending in sig(<key>, sig UBIGINT[64]); caller supplies
+    the WITH [RECURSIVE] prefix.  ``key`` selects the sketch grain:
+    per-document (the near-dup family) or per-source
+    (source_minhash_overlap) — the hash family is identical."""
     return f"""toks AS (
-  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+  SELECT {key}, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
 ), shx AS (
-  SELECT doc_id, CASE
+  SELECT {key}, CASE
     WHEN len(ts) >= {ngram} THEN list_transform(range(1, len(ts) - {ngram} + 2),
          i -> array_to_string(list_slice(ts, i, i + {ngram} - 1), ' '))
     WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
     ELSE [] END AS sg
   FROM toks
 ), hv AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+  SELECT {key}, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
   FROM shx, unnest(sg) AS t(s)
 ), perms(pid, pa, pb) AS (VALUES {_sql_perm_values()}),
 sigv AS (
-  SELECT hv.doc_id, p.pid,
+  SELECT hv.{key}, p.pid,
          min(CAST((CAST(p.pa AS HUGEINT) * hv.h + p.pb) % {_U64_MOD} AS UBIGINT)) AS v
-  FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.pid
+  FROM hv CROSS JOIN perms p GROUP BY hv.{key}, p.pid
 ), sig AS (
-  SELECT d.doc_id,
+  SELECT d.{key},
          coalesce(s.sig, list_transform(range(1, 65), i -> CAST({_U64_MAX} AS UBIGINT))) AS sig
-  FROM (SELECT DISTINCT doc_id FROM documents) d
-  LEFT JOIN (SELECT doc_id, list(v ORDER BY pid) AS sig FROM sigv GROUP BY doc_id) s
-    USING (doc_id)
+  FROM (SELECT DISTINCT {key} FROM documents) d
+  LEFT JOIN (SELECT {key}, list(v ORDER BY pid) AS sig FROM sigv GROUP BY {key}) s
+    USING ({key})
 )"""
 
 
@@ -6358,9 +6360,14 @@ def q_winnow_fingerprint(sf_dir: str):
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+# constant series bound (this DuckDB's generate_series takes constants
+# only, same constraint as SQL_EXACTSUBSTR_DEDUP): 65536 covers every
+# testdata tier AND the synth skew fixtures (~21k chars); a doc longer
+# than 65536 chars would silently truncate the ORACLE's gram stream
+# (the engine is uncapped), so the bound is asserted generous.
 SQL_WINNOW_FINGERPRINT = f"""
 WITH series AS (
-  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 8191) AS t(i)
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 65535) AS t(i)
 ), g AS (
   SELECT d.doc_id, s.i AS j,
          CAST(CAST(concat('0x',
@@ -6448,9 +6455,12 @@ def q_rand_projection(sf_dir: str):
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+# constant series bound: supports embedding widths up to 4096 (testdata
+# is 64-dim); a wider vector would silently drop dims from the ORACLE's
+# sums (the engine matmul is width-agnostic), so the bound is generous.
 SQL_RAND_PROJECTION = f"""
 WITH series AS (
-  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 255) AS t(i)
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 4095) AS t(i)
 ), dims AS (
   SELECT i AS d FROM series WHERE i < {_RP_DIMS}
 ), width AS (
@@ -6525,35 +6535,7 @@ def q_source_minhash_overlap(sf_dir: str):
 
 
 SQL_SOURCE_MINHASH_OVERLAP = f"""
-WITH toks AS (
-  SELECT source, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
-), shx AS (
-  SELECT source, CASE
-    WHEN len(ts) >= {_MINHASH_NGRAM} THEN
-         list_transform(range(1, len(ts) - {_MINHASH_NGRAM} + 2),
-         i -> array_to_string(list_slice(ts, i, i + {_MINHASH_NGRAM} - 1), ' '))
-    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
-    ELSE [] END AS sg
-  FROM toks
-), hv AS (
-  SELECT source, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
-  FROM shx, unnest(sg) AS t(s)
-), perms(pid, pa, pb) AS (VALUES {_sql_perm_values()}),
-sigv AS (
-  SELECT hv.source, p.pid,
-         min(CAST((CAST(p.pa AS HUGEINT) * hv.h + p.pb) % {_U64_MOD}
-                  AS UBIGINT)) AS v
-  FROM hv CROSS JOIN perms p GROUP BY hv.source, p.pid
-), sig AS (
-  SELECT d.source,
-         coalesce(s.sig,
-                  list_transform(range(1, 65),
-                                 i -> CAST({_U64_MAX} AS UBIGINT))) AS sig
-  FROM (SELECT DISTINCT source FROM documents) d
-  LEFT JOIN (SELECT source, list(v ORDER BY pid) AS sig
-             FROM sigv GROUP BY source) s
-    USING (source)
-)
+WITH {_sql_minhash_ctes(_MINHASH_NGRAM, key="source")}
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
             AS BIGINT) AS n_match,

@@ -1396,3 +1396,57 @@ def test_priority_sample_weighted_and_exact_key(tmp_path):
     # deterministic: a second run returns the identical frame
     out2 = q_priority_sample(sf)
     assert out.equals(out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_fingerprint_long_doc_oracle_parity(tmp_path):
+    """Regression for the oracle's series-bound cap: a 12k-char doc
+    (past the old 8192-gram bound) must digest identically in the
+    engine and the DuckDB replay."""
+    import duckdb
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        SQL_WINNOW_FINGERPRINT,
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    import random
+
+    rng = random.Random(21)
+    long_text = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(12000)
+    )
+    rows = [
+        {"doc_id": 1, "text": long_text},
+        {"doc_id": 2, "text": "a short sibling document"},
+    ]
+    sf = _write_docs(tmp_path, rows)
+    eng = (
+        q_winnow_fingerprint(sf).to_pandas().set_index("doc_id").sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql = (
+        con.execute(SQL_WINNOW_FINGERPRINT).df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for did in (1, 2):
+        for col in ("n_grams", "n_selected", "fp_min", "fp_xor"):
+            assert int(eng.loc[did, col]) == int(sql.loc[did, col]), (
+                did,
+                col,
+            )
+    # the brute reimplementation agrees too
+    expect = _brute_winnow(long_text, _WINNOW_K, _WINNOW_W)
+    assert (
+        int(eng.loc[1, "n_grams"]),
+        int(eng.loc[1, "n_selected"]),
+        int(eng.loc[1, "fp_min"]),
+        int(eng.loc[1, "fp_xor"]),
+    ) == expect
