@@ -182,6 +182,10 @@ _LOCAL_ONLY = {
     # sampling-rule family holds driver slots via domain_quota_sample
     # and mix_resample (and dsir_select for the importance-weighted kin)
     "priority_sample",           # weighted sampling w/o replacement
+    # the first-occurrence novelty telemetry stays local-strict: it is
+    # the corpus-level complement of the exposed gram-count family
+    # (exactsubstr_dedup, winnow_fingerprint hold the driver slots)
+    "ngram_novelty",             # per-doc first-occurrence gram fraction
 }
 
 

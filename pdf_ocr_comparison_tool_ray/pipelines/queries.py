@@ -6742,6 +6742,100 @@ FROM k ORDER BY priority DESC, doc_id LIMIT {_PRIORITY_K}
 
 
 # ---------------------------------------------------------------------------
+# Per-document n-gram novelty (first-occurrence attribution): for each
+# corpus document, the fraction of its DISTINCT k-token-gram hashes whose
+# corpus-wide FIRST occurrence (min doc_id) is this document — the "how
+# much new text does this doc add" telemetry that predicts exact/substr
+# dedup yield and ranks documents by marginal data value (the corpus-level
+# complement of repeated_ngrams' gram-level counts).  Plan: one map pass
+# emits per-doc DISTINCT (gram_hash, doc_id) pairs (a doc lives in one
+# batch row, so batch-local set() is exact), one gram-keyed co-partition
+# marks each pair novel iff doc_id == min(doc_id) within its gram and
+# pre-sums per doc INSIDE the bucket (second shuffle moves <= n_docs rows
+# per bucket, not one row per gram), then a doc-keyed co-partition sums
+# the partials.  At 100 TB the gram key would ship as a 16-byte hash
+# prefix rather than 32-char hex (exactsubstr's stage-1 convention); both
+# shuffles stay linear in corpus grams with no skew (md5 keys are
+# uniform).  novelty_frac = int/int in IEEE double on both engines —
+# bit-exact, no rounding key needed.
+# ---------------------------------------------------------------------------
+def q_ngram_novelty(sf_dir: str):
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_g, out_d = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for gh in set(_gram_hashes(text, _NGRAM_K)):
+                out_g.append(gh)
+                out_d.append(did)
+        return pa.Table.from_pydict(
+            {"gram_hash": out_g, "doc_id": out_d},
+            schema=pa.schema(
+                [("gram_hash", pa.string()), ("doc_id", pa.int64())]
+            ),
+        )
+
+    def mark_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        first = bucket.groupby("gram_hash")["doc_id"].transform("min")
+        novel = (bucket["doc_id"].to_numpy() == first.to_numpy()).astype(
+            "int64"
+        )
+        agg = pd.DataFrame(
+            {"doc_id": bucket["doc_id"].to_numpy(), "novel": novel}
+        ).groupby("doc_id", as_index=False).agg(
+            n_novel=("novel", "sum"), n_grams=("novel", "size")
+        )
+        for c in ("n_novel", "n_grams"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    marked = bucketed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "gram_hash",
+        mark_first,
+        n_buckets=32,
+    )
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = bucket.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum")
+        )
+        for c in ("n_grams", "n_novel"):
+            agg[c] = agg[c].astype("int64")
+        agg["novelty_frac"] = agg["n_novel"].to_numpy(
+            dtype=np.float64
+        ) / agg["n_grams"].to_numpy(dtype=np.float64)
+        return agg[["doc_id", "n_grams", "n_novel", "novelty_frac"]]
+
+    return bucketed_map_groups(marked, "doc_id", roll, n_buckets=32)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ts, i + 1, i + {_NGRAM_K}), ' '))
+           AS gram_hash
+  FROM toks, unnest(range(0, greatest(length(ts) - {_NGRAM_K} + 1, 0))) AS t(i)
+), f AS (
+  SELECT gram_hash, min(doc_id) AS first_doc FROM g GROUP BY gram_hash
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (g.doc_id = f.first_doc) AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (g.doc_id = f.first_doc) AS DOUBLE) / count(*)
+         AS novelty_frac
+FROM g JOIN f USING (gram_hash)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6860,4 +6954,5 @@ SQL_QUERIES = {
     ),
     "bloom_decontam": (q_bloom_decontam, SQL_BLOOM_DECONTAM),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
 }

@@ -1450,3 +1450,66 @@ def test_winnow_fingerprint_long_doc_oracle_parity(tmp_path):
         int(eng.loc[1, "fp_min"]),
         int(eng.loc[1, "fp_xor"]),
     ) == expect
+
+
+def _brute_novelty(texts: dict, k: int) -> dict:
+    """Independent reimplementation: per doc, distinct k-token grams whose
+    corpus-wide min doc_id is this doc, over the doc's distinct grams."""
+    import re as _re
+
+    tok = _re.compile(r"[A-Za-z0-9]+")
+    doc_grams = {}
+    for did, t in texts.items():
+        ts = tok.findall(t)
+        doc_grams[did] = {
+            " ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)
+        }
+    first = {}
+    for did in sorted(doc_grams):
+        for g in doc_grams[did]:
+            first.setdefault(g, did)
+    return {
+        did: (
+            len(gs),
+            sum(1 for g in gs if first[g] == did),
+        )
+        for did, gs in doc_grams.items()
+        if gs
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_novelty_planted(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _NGRAM_K,
+        q_ngram_novelty,
+    )
+
+    base = " ".join(f"w{i}" for i in range(_NGRAM_K + 2))
+    texts = {
+        1: base,                                        # all-novel source
+        2: base,                                        # exact copy: 0.0
+        3: " ".join(f"x{i}" for i in range(_NGRAM_K)),  # 1 gram, novel
+        4: " ".join(f"w{i}" for i in range(_NGRAM_K))
+        + " "
+        + " ".join(f"y{i}" for i in range(_NGRAM_K)),   # mixed fraction
+        5: "too short for any gram",                    # absent from output
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = (
+        q_ngram_novelty(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    expect = _brute_novelty(texts, _NGRAM_K)
+    assert set(out.index) == set(expect)
+    for did, (n_grams, n_novel) in expect.items():
+        assert int(out.loc[did, "n_grams"]) == n_grams, did
+        assert int(out.loc[did, "n_novel"]) == n_novel, did
+        assert out.loc[did, "novelty_frac"] == n_novel / n_grams, did
+    # the planted invariants the metric exists for
+    assert out.loc[1, "novelty_frac"] == 1.0
+    assert out.loc[2, "novelty_frac"] == 0.0
+    assert 0.0 < out.loc[4, "novelty_frac"] < 1.0
+    assert 5 not in out.index
