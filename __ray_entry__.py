@@ -186,6 +186,12 @@ _LOCAL_ONLY = {
     # the corpus-level complement of the exposed gram-count family
     # (exactsubstr_dedup, winnow_fingerprint hold the driver slots)
     "ngram_novelty",             # per-doc first-occurrence gram fraction
+    # ... and BM25 ranked retrieval (the Okapi scorer, the named
+    # retrieval algorithm beside tf-idf) takes the sketch family's
+    # second slot; the demotee is green r2-r4 and the mergeable-sketch
+    # family stays exposed via approx_distinct_by_lang and
+    # approx_quantile_hist
+    "approx_top_tokens",         # Count-Min top tokens; bm25_topk in
 }
 
 

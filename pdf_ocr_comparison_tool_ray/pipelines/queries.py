@@ -6836,6 +6836,157 @@ GROUP BY g.doc_id
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi, Robertson/Lucene idf) over a fixed
+# query-term set — the ranked-retrieval sibling of tfidf_topk.  One
+# tokenization pass over documents (doc == row, so per-doc tf/dl are
+# exact batch-locally) emits the tiny matched (doc_id, term, tf, dl)
+# table plus ONE bounded sentinel row per batch carrying the corpus
+# length statistics; df comes from mergeable per-batch partials
+# (<= n_terms rows per batch) and the final ranking is the exact
+# bucketed top-k merge.  Driver-side state is O(n_batches + n_terms)
+# regardless of how stopword-like the query terms are — for corpus-wide
+# terms the matched table is corpus-sized but stays distributed end to
+# end (score map -> bucketed per-doc sum -> n_buckets*k candidate merge).
+# ---------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("merge", "spark", "stream", "vector")
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    from collections import Counter
+
+    from ..functions.tokenize import keyword_candidates
+    from ..stages.bucketed import bucketed_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no pipeline execution
+    terms = frozenset(_BM25_TERMS)
+
+    def pass_rows(batch: pa.Table) -> pd.DataFrame:
+        dids, kws, tfs, dls = [], [], [], []
+        sum_dl = 0
+        n_tok_docs = 0
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts = Counter(keyword_candidates(text))
+            dl = sum(counts.values())
+            if dl == 0:
+                continue
+            sum_dl += dl
+            n_tok_docs += 1
+            for kw in sorted(terms):
+                tf = counts.get(kw, 0)
+                if tf:
+                    dids.append(did)
+                    kws.append(kw)
+                    tfs.append(tf)
+                    dls.append(dl)
+        # sentinel row (doc_id = -1): this batch's corpus-stat partial —
+        # tf carries the tokenized-doc count, dl the summed doc length
+        dids.append(-1)
+        kws.append("")
+        tfs.append(n_tok_docs)
+        dls.append(sum_dl)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dids, dtype="int64"),
+                "kw": pd.Series(kws, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int64"),
+                "dl": pd.Series(dls, dtype="int64"),
+            }
+        )
+
+    # consumed by the stat reduce, the df partials and the score map
+    rows = ds.map_batches(pass_rows, batch_format="pyarrow").materialize()
+
+    stats = rows.map_batches(
+        lambda b: b[b["doc_id"] < 0], batch_format="pandas"
+    ).to_pandas()  # bounded: exactly one row per pass batch
+    avgdl = float(stats["dl"].sum()) / float(stats["tf"].sum())
+
+    matched = rows.map_batches(
+        lambda b: b[b["doc_id"] >= 0], batch_format="pandas"
+    )
+
+    df_parts = matched.map_batches(
+        lambda b: b.groupby("kw", as_index=False).agg(df=("doc_id", "size")),
+        batch_format="pandas",
+    ).to_pandas()  # bounded: <= n_terms rows per batch
+    df_map = {
+        k: float(v) for k, v in df_parts.groupby("kw")["df"].sum().items()
+    }
+
+    # float expression structure mirrors the SQL oracle term for term so
+    # both engines walk the same double-precision path
+    k1p1 = _BM25_K1 + 1.0
+    omb = 1.0 - _BM25_B
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch["kw"].map(df_map).to_numpy(dtype=np.float64)
+        idf = np.log(1.0 + (float(n_docs) - df + 0.5) / (df + 0.5))
+        tf = batch["tf"].to_numpy(dtype=np.float64)
+        dl = batch["dl"].to_numpy(dtype=np.float64)
+        s = idf * (tf * k1p1) / (tf + _BM25_K1 * (omb + _BM25_B * dl / avgdl))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "bm25": s}
+        )
+
+    scored = matched.map_batches(score, batch_format="pandas")
+    return bucketed_topk(
+        scored,
+        "doc_id",
+        {"bm25": ("bm25", "sum")},
+        order_by=["bm25", "doc_id"],
+        ascending=[False, True],
+        k=_BM25_TOPK,
+    )
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    k1, b = repr(_BM25_K1), repr(_BM25_B)
+    k1p1, omb = repr(_BM25_K1 + 1.0), repr(1.0 - _BM25_B)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), tf AS (
+  SELECT doc_id, kw, count(*) AS tf
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY doc_id, kw
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), n AS (SELECT count(*) AS n FROM documents),
+qt AS (
+  SELECT t.doc_id, t.kw, CAST(t.tf AS DOUBLE) AS tf, CAST(d.dl AS DOUBLE) AS dl
+  FROM tf t JOIN dl d USING (doc_id)
+  WHERE t.kw IN ({terms})
+), df AS (
+  SELECT kw, count(*) AS df FROM qt GROUP BY kw
+), scored AS (
+  SELECT qt.doc_id,
+         sum(
+           ln(1.0 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           * (qt.tf * {k1p1})
+           / (qt.tf + {k1} * ({omb} + {b} * qt.dl / s.avgdl))
+         ) AS bm25
+  FROM qt JOIN df USING (kw) CROSS JOIN n CROSS JOIN stats s
+  GROUP BY qt.doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -6955,4 +7106,5 @@ SQL_QUERIES = {
     "bloom_decontam": (q_bloom_decontam, SQL_BLOOM_DECONTAM),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }

@@ -43,6 +43,8 @@ FAST_QUERIES = [
     "bigram_logprob",
     "knn_filtered",
     "domain_quota_sample",
+    # round-5 continuation: BM25 ranked retrieval
+    "bm25_topk",
 ]
 
 

@@ -1513,3 +1513,72 @@ def test_ngram_novelty_planted(tmp_path):
     assert out.loc[2, "novelty_frac"] == 0.0
     assert 0.0 < out.loc[4, "novelty_frac"] < 1.0
     assert 5 not in out.index
+
+
+def _brute_bm25(texts: dict, terms, k1: float, b: float) -> dict:
+    """Independent textbook Okapi BM25 (Robertson/Lucene idf)."""
+    import math
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_ray.functions.tokenize import (
+        keyword_candidates,
+    )
+
+    counts = {d: Counter(keyword_candidates(t)) for d, t in texts.items()}
+    dls = {d: sum(c.values()) for d, c in counts.items() if sum(c.values())}
+    avgdl = sum(dls.values()) / len(dls)
+    n = len(texts)
+    df = {t: sum(1 for c in counts.values() if c.get(t)) for t in terms}
+    out = {}
+    for d, c in counts.items():
+        s = 0.0
+        for t in terms:
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+            )
+        if s:
+            out[d] = s
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_planted_corpus(tmp_path):
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        q_bm25_topk,
+    )
+
+    filler = " ".join(f"pad{i}" for i in range(40))
+    texts = {
+        1: "merge spark stream vector merge spark",    # term-dense, short
+        2: "merge spark stream vector merge spark " + filler,  # same tf, long
+        3: "nothing relevant here just plain filler words",    # no terms
+        4: "vector " + filler,                                 # single term
+        5: "merge merge merge merge merge merge merge merge",  # tf saturation
+        6: "1 2 3 4",                                          # token-free doc
+    }
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    out = q_bm25_topk(_write_docs(tmp_path, rows))
+    expect = _brute_bm25(texts, _BM25_TERMS, _BM25_K1, _BM25_B)
+
+    got = dict(zip(out["doc_id"], out["bm25"]))
+    assert set(got) == set(expect)
+    for did, s in expect.items():
+        assert np.isclose(got[did], s, rtol=1e-12), did
+    # ordering: score desc, doc_id asc
+    pairs = list(zip(out["bm25"], out["doc_id"]))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    # the invariants BM25 exists for: length normalization (same tf,
+    # longer doc scores lower) and tf saturation (8x one term does not
+    # beat a multi-term doc 8x over)
+    assert got[1] > got[2]
+    assert got[5] < 8 * got[4]
+    assert 3 not in got and 6 not in got
