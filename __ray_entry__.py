@@ -192,6 +192,12 @@ _LOCAL_ONLY = {
     # family stays exposed via approx_distinct_by_lang and
     # approx_quantile_hist
     "approx_top_tokens",         # Count-Min top tokens; bm25_topk in
+    # ... and the EXACT set-similarity self-join (prefix filtering,
+    # AllPairs/PPJoin — a named algorithm new to the registry) takes the
+    # minhash slot; the demotee is green r2-r4 and its LSH-banding
+    # machinery stays driver-exercised via ngram_jaccard_pairs (whose
+    # candidates come from the SAME banding chain) and dedup_clusters
+    "minhash_lsh_pairs",         # LSH banding pairs; set_similarity_join in
 }
 
 

@@ -214,6 +214,10 @@ def run_queries() -> dict:
         "char_entropy",
         "pmi_cooccur",
         "winnow_fingerprint",
+        # continuation-7: BM25 ranked retrieval (Okapi scorer) + the
+        # exact prefix-filter set-similarity join
+        "bm25_topk",
+        "set_similarity_join",
     ]
     times = {}
     for name in picks:

@@ -3764,6 +3764,45 @@ WHERE {_SQL_NJ_JACCARD} >= {_NJ_THRESHOLD}
 """
 
 
+# Exact set-similarity self-join (prefix filtering, AllPairs/PPJoin):
+# ALL pairs with shingle-set Jaccard >= t — same grams and threshold as
+# ngram_jaccard_pairs, but candidates come from the exact prefix-filter
+# principle instead of LSH banding, so the output is the full answer
+# (LSH banding can miss pairs; the prefix filter cannot).  The oracle is
+# the brute-force all-pairs definition.
+_SSJ_NGRAM = _NJ_NGRAM
+_SSJ_THRESHOLD = _NJ_THRESHOLD
+
+
+def q_set_similarity_join(sf_dir: str):
+    from ..stages.dedup import prefix_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _schema_stable_pairs(
+        prefix_jaccard_pairs(ds, ngram=_SSJ_NGRAM, threshold=_SSJ_THRESHOLD),
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
+    )
+
+
+SQL_SET_SIMILARITY_JOIN = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts FROM documents
+), shx AS (
+  SELECT doc_id, CASE
+    WHEN len(ts) >= {_SSJ_NGRAM} THEN list_transform(range(1, len(ts) - {_SSJ_NGRAM} + 2),
+         i -> array_to_string(list_slice(ts, i, i + {_SSJ_NGRAM} - 1), ' '))
+    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
+    ELSE [] END AS sg
+  FROM toks
+), dsh AS (
+  SELECT doc_id, list_distinct(sg) AS dsg FROM shx
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, {_SQL_NJ_JACCARD} AS jaccard
+FROM dsh x JOIN dsh y ON x.doc_id < y.doc_id
+WHERE {_SQL_NJ_JACCARD} >= {_SSJ_THRESHOLD}
+"""
+
+
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF ANN with nprobe == ncells: every cell probed, so the output
     equals the exact top-k (the oracle) while the full IVF machinery
@@ -7003,6 +7042,7 @@ SQL_QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "set_similarity_join": (q_set_similarity_join, SQL_SET_SIMILARITY_JOIN),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "knn_cosine_ivf": (q_knn_cosine_ivf, SQL_KNN_COSINE),
     "embedding_dup_lsh": (q_embedding_dup_lsh, SQL_EMBEDDING_DUP_LSH),

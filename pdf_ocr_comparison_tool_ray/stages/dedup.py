@@ -456,15 +456,22 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
 
     sigs = minhash_signatures(ds, "text", ngram).materialize()
     cand = _candidate_pairs(sigs).materialize()
+    return _verify_jaccard_candidates(ds, cand, ngram, threshold)
+
+
+def _verify_jaccard_candidates(ds, cand, ngram: int, threshold: float):
+    """Exact shingle-set verification of a (doc_a, doc_b) candidate
+    table — shared by ngram_jaccard_pairs (LSH candidates) and
+    prefix_jaccard_pairs (prefix-filter candidates).
+
+    Size-routed (same rule as minhash_lsh_pairs, tighter cap because
+    full TEXTS move instead of 512 B signatures): small candidate sets
+    pull only the touched docs' texts driver-side via a broadcast
+    semi-join and verify in one bounded pass — the two join shuffles
+    vanish.  Above the cap, co-partition joins remain."""
     texts = ds.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     )
-
-    # size-routed verification (same rule as minhash_lsh_pairs, tighter
-    # cap because full TEXTS move instead of 512 B signatures): small
-    # candidate sets pull only the touched docs' texts driver-side via a
-    # broadcast semi-join and verify in one bounded pass — the two join
-    # shuffles vanish.  Above the cap, co-partition joins remain.
     n_cand = cand.count()
     if n_cand <= NGRAM_SMALL_CANDIDATES_MAX:
         import ray as _ray
@@ -534,6 +541,186 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
         )
 
     return j.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs / PPJoin
+# family: Chaudhuri et al. 2006; Bayardo et al. 2007; Xiao et al. 2008)
+# ---------------------------------------------------------------------------
+# shingle vocabularies at or below this broadcast the df lookup (ray.put
+# once, per-worker memoized read) so prefix selection is doc-local with
+# NO shuffle; above it, df attaches via a bucketed sg join and prefixes
+# are selected under a doc_id co-partition
+PREFIX_BROADCAST_VOCAB_MAX = 2_000_000
+
+
+def _shingle_set_rows(ds, ngram: int):
+    """(doc_id, sg, sz): one row per DISTINCT shingle per doc, plus the
+    doc's set size.  Batch-local (doc == row); shingle-free docs emit
+    nothing (their Jaccard with anything is 0)."""
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        dids, sgs, szs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            s = frozenset(shingles(tokenize(text), ngram))
+            for sg in s:
+                dids.append(did)
+                sgs.append(sg)
+                szs.append(len(s))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dids, dtype="int64"),
+                "sg": pd.Series(sgs, dtype="object"),
+                "sz": pd.Series(szs, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def prefix_jaccard_pairs(ds, ngram: int = 2, threshold: float = 0.5):
+    """EXACT set-similarity self-join: ALL pairs with shingle-set
+    Jaccard >= threshold — the database-literature counterpart of the
+    LSH candidate generators (no recall loss, no banding tune).
+
+    Prefix filtering principle: a pair with J >= t shares at least
+    ceil(t*|x|) elements with either side x (|x ∩ y| >= t*|x ∪ y| >=
+    t*|x|), so under ANY global total order the first
+    p = |x| - ceil(t*|x|) + 1 elements of x must contain a shared
+    element — keeping only the suffix of ceil(t*|x|) - 1 elements
+    cannot hold the whole intersection.  Candidates = pairs sharing a
+    PREFIX shingle; exactness follows, whatever order is chosen.  The
+    order chosen is global-df-rarest-first, which makes prefix shingles
+    the LOW-frequency ones so the per-shingle self-merge stays
+    near-linear instead of quadratic on hot shingles.
+
+    Plan (all bucketed, nothing corpus-sized on the driver):
+    1. (doc_id, sg, sz) distinct-shingle rows, batch-local;
+    2. global shingle df via mergeable per-batch partials (a hot
+       shingle ships one partial row per batch, never its raw rows);
+    3. prefix selection, size-routed on vocab (broadcast lookup +
+       doc-local re-derive below PREFIX_BROADCAST_VOCAB_MAX; bucketed
+       sg join + doc_id co-partition above);
+    4. candidate pairs: per-prefix-shingle self-merge (singleton
+       shingles prefiltered), the AllPairs length filter
+       (min_sz/max_sz >= t is NECESSARY for J >= t), pair dedup;
+    5. exact verification via the shared size-routed path
+       (_verify_jaccard_candidates — identical to ngram_jaccard_pairs).
+    """
+    import math
+
+    import ray as _ray
+
+    from .broadcast import broadcast_get
+
+    # consumed by the df partials and (join route only) the df attach
+    rows = _shingle_set_rows(ds, ngram).materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("sg", as_index=False).agg(df=("doc_id", "size"))
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    def df_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("sg", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    df_tab = bucketed_map_groups(
+        rows.map_batches(df_partial, batch_format="pandas"),
+        "sg",
+        df_merge,
+        n_buckets=64,
+    ).materialize()
+
+    if df_tab.count() <= PREFIX_BROADCAST_VOCAB_MAX:
+        df_pd = df_tab.to_pandas()
+        df_ref = _ray.put(dict(zip(df_pd["sg"], df_pd["df"])))
+
+        def prefix_pass(batch: pa.Table) -> pd.DataFrame:
+            lut = broadcast_get(df_ref)
+            dids, sgs, szs = [], [], []
+            for did, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                s = frozenset(shingles(tokenize(text), ngram))
+                if not s:
+                    continue
+                sz = len(s)
+                p = sz - int(math.ceil(threshold * sz)) + 1
+                for sg in sorted(s, key=lambda g: (lut[g], g))[:p]:
+                    dids.append(did)
+                    sgs.append(sg)
+                    szs.append(sz)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "sg": pd.Series(sgs, dtype="object"),
+                    "sz": pd.Series(szs, dtype="int64"),
+                }
+            )
+
+        prefixes = ds.map_batches(prefix_pass, batch_format="pyarrow")
+    else:
+        from .bucketed import bucketed_equi_join
+
+        with_df = bucketed_equi_join(rows, df_tab, on="sg", n_buckets=64)
+
+        def select_prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+            bucket = bucket.sort_values(
+                ["doc_id", "df", "sg"], kind="mergesort"
+            )
+            r = bucket.groupby("doc_id").cumcount().to_numpy()
+            sz = bucket["sz"].to_numpy()
+            p = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+            return bucket.loc[r < p, ["doc_id", "sg", "sz"]].reset_index(
+                drop=True
+            )
+
+        prefixes = bucketed_map_groups(
+            with_df, "doc_id", select_prefix, n_buckets=64
+        )
+
+    _EMPTY_PAIRS = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def pair_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_PAIRS
+        # singleton prefix shingles can't pair — drop before the merge
+        # (the round-3 lesson: prefilter BEFORE any per-group work)
+        vc = bucket["sg"].value_counts()
+        keep = bucket[bucket["sg"].isin(vc.index[vc >= 2])]
+        if keep.empty:
+            return _EMPTY_PAIRS
+        m = keep.merge(keep, on="sg", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return _EMPTY_PAIRS
+        lo = np.minimum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        hi = np.maximum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        # length filter: J <= min/max, so min/max < t prunes safely
+        # (tiny epsilon keeps float division from pruning an exact-t
+        # boundary pair the verifier would keep)
+        m = m[
+            lo.astype(np.float64) / hi.astype(np.float64)
+            >= threshold - 1e-12
+        ]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out.astype("int64").reset_index(drop=True)
+
+    cand = bucketed_map_groups(prefixes, "sg", pair_bucket, n_buckets=64)
+    cand = bucketed_drop_duplicates(
+        cand, ["doc_a", "doc_b"], n_buckets=64
+    ).materialize()
+    return _verify_jaccard_candidates(ds, cand, ngram, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -43,8 +43,9 @@ FAST_QUERIES = [
     "bigram_logprob",
     "knn_filtered",
     "domain_quota_sample",
-    # round-5 continuation: BM25 ranked retrieval
+    # round-5 continuation: BM25 ranked retrieval + exact SSJoin
     "bm25_topk",
+    "set_similarity_join",
 ]
 
 

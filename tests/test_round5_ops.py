@@ -1582,3 +1582,97 @@ def test_bm25_planted_corpus(tmp_path):
     assert got[1] > got[2]
     assert got[5] < 8 * got[4]
     assert 3 not in got and 6 not in got
+
+
+def _brute_ssjoin(texts: dict, ngram: int, t: float):
+    """Brute-force all-pairs exact shingle-set Jaccard >= t."""
+    from pdf_ocr_comparison_tool_ray.functions.fingerprint import shingles
+    from pdf_ocr_comparison_tool_ray.functions.tokenize import tokenize
+
+    sets = {d: frozenset(shingles(tokenize(x), ngram)) for d, x in texts.items()}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = sets[a] | sets[b]
+            j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+            if j >= t:
+                out[(a, b)] = j
+    return out
+
+
+def _ssjoin_corpus():
+    """Planted near-dup families + distinct docs + degenerate docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    return {
+        1: base,
+        2: base + " lambda",                       # near-dup of 1
+        3: base.replace("delta", "DELTA"),         # near-dup, case-sensitive grams
+        4: "one two three four five six seven eight nine ten",
+        5: "one two three four five six seven eight nine ten",  # exact dup of 4
+        6: "totally different words nothing shared here at all okay",
+        7: "single",                               # 1-token doc (whole-doc shingle)
+        8: "",                                     # shingle-free doc
+        9: "alpha beta",                           # tiny overlap with 1, below t
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_similarity_join_exact_vs_brute(tmp_path):
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+    import ray.data
+
+    texts = _ssjoin_corpus()
+    sf = _write_docs(tmp_path, [{"doc_id": d, "text": x} for d, x in texts.items()])
+    ds = ray.data.read_parquet(sf + "/documents.parquet")
+
+    got_df = prefix_jaccard_pairs(ds, ngram=2, threshold=0.5).to_pandas()
+    got = {
+        (a, b): j
+        for a, b, j in zip(got_df["doc_a"], got_df["doc_b"], got_df["jaccard"])
+    }
+    expect = _brute_ssjoin(texts, 2, 0.5)
+    assert set(got) == set(expect)
+    for k, j in expect.items():
+        assert np.isclose(got[k], j, rtol=0, atol=0), k  # exact ratios
+    # exactness dominance: the prefix filter finds every pair LSH does
+    lsh_df = ngram_jaccard_pairs(ds, ngram=2, threshold=0.5).to_pandas()
+    lsh = set(zip(lsh_df["doc_a"], lsh_df["doc_b"]))
+    assert lsh <= set(got)
+    # planted sanity
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+    assert (1, 2) in got
+    assert all(8 not in k and 9 not in k for k in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_similarity_join_bucketed_route_equivalence(tmp_path, monkeypatch):
+    """Force the oversized-vocab route (bucketed df join + doc_id
+    co-partition prefix selection) and pin it to the broadcast route."""
+    import ray.data
+
+    from pdf_ocr_comparison_tool_ray.stages import dedup
+
+    texts = _ssjoin_corpus()
+    sf = _write_docs(tmp_path, [{"doc_id": d, "text": x} for d, x in texts.items()])
+    ds = ray.data.read_parquet(sf + "/documents.parquet")
+
+    fast = (
+        dedup.prefix_jaccard_pairs(ds, 2, 0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "PREFIX_BROADCAST_VOCAB_MAX", 0)
+    slow = (
+        dedup.prefix_jaccard_pairs(ds, 2, 0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
