@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.fingerprint import (
+    _token_hash,
     lsh_bands,
     minhash_signature,
     shingles,
@@ -459,16 +460,113 @@ def ngram_jaccard_pairs(ds, group_col: str | None = None, ngram: int = 2,
     return _verify_jaccard_candidates(ds, cand, ngram, threshold)
 
 
+def _pair_ids_batch(t: pa.Table) -> pa.Table:
+    """Pair rows -> locally-unique single doc_id column (route probing
+    and exact-id pulls both read this instead of raw pair rows)."""
+    import pyarrow.compute as pc
+
+    both = pa.concat_arrays(
+        [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+    )
+    return pa.table({"doc_id": pc.unique(both)})
+
+
+def _verify_broadcast_sets(texts, cand, ngram: int, threshold: float, pair_ids):
+    """Tier-2 verify: broadcast the touched docs' hashed shingle arrays.
+
+    Each touched doc's DISTINCT shingles hash to sorted uint64 (the
+    repo-wide md5-64 ``_token_hash``; a cross-set collision needs
+    ~2^-64 — immaterial next to the exactness the string route gives)
+    and the whole lookup ships ONCE via ray.put (per-worker memoized),
+    so a doc's set moves once instead of once per candidate pair; the
+    per-pair check is a C-speed ``np.intersect1d`` on sorted-unique
+    arrays.  Candidate rows themselves never leave the cluster."""
+    import ray as _ray
+
+    from .broadcast import broadcast_get
+
+    touched = pair_ids.unique("doc_id")  # distinct ids only; <= cap rows
+    text_sub = _semi_join_filter(
+        texts, pd.Series(touched), pd.Series(touched)
+    )
+
+    def to_arrays(t: pa.Table) -> pa.Table:
+        ids_, arrs = [], []
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            s = frozenset(shingles(tokenize(text), ngram))
+            a = np.unique(
+                np.array([_token_hash(x) for x in s], dtype=np.uint64)
+            )
+            ids_.append(did)
+            arrs.append(a.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids_, type=t.schema.field("doc_id").type
+                ),
+                "sh": pa.array(arrs, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    arr_df = text_sub.map_batches(to_arrays, batch_format="pyarrow").to_pandas()
+    lut_ref = _ray.put(
+        {
+            d: np.asarray(a, dtype=np.uint64)
+            for d, a in zip(arr_df["doc_id"], arr_df["sh"])
+        }
+    )
+
+    def verify_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = broadcast_get(lut_ref)
+        a_ids, b_ids, jac = [], [], []
+        for da, db in zip(batch["doc_a"], batch["doc_b"]):
+            sa, sb = lut[da], lut[db]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            u = sa.size + sb.size - inter
+            s = (inter / u) if u else 0.0
+            if s >= threshold:
+                a_ids.append(da)
+                b_ids.append(db)
+                jac.append(s)
+        dtype = batch["doc_a"].dtype
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(a_ids, dtype=dtype),
+                "doc_b": pd.Series(b_ids, dtype=dtype),
+                "jaccard": pd.Series(jac, dtype="float64"),
+            }
+        )
+
+    return cand.map_batches(verify_pairs, batch_format="pandas")
+
+
+# a broadcast doc -> shingle-array lookup is bounded by TOUCHED DOCS,
+# not candidate pairs: each doc's set ships once (~2 KB) instead of once
+# per pair it appears in (the join route replicates a doc's text across
+# all its pairs — on candidate-dense corpora that shuffle is pairs x
+# texts, orders of magnitude above the set table).  50k docs ~ 100 MB.
+VERIFY_BROADCAST_DOCS_MAX = 50_000
+
+
 def _verify_jaccard_candidates(ds, cand, ngram: int, threshold: float):
     """Exact shingle-set verification of a (doc_a, doc_b) candidate
     table — shared by ngram_jaccard_pairs (LSH candidates) and
     prefix_jaccard_pairs (prefix-filter candidates).
 
-    Size-routed (same rule as minhash_lsh_pairs, tighter cap because
-    full TEXTS move instead of 512 B signatures): small candidate sets
-    pull only the touched docs' texts driver-side via a broadcast
-    semi-join and verify in one bounded pass — the two join shuffles
-    vanish.  Above the cap, co-partition joins remain."""
+    Three size-routed tiers:
+    1. candidates <= NGRAM_SMALL_CANDIDATES_MAX: pull the pairs AND the
+       touched docs' texts driver-side (broadcast semi-join), verify in
+       one bounded pass — no shuffle at all;
+    2. touched docs <= VERIFY_BROADCAST_DOCS_MAX: candidates stay
+       distributed; the touched docs' SHINGLE ARRAYS broadcast once
+       (ray.put, per-worker memoized) and each pair verifies with a
+       C-speed sorted-array intersect — each doc's set moves once, not
+       once per pair;
+    3. otherwise: two co-partition joins pull each side's text onto the
+       pair rows (the open-corpus scale path — nothing bounded by doc
+       count survives 100 TB, so texts move with the pairs)."""
     texts = ds.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     )
@@ -514,6 +612,17 @@ def _verify_jaccard_candidates(ds, cand, ngram: int, threshold: float):
                 }
             )
         )
+
+    # tier-2 gate: estimate the TOUCHED-DOC count with an HLL sketch
+    # first (keys-only, bounded bytes per batch) so nothing unbounded
+    # ever moves driver-side just to decide the route; the exact id
+    # list is pulled only once the estimate clears the cap (x0.9
+    # absorbs HLL's ~2% relative error at p=12).
+    from .sketch import approx_distinct
+
+    pair_ids = cand.map_batches(_pair_ids_batch, batch_format="pyarrow")
+    if approx_distinct(pair_ids, "doc_id") <= 0.9 * VERIFY_BROADCAST_DOCS_MAX:
+        return _verify_broadcast_sets(texts, cand, ngram, threshold, pair_ids)
 
     j = _join_pair_column(cand, texts, "doc_a", "text", "text_a")
     j = _join_pair_column(j, texts, "doc_b", "text", "text_b")

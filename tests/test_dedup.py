@@ -199,6 +199,16 @@ def test_ngram_verification_routes_equivalent(monkeypatch):
         .reset_index(drop=True)
     )
     monkeypatch.setattr(dedup, "NGRAM_SMALL_CANDIDATES_MAX", -1)
+    # tier 2: broadcast hashed shingle arrays (touched docs under cap)
+    broadcast = (
+        dedup.ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(broadcast[small.columns], small)
+    # tier 3: both caps off -> two co-partition text joins
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_DOCS_MAX", -1)
     joined = (
         dedup.ngram_jaccard_pairs(ds, ngram=2, threshold=0.5)
         .to_pandas()
