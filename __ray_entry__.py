@@ -198,6 +198,15 @@ _LOCAL_ONLY = {
     # machinery stays driver-exercised via ngram_jaccard_pairs (whose
     # candidates come from the SAME banding chain) and dedup_clusters
     "minhash_lsh_pairs",         # LSH banding pairs; set_similarity_join in
+    # ... and fixed-point PageRank (iterative bucketed-join power
+    # iteration, the graph-processing family's first driver row) plus
+    # the Gopher composed quality filter (keep/drop verdict with named
+    # reject reasons) take two slots; the demotees are green r1-r4 and
+    # their families stay exposed — simhash's sketch kin via
+    # ngram_jaccard_pairs/set_similarity_join (same banding chain) and
+    # split_runs' sort/limit kin via keyword_topk and order_items
+    "simhash_pairs",             # hamming-band pairs; pagerank in
+    "split_runs",                # S5 run splitter; gopher_filter in
 }
 
 

@@ -45,6 +45,40 @@ def quality_ok(sig: Dict[str, float], min_words: int = 10,
     )
 
 
+# Gopher-rule thresholds (Rae et al. 2021 Table A1, re-centered on the
+# synthetic corpus so every rule actually fires: percentiles probed at
+# sf0.01 put ~9% below MIN_WORDS, ~8% above MAX_WORDS, ~12% under the
+# stopword floor, ~9% over the dup-word cap, ~10% over the 2-gram cap).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WLEN = 4.0
+GOPHER_MAX_MEAN_WLEN = 5.0
+GOPHER_MIN_STOP_RATIO = 0.02
+GOPHER_MAX_DUP_FRAC = 0.65
+GOPHER_MAX_TOP2_FRAC = 0.15
+
+
+def gopher_verdict(sig: Dict[str, float], rep: Dict[str, float]) -> str:
+    """First failing Gopher rule in fixed order, or '' to keep — the
+    FineWeb reject-reason convention (attributable filtering beats a
+    bare boolean when tuning a 100 TB curation run).  Every signal is a
+    single division of exact integers, so the SQL replay is
+    bit-identical and the threshold comparisons cannot drift."""
+    if sig["n_words"] < GOPHER_MIN_WORDS:
+        return "too_short"
+    if sig["n_words"] > GOPHER_MAX_WORDS:
+        return "too_long"
+    if not (GOPHER_MIN_MEAN_WLEN <= sig["mean_word_len"] <= GOPHER_MAX_MEAN_WLEN):
+        return "word_len"
+    if sig["stopword_ratio"] < GOPHER_MIN_STOP_RATIO:
+        return "few_stopwords"
+    if rep["dup_word_frac"] > GOPHER_MAX_DUP_FRAC:
+        return "dup_words"
+    if rep["top2_char_frac"] > GOPHER_MAX_TOP2_FRAC:
+        return "rep_2gram"
+    return ""
+
+
 _LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 

@@ -7026,6 +7026,224 @@ SQL_BM25_TOPK = _sql_bm25()
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point PageRank over the customer<->supplier trade graph.
+# The iterative-distributed-joins workload (power iteration, Page et al.
+# 1998): edges are the DISTINCT (customer, supplier) pairs that traded
+# (orders |><| lineitem), symmetrized so both node classes propagate
+# rank; customers without orders exercise the dangling/teleport path.
+# All arithmetic is int64 fixed-point (see stages/pagerank.py) so the
+# 3-round ranks are bit-identical between Ray and the unrolled SQL.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_SCALE = 1 << 40
+_PR_DNUM, _PR_DDEN = 85, 100
+
+
+def q_pagerank(sf_dir: str):
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_equi_join
+    from ..stages.pagerank import pagerank_fixedpoint
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_equi_join(orders, li, on="o_orderkey").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src": "c" + df["o_custkey"].astype("int64").astype(str),
+                "dst": "s" + df["l_suppkey"].astype("int64").astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    pairs = bucketed_drop_duplicates(pairs, ["src", "dst"]).materialize()
+    edges = pairs.union(
+        pairs.map_batches(
+            lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
+            batch_format="pandas",
+        )
+    )
+    nodes = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": "c" + df["c_custkey"].astype("int64").astype(str)}
+        ),
+        batch_format="pandas",
+    ).union(
+        _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": "s" + df["s_suppkey"].astype("int64").astype(str)}
+            ),
+            batch_format="pandas",
+        )
+    )
+    return pagerank_fixedpoint(
+        edges,
+        nodes,
+        iters=_PR_ITERS,
+        damping_num=_PR_DNUM,
+        damping_den=_PR_DDEN,
+        scale=_PR_SCALE,
+    )
+
+
+def _sql_pagerank() -> str:
+    s, num, den = _PR_SCALE, _PR_DNUM, _PR_DDEN
+    sql = f"""
+WITH ce AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM ce
+  UNION ALL SELECT dst AS src, src AS dst FROM ce
+),
+nodes AS (
+  SELECT 'c' || c_custkey AS node FROM customer
+  UNION ALL SELECT 's' || s_suppkey AS node FROM supplier
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+base AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+         FROM nodes n LEFT JOIN deg d USING (node)),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+r0 AS (SELECT node, outdeg, CAST({s} AS BIGINT) // p.n AS rank_fp
+       FROM base, p)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(rank_fp) FILTER (WHERE outdeg = 0), 0)
+                     AS BIGINT) AS dang FROM {prev}),
+c{i} AS (SELECT e.dst AS node,
+                CAST(SUM(r.rank_fp // r.outdeg) AS BIGINT) AS contrib
+         FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT b.node, b.outdeg,
+                CAST((({den} - {num}) * (CAST({s} AS BIGINT) // p.n)) // {den}
+                     + ({num} * (COALESCE(c.contrib, 0) + d{i}.dang // p.n))
+                       // {den} AS BIGINT) AS rank_fp
+         FROM base b LEFT JOIN c{i} c USING (node), p, d{i})"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / {s} AS rank FROM {prev}
+"""
+    return sql
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# Gopher composed quality filter (Rae et al. 2021 Table A1, FineWeb
+# reject-reason convention): the per-doc signals already pinned by
+# quality_scores and doc_repetition_stats compose into a keep/drop
+# verdict with the FIRST failing rule named.  Map-only, one pass, no
+# shuffle — the canonical 100 TB curation-gate shape; thresholds live in
+# functions/quality.py next to the signal definitions.
+# ---------------------------------------------------------------------------
+def q_gopher_filter(sf_dir: str):
+    from ..functions.quality import (
+        gopher_verdict,
+        quality_signals,
+        repetition_signals,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        reasons = [
+            gopher_verdict(quality_signals(t), repetition_signals(t))
+            for t in batch["text"].to_pylist()
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_pandas(),
+                "keep": pd.Series([r == "" for r in reasons], dtype="bool"),
+                "reason": pd.Series(reasons, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _sql_gopher() -> str:
+    from ..functions.quality import (
+        GOPHER_MAX_DUP_FRAC,
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_TOP2_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOP_RATIO,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+         length(regexp_extract_all(lower(text), '\\b({_STOP_ALT})\\b')) AS n_stop
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(length(array_to_string(words, '')) AS DOUBLE)
+                   / len(words) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0
+              THEN CAST(n_stop AS DOUBLE) / len(words)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS dup_word_frac,
+         ws,
+         length(array_to_string(ws, '')) AS total_chars
+  FROM base
+), grams AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM sig, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), gc AS (
+  SELECT doc_id, max(c * chars) AS cov
+  FROM (
+    SELECT doc_id, w1, w2, count(*) AS c,
+           length(w1) + length(w2) AS chars
+    FROM grams GROUP BY doc_id, w1, w2
+  ) GROUP BY doc_id
+), fsig AS (
+  SELECT s.doc_id, s.n_words, s.mean_word_len, s.stopword_ratio,
+         s.dup_word_frac,
+         CASE WHEN s.total_chars > 0
+              THEN CAST(coalesce(g.cov, 0) AS DOUBLE) / s.total_chars
+              ELSE 0.0 END AS top2_char_frac
+  FROM sig s LEFT JOIN gc g ON g.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CASE
+         WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_short'
+         WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_long'
+         WHEN mean_word_len < {GOPHER_MIN_MEAN_WLEN}
+              OR mean_word_len > {GOPHER_MAX_MEAN_WLEN} THEN 'word_len'
+         WHEN stopword_ratio < {GOPHER_MIN_STOP_RATIO} THEN 'few_stopwords'
+         WHEN dup_word_frac > {GOPHER_MAX_DUP_FRAC} THEN 'dup_words'
+         WHEN top2_char_frac > {GOPHER_MAX_TOP2_FRAC} THEN 'rep_2gram'
+         ELSE '' END AS reason,
+       CASE
+         WHEN n_words < {GOPHER_MIN_WORDS} THEN FALSE
+         WHEN n_words > {GOPHER_MAX_WORDS} THEN FALSE
+         WHEN mean_word_len < {GOPHER_MIN_MEAN_WLEN}
+              OR mean_word_len > {GOPHER_MAX_MEAN_WLEN} THEN FALSE
+         WHEN stopword_ratio < {GOPHER_MIN_STOP_RATIO} THEN FALSE
+         WHEN dup_word_frac > {GOPHER_MAX_DUP_FRAC} THEN FALSE
+         WHEN top2_char_frac > {GOPHER_MAX_TOP2_FRAC} THEN FALSE
+         ELSE TRUE END AS keep
+FROM fsig
+"""
+
+
+SQL_GOPHER_FILTER = _sql_gopher()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -7147,4 +7365,6 @@ SQL_QUERIES = {
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
 }
