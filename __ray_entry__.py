@@ -207,6 +207,15 @@ _LOCAL_ONLY = {
     # split_runs' sort/limit kin via keyword_topk and order_items
     "simhash_pairs",             # hamming-band pairs; pagerank in
     "split_runs",                # S5 run splitter; gopher_filter in
+    # ... and chi-square token keyness (feature-selection family, new)
+    # plus synchronous label propagation (community detection beside
+    # pagerank's centrality) take two more slots; the demotees are
+    # multi-round green and covered — the hybrid rerun is a routing
+    # VARIANT of the exposed extraction_pipeline (same oracle), and the
+    # bigram LM scorer rides inside the exposed perplexity_buckets as
+    # its fit+score core
+    "extraction_hybrid_rerun",   # second-pass routing variant; chi2_keyness in
+    "bigram_logprob",            # LM scorer; label_propagation in
 }
 
 

@@ -7039,9 +7039,11 @@ _PR_SCALE = 1 << 40
 _PR_DNUM, _PR_DDEN = 85, 100
 
 
-def q_pagerank(sf_dir: str):
+def _trade_graph(sf_dir: str):
+    """Symmetrized customer<->supplier trade graph: DISTINCT directed
+    edges (both directions) + the full node universe (customers without
+    orders stay isolated).  Shared by pagerank and label_propagation."""
     from ..stages.bucketed import bucketed_drop_duplicates, bucketed_equi_join
-    from ..stages.pagerank import pagerank_fixedpoint
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
@@ -7077,6 +7079,13 @@ def q_pagerank(sf_dir: str):
             batch_format="pandas",
         )
     )
+    return edges, nodes
+
+
+def q_pagerank(sf_dir: str):
+    from ..stages.pagerank import pagerank_fixedpoint
+
+    edges, nodes = _trade_graph(sf_dir)
     return pagerank_fixedpoint(
         edges,
         nodes,
@@ -7130,6 +7139,60 @@ SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / {s} AS rank FROM {prev}
 
 
 SQL_PAGERANK = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation over the same trade graph (community
+# detection — Raghavan et al. 2007 with deterministic min-label ties).
+# Counts and string comparisons only — no float anywhere — so the
+# unrolled SQL replay is exactly equal by construction.
+# ---------------------------------------------------------------------------
+_LP_ITERS = 3
+
+
+def q_label_propagation(sf_dir: str):
+    from ..stages.labelprop import label_propagation
+
+    edges, nodes = _trade_graph(sf_dir)
+    return label_propagation(edges, nodes, iters=_LP_ITERS)
+
+
+def _sql_labelprop() -> str:
+    sql = """
+WITH ce AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM ce
+  UNION ALL SELECT dst AS src, src AS dst FROM ce
+),
+nodes AS (
+  SELECT 'c' || c_custkey AS node FROM customer
+  UNION ALL SELECT 's' || s_suppkey AS node FROM supplier
+),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    prev = "l0"
+    for i in range(1, _LP_ITERS + 1):
+        sql += f""",
+s{i} AS (SELECT e.dst AS node, l.label, count(*) AS c
+         FROM edges e JOIN {prev} l ON e.src = l.node
+         GROUP BY e.dst, l.label),
+w{i} AS (SELECT node, label AS new_label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label) AS rk
+           FROM s{i}) WHERE rk = 1),
+l{i} AS (SELECT p.node, COALESCE(w.new_label, p.label) AS label
+         FROM {prev} p LEFT JOIN w{i} w USING (node))"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT node, label FROM {prev}
+"""
+    return sql
+
+
+SQL_LABEL_PROPAGATION = _sql_labelprop()
 
 
 # ---------------------------------------------------------------------------
@@ -7241,6 +7304,160 @@ FROM fsig
 
 
 SQL_GOPHER_FILTER = _sql_gopher()
+
+
+# ---------------------------------------------------------------------------
+# Chi-square token keyness per language (feature selection / corpus
+# comparison — Manning & Schuetze ch. 5, Dunning-style keyness over
+# document frequency).  For each (lang, token) the 2x2 contingency is
+#   a = docs in lang containing token        b = n_lang - a
+#   c = docs elsewhere containing token      d = N - n_lang - c
+# and chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), computed from exact
+# int64 counts with ONE shared double expression tree, so Ray and the
+# SQL replay are bit-identical (same IEEE ops on the same integers).
+# Scale shape: per-batch partial (kw, lang) presence counts (mergeable,
+# a stopword ships langs rows per batch, never per-doc rows), one
+# kw-bucketed finalize (a token's rows are bucket-local, so df and the
+# per-lang split need no second shuffle), and a per-batch local top-K
+# per lang merged driver-side (bounded: langs x K rows per batch).
+# ---------------------------------------------------------------------------
+_CHI2_K = 15
+_CHI2_MIN_DF = 5
+
+
+def _chi2_expr(a, b, c, d, n):
+    """Shared double expression tree (pandas Series or SQL mirror)."""
+    return (
+        n * (a * d - b * c) * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+
+
+def q_chi2_keyness(sf_dir: str):
+    from ..functions.tokenize import keyword_candidates
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    lang_n = (
+        ds.map_batches(
+            lambda t: t.group_by("lang").aggregate([("doc_id", "count")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("lang")["doc_id_count"]
+        .sum()
+        .to_dict()
+    )
+    n_total = int(sum(lang_n.values()))
+
+    def presence(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for kw in set(keyword_candidates(text)):
+                cnt[(kw, lang)] += 1
+        kws, langs, a_ = [], [], []
+        for (kw, lang), v in cnt.items():
+            kws.append(kw)
+            langs.append(lang)
+            a_.append(v)
+        return pd.DataFrame(
+            {
+                "kw": pd.Series(kws, dtype="object"),
+                "lang": pd.Series(langs, dtype="object"),
+                "a": pd.Series(a_, dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(presence, batch_format="pyarrow")
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["kw", "lang"], as_index=False)["a"].sum()
+        dfk = g.groupby("kw")["a"].sum()
+        g["dfk"] = g["kw"].map(dfk).astype("int64")
+        g = g[g["dfk"] >= _CHI2_MIN_DF]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "token": pd.Series([], dtype="object"),
+                    "a": pd.Series([], dtype="int64"),
+                    "chi2": pd.Series([], dtype="float64"),
+                }
+            )
+        a = g["a"].astype("float64")
+        nl = g["lang"].map(lang_n).astype("float64")
+        b = nl - a
+        c = g["dfk"].astype("float64") - a
+        d = float(n_total) - nl - c
+        chi2 = _chi2_expr(a, b, c, d, float(n_total))
+        out = pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "token": g["kw"],
+                "a": g["a"].astype("int64"),
+                "chi2": chi2.astype("float64"),
+            }
+        )
+        # keep over-represented tokens only (a*d > b*c, in doubles on
+        # both engines) and the bucket's local top-K per lang — the
+        # global top-K is a merge of bucket top-Ks
+        out = out[(a * d) > (b * c)]
+        out = out.sort_values(
+            ["lang", "chi2", "token"], ascending=[True, False, True]
+        )
+        return out.groupby("lang", sort=False).head(_CHI2_K).reset_index(drop=True)
+
+    local = bucketed_map_groups(partials, "kw", finalize, n_buckets=32)
+    final = local.to_pandas()
+    final = final.sort_values(
+        ["lang", "chi2", "token"], ascending=[True, False, True]
+    )
+    final = final.groupby("lang", sort=False).head(_CHI2_K)
+    final["rk"] = (final.groupby("lang").cumcount() + 1).astype("int64")
+    return final.reset_index(drop=True)
+
+
+SQL_CHI2_KEYNESS = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS kw
+  FROM documents
+), pres AS (
+  SELECT kw, lang, CAST(count(*) AS BIGINT) AS a
+  FROM toks
+  WHERE length(kw) >= 2 AND NOT regexp_full_match(kw, '[0-9]+')
+  GROUP BY kw, lang
+), dfk AS (
+  SELECT kw, CAST(sum(a) AS BIGINT) AS dfk FROM pres GROUP BY kw
+), nl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT p.lang, p.kw AS token, p.a,
+         CAST(p.a AS DOUBLE) AS fa,
+         CAST(nl.n_lang AS DOUBLE) - p.a AS fb,
+         CAST(d.dfk AS DOUBLE) - p.a AS fc,
+         CAST(n.n AS DOUBLE) - nl.n_lang - (CAST(d.dfk AS DOUBLE) - p.a) AS fd,
+         CAST(n.n AS DOUBLE) AS fn
+  FROM pres p JOIN dfk d USING (kw) JOIN nl USING (lang) CROSS JOIN n
+  WHERE d.dfk >= {_CHI2_MIN_DF}
+), keyed AS (
+  SELECT lang, token, a,
+         fn * (fa * fd - fb * fc) * (fa * fd - fb * fc)
+         / ((fa + fb) * (fc + fd) * (fa + fc) * (fb + fd)) AS chi2
+  FROM scored
+  WHERE (fa * fd) > (fb * fc)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY chi2 DESC, token) AS rk
+  FROM keyed
+)
+SELECT lang, token, a, chi2, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_CHI2_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -7367,4 +7584,6 @@ SQL_QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+    "chi2_keyness": (q_chi2_keyness, SQL_CHI2_KEYNESS),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
 }

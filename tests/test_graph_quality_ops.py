@@ -79,6 +79,75 @@ def test_pagerank_mass_and_teleport_floor():
     assert (df["rank"] == df["rank_fp"] / scale).all()
 
 
+def _ref_labelprop(edges, nodes, iters):
+    from collections import Counter
+
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        cnt = {}
+        for s, d in edges:
+            cnt.setdefault(d, Counter())[lab[s]] += 1
+        new = dict(lab)
+        for d, c in cnt.items():
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[d] = best
+        lab = new
+    return lab
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("route", ["driver", "bucketed"])
+def test_label_propagation_matches_reference(route, monkeypatch):
+    from pdf_ocr_comparison_tool_ray.stages import labelprop as lpmod
+
+    if route == "bucketed":
+        monkeypatch.setattr(lpmod, "LABELPROP_DRIVER_EDGES_MAX", -1)
+    # two triangles bridged by one edge + the isolated node g
+    lp_edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+        ("c", "a"), ("d", "e"), ("e", "d"), ("e", "f"), ("f", "e"),
+        ("d", "f"), ("f", "d"), ("c", "d"),
+    ]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(lp_edges, columns=["src", "dst"])
+    ).repartition(3)
+    nodes = ray.data.from_pandas(pd.DataFrame({"node": NODES})).repartition(2)
+    got = (
+        lpmod.label_propagation(edges, nodes, iters=3, n_buckets=4)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    want = _ref_labelprop(lp_edges, NODES, 3)
+    assert got == want
+    assert got["g"] == "g"  # isolated node keeps its own label
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chi2_keyness_planted_token(tmp_path):
+    """A token planted exclusively in one language tops that language's
+    keyness ranking, with chi2 matching the hand formula."""
+    import ray.data  # noqa: F401  (session fixture)
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_chi2_keyness
+
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = f"common words here item{i:02d} filler"
+        if lang == "aa":
+            text += " zebraword"
+        rows.append({"doc_id": i, "lang": lang, "text": text})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = q_chi2_keyness(str(tmp_path))
+    aa = out[out["lang"] == "aa"].reset_index(drop=True)
+    assert aa.loc[0, "token"] == "zebraword"
+    # a=20, b=0, c=0, d=20, N=40 -> chi2 = 40*(400)^2/(20*20*20*20) = 40
+    assert aa.loc[0, "chi2"] == 40.0
+    # tokens present in every doc carry no keyness signal anywhere
+    assert "common" not in set(out["token"])
+
+
 def test_gopher_verdict_rule_precedence():
     from pdf_ocr_comparison_tool_ray.functions.quality import (
         GOPHER_MIN_WORDS,
