@@ -216,6 +216,10 @@ _LOCAL_ONLY = {
     # its fit+score core
     "extraction_hybrid_rerun",   # second-pass routing variant; chi2_keyness in
     "bigram_logprob",            # LM scorer; label_propagation in
+    # fixed-point HITS stays local-strict: the graph family already
+    # holds two driver slots (pagerank centrality, label_propagation
+    # communities) and hits shares their iterated-bucketed-join core
+    "hits",                      # hub/authority kin of the exposed pagerank
 }
 
 

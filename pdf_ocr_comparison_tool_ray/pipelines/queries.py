@@ -7039,10 +7039,11 @@ _PR_SCALE = 1 << 40
 _PR_DNUM, _PR_DDEN = 85, 100
 
 
-def _trade_graph(sf_dir: str):
-    """Symmetrized customer<->supplier trade graph: DISTINCT directed
-    edges (both directions) + the full node universe (customers without
-    orders stay isolated).  Shared by pagerank and label_propagation."""
+def _trade_graph(sf_dir: str, symmetric: bool = True):
+    """Customer<->supplier trade graph: DISTINCT directed edges (both
+    directions when ``symmetric``, else customer->supplier only) + the
+    full node universe (customers without orders stay isolated).
+    Shared by pagerank, label_propagation and hits."""
     from ..stages.bucketed import bucketed_drop_duplicates, bucketed_equi_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -7060,12 +7061,15 @@ def _trade_graph(sf_dir: str):
         batch_format="pandas",
     )
     pairs = bucketed_drop_duplicates(pairs, ["src", "dst"]).materialize()
-    edges = pairs.union(
-        pairs.map_batches(
-            lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
-            batch_format="pandas",
+    if symmetric:
+        edges = pairs.union(
+            pairs.map_batches(
+                lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
+                batch_format="pandas",
+            )
         )
-    )
+    else:
+        edges = pairs
     nodes = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda df: pd.DataFrame(
             {"node": "c" + df["c_custkey"].astype("int64").astype(str)}
@@ -7193,6 +7197,69 @@ SELECT node, label FROM {prev}
 
 
 SQL_LABEL_PROPAGATION = _sql_labelprop()
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point HITS on the DIRECTED trade graph (Kleinberg 1999):
+# customers accumulate hub mass, suppliers authority mass.  Integer L1
+# renormalization each half-round (x * scale // total) — the multiply
+# widens past int64, so Ray normalizes through Python ints and the SQL
+# replay through HUGEINT; results re-fit BIGINT exactly.
+# ---------------------------------------------------------------------------
+_HITS_ITERS = 3
+_HITS_SCALE = 1 << 40
+
+
+def q_hits(sf_dir: str):
+    from ..stages.hits import hits_fixedpoint
+
+    edges, nodes = _trade_graph(sf_dir, symmetric=False)
+    return hits_fixedpoint(edges, nodes, iters=_HITS_ITERS, scale=_HITS_SCALE)
+
+
+def _sql_hits() -> str:
+    s = _HITS_SCALE
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT 'c' || c_custkey AS node FROM customer
+  UNION ALL SELECT 's' || s_suppkey AS node FROM supplier
+),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+h0 AS (SELECT node, CAST({s} AS BIGINT) // p.n AS hub_fp FROM nodes, p)"""
+    prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        sql += f""",
+ar{i} AS (SELECT e.dst AS node, CAST(SUM(h.hub_fp) AS BIGINT) AS raw
+          FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst),
+at{i} AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM ar{i}),
+a{i} AS (SELECT n.node,
+                CASE WHEN t.t > 0 THEN CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT)
+                                            * {s} // t.t AS BIGINT)
+                     ELSE CAST(COALESCE(r.raw, 0) AS BIGINT) END AS auth_fp
+         FROM nodes n LEFT JOIN ar{i} r USING (node), at{i} t),
+hr{i} AS (SELECT e.src AS node, CAST(SUM(a.auth_fp) AS BIGINT) AS raw
+          FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+ht{i} AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM hr{i}),
+h{i} AS (SELECT n.node,
+                CASE WHEN t.t > 0 THEN CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT)
+                                            * {s} // t.t AS BIGINT)
+                     ELSE CAST(COALESCE(r.raw, 0) AS BIGINT) END AS hub_fp
+         FROM nodes n LEFT JOIN hr{i} r USING (node), ht{i} t)"""
+        prev = f"h{i}"
+    sql += f"""
+SELECT n.node, h.hub_fp, a.auth_fp
+FROM nodes n
+JOIN h{_HITS_ITERS} h USING (node)
+JOIN a{_HITS_ITERS} a USING (node)
+"""
+    return sql
+
+
+SQL_HITS = _sql_hits()
 
 
 # ---------------------------------------------------------------------------
@@ -7586,4 +7653,5 @@ SQL_QUERIES = {
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "chi2_keyness": (q_chi2_keyness, SQL_CHI2_KEYNESS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "hits": (q_hits, SQL_HITS),
 }

@@ -148,6 +148,57 @@ def test_chi2_keyness_planted_token(tmp_path):
     assert "common" not in set(out["token"])
 
 
+def _ref_hits(edges, nodes, iters, scale):
+    hub = {v: scale // len(nodes) for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: 0 for v in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        t = sum(auth.values())
+        if t:
+            auth = {v: x * scale // t for v, x in auth.items()}
+        hub = {v: 0 for v in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+        t = sum(hub.values())
+        if t:
+            hub = {v: x * scale // t for v, x in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("route", ["driver", "bucketed"])
+def test_hits_matches_reference(route, monkeypatch):
+    from pdf_ocr_comparison_tool_ray.stages import hits as hmod
+
+    if route == "bucketed":
+        monkeypatch.setattr(hmod, "HITS_DRIVER_EDGES_MAX", -1)
+    # directed bipartite-ish graph: a,b,e point at c,d,f; g isolated
+    h_edges = [
+        ("a", "c"), ("a", "d"), ("b", "c"), ("e", "c"), ("e", "d"),
+        ("e", "f"), ("b", "f"),
+    ]
+    scale = 1 << 40
+    edges = ray.data.from_pandas(
+        pd.DataFrame(h_edges, columns=["src", "dst"])
+    ).repartition(3)
+    nodes = ray.data.from_pandas(pd.DataFrame({"node": NODES})).repartition(2)
+    df = (
+        hmod.hits_fixedpoint(edges, nodes, iters=3, scale=scale, n_buckets=4)
+        .to_pandas()
+        .set_index("node")
+    )
+    want_h, want_a = _ref_hits(h_edges, NODES, 3, scale)
+    assert df["hub_fp"].to_dict() == want_h
+    assert df["auth_fp"].to_dict() == want_a
+    # sinks carry no hub mass, sources no authority, isolated g neither
+    assert df.loc["c", "hub_fp"] == 0 and df.loc["a", "auth_fp"] == 0
+    assert df.loc["g", "hub_fp"] == 0 and df.loc["g", "auth_fp"] == 0
+    # the best-connected hub (e) and authority (c) dominate
+    assert df["hub_fp"].idxmax() == "e" and df["auth_fp"].idxmax() == "c"
+
+
 def test_gopher_verdict_rule_precedence():
     from pdf_ocr_comparison_tool_ray.functions.quality import (
         GOPHER_MIN_WORDS,
