@@ -220,6 +220,12 @@ _LOCAL_ONLY = {
     # holds two driver slots (pagerank centrality, label_propagation
     # communities) and hits shares their iterated-bucketed-join core
     "hits",                      # hub/authority kin of the exposed pagerank
+    # ... and fixed-point Lloyd k-means (REAL iterative clustering under
+    # an exact oracle — lifts semdedup's zero-Lloyd restriction) takes
+    # the render sink's slot; the demotee is green r2-r4 and the
+    # extraction/sink family keeps two driver rows via
+    # extraction_pipeline and merge_by_category
+    "render_full_text",          # S8 searchable-text sink; kmeans in
 }
 
 

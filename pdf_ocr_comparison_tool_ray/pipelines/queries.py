@@ -7263,6 +7263,73 @@ SQL_HITS = _sql_hits()
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point Lloyd k-means (stages/kmeans.py): semdedup's zero-Lloyd
+# restriction lifted by quantizing the embeddings to int64 (exact IEEE
+# ops both engines) and iterating wholly in integers — REAL Lloyd
+# rounds under an exact value-hash oracle.  Map-reduce shape: broadcast
+# centroids, per-batch partial sums, O(KxD) driver state, no shuffle.
+# ---------------------------------------------------------------------------
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def q_kmeans(sf_dir: str):
+    from ..stages.kmeans import kmeans_fixedpoint
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fixedpoint(ds, k=_KM_K, iters=_KM_ITERS)
+
+
+def _sql_kmeans() -> str:
+    from ..stages.kmeans import OFFSET, QSCALE
+
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) + {OFFSET})
+                    * {QSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) - 1 AS BIGINT) AS cid,
+         q.dim, q.qv
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}) s
+  JOIN q USING (vec_id)
+)"""
+    prev = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        sql += f""",
+d{i} AS (SELECT q.vec_id, c.cid,
+                CAST(SUM((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist2
+         FROM q JOIN {prev} c USING (dim) GROUP BY q.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist2, cid) AS rk FROM d{i})
+         WHERE rk = 1),
+s{i} AS (SELECT a.cid, q.dim, CAST(SUM(q.qv) AS BIGINT) AS sq,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM q JOIN a{i} a USING (vec_id) GROUP BY a.cid, q.dim),
+c{i} AS (SELECT p.cid, p.dim,
+                CASE WHEN s.cnt > 0 THEN s.sq // s.cnt ELSE p.qv END AS qv
+         FROM {prev} p LEFT JOIN s{i} s ON s.cid = p.cid AND s.dim = p.dim)"""
+        prev = f"c{i}"
+    sql += f"""
+SELECT vec_id, cid AS cluster, dist2 FROM (
+  SELECT q.vec_id, c.cid,
+         CAST(SUM((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist2,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY CAST(SUM((q.qv - c.qv) * (q.qv - c.qv))
+                                          AS BIGINT), c.cid) AS rk
+  FROM q JOIN {prev} c USING (dim) GROUP BY q.vec_id, c.cid
+) WHERE rk = 1
+"""
+    return sql
+
+
+SQL_KMEANS = _sql_kmeans()
+
+
+# ---------------------------------------------------------------------------
 # Gopher composed quality filter (Rae et al. 2021 Table A1, FineWeb
 # reject-reason convention): the per-doc signals already pinned by
 # quality_scores and doc_repetition_stats compose into a keep/drop
@@ -7654,4 +7721,5 @@ SQL_QUERIES = {
     "chi2_keyness": (q_chi2_keyness, SQL_CHI2_KEYNESS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "hits": (q_hits, SQL_HITS),
+    "kmeans": (q_kmeans, SQL_KMEANS),
 }

@@ -199,6 +199,60 @@ def test_hits_matches_reference(route, monkeypatch):
     assert df["hub_fp"].idxmax() == "e" and df["auth_fp"].idxmax() == "c"
 
 
+def _ref_kmeans(X, k, iters):
+    """Pure-Python fixed-point Lloyd on pre-quantized int matrices."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.kmeans import OFFSET, QSCALE
+
+    Q = np.floor((X + OFFSET) * QSCALE).astype(np.int64)
+    C = Q[:k].copy()
+    for _ in range(iters):
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        cid = d2.argmin(1)
+        for c in range(k):
+            m = cid == c
+            if m.any():
+                C[c] = Q[m].sum(0) // int(m.sum())
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cid = d2.argmin(1)
+    return cid, d2[np.arange(len(Q)), cid]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_reference_and_recovers_plant(tmp_path):
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.stages.kmeans import kmeans_fixedpoint
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[0.4] * 8, [-0.4] * 8, [0.4] * 4 + [-0.4] * 4,
+                        [-0.4] * 4 + [0.4] * 4])
+    plant = np.tile(np.arange(4), 25)  # seeds (rows 0-3) span all groups
+    X = (centers[plant] + rng.uniform(-0.05, 0.05, (100, 8))).astype(
+        np.float32
+    ).astype(np.float64)
+    df = pd.DataFrame(
+        {"vec_id": range(100), "embedding": [r.tolist() for r in X]}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        kmeans_fixedpoint(ds, k=4, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # vec_ids are pre-sorted, so reference init (first k rows) matches
+    want_cid, want_d2 = _ref_kmeans(X, 4, 2)
+    assert got["cluster"].tolist() == want_cid.tolist()
+    assert got["dist2"].tolist() == want_d2.tolist()
+    # well-separated plant: every planted group lands in ONE cluster,
+    # and distinct groups in distinct clusters
+    lab = got["cluster"].to_numpy()
+    assert all(len(set(lab[plant == g])) == 1 for g in range(4))
+    assert len({lab[plant == g][0] for g in range(4)}) == 4
+
+
 def test_gopher_verdict_rule_precedence():
     from pdf_ocr_comparison_tool_ray.functions.quality import (
         GOPHER_MIN_WORDS,
