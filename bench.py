@@ -218,6 +218,16 @@ def run_queries() -> dict:
         # exact prefix-filter set-similarity join
         "bm25_topk",
         "set_similarity_join",
+        # continuation-8: the graph suite (fixed-point pagerank /
+        # label-propagation communities / HITS over the trade graph),
+        # the Gopher composed keep/drop gate, chi-square keyness, and
+        # fixed-point Lloyd k-means
+        "pagerank",
+        "label_propagation",
+        "hits",
+        "gopher_filter",
+        "chi2_keyness",
+        "kmeans",
     ]
     times = {}
     for name in picks:
