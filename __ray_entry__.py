@@ -226,6 +226,16 @@ _LOCAL_ONLY = {
     # extraction/sink family keeps two driver rows via
     # extraction_pipeline and merge_by_category
     "render_full_text",          # S8 searchable-text sink; kmeans in
+    # ... and product-quantization ANN (the compressed-index scale path,
+    # Jegou 2011 — a named algorithm new to the registry) plus the
+    # perceptual-hash image near-dup (the multimodal x dedup
+    # intersection exact byte hashing cannot cover) take two slots; the
+    # demotees are green r1-r4 and their families stay exposed — the
+    # mergeable-sketch family via approx_quantile_hist (HLL also rides
+    # inside the tier-2 Jaccard verify), and the groupby-agg summary
+    # family via match_summary and doc_repetition_stats
+    "approx_distinct_by_lang",   # HLL sketch agg; pq_ann in
+    "doc_stats_by_lang_source",  # A2 lang x source summary; image_phash_dup in
 }
 
 

@@ -228,6 +228,10 @@ def run_queries() -> dict:
         "gopher_filter",
         "chi2_keyness",
         "kmeans",
+        # continuation-9: product-quantization ANN and perceptual-hash
+        # image near-dup
+        "pq_ann",
+        "image_phash_dup",
     ]
     times = {}
     for name in picks:

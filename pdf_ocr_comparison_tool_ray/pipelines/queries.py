@@ -7595,6 +7595,230 @@ FROM ranked WHERE rk <= {_CHI2_K}
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (stages/pq.py): the compressed-index scale
+# path of the similarity family — M=4 subspace codebooks Lloyd-fit in
+# fixed point (the kmeans quantize trick), vectors encode to M codes,
+# queries scan via an asymmetric-distance lookup table.  All int64, so
+# the unrolled SQL (per-subspace Lloyd rounds + code assignment + ADC
+# join) replays bit-for-bit.  Zero shuffle: bounded fit partials +
+# broadcast codebooks + local-top-k scan partials.
+# ---------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_K = 8
+_PQ_ITERS = 1
+_PQ_TOPK = 10
+
+
+def q_pq_ann(sf_dir: str):
+    from ..stages.pq import pq_ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # bounded query set (5 rows) — same driver-side shape as knn_cosine
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return pq_ann(
+        ds,
+        qdf["vec_id"].tolist(),
+        np.stack(qdf["embedding"].to_numpy()),
+        m_subs=_PQ_M,
+        k_codes=_PQ_K,
+        iters=_PQ_ITERS,
+        k_top=_PQ_TOPK,
+    )
+
+
+def _sql_pq_ann() -> str:
+    from ..stages.kmeans import OFFSET, QSCALE
+
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim0,
+         (CAST(i AS BIGINT) - 1) // (len(embedding) // {_PQ_M}) AS sub,
+         CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) + {OFFSET})
+                    * {QSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c0 AS (
+  SELECT CAST(dense_rank() OVER (PARTITION BY q.sub ORDER BY s.vec_id) - 1
+              AS BIGINT) AS cid,
+         q.sub, q.dim0, q.qv
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}) s
+  JOIN q USING (vec_id)
+)"""
+    prev = "c0"
+    for i in range(1, _PQ_ITERS + 1):
+        sql += f""",
+d{i} AS (SELECT q.vec_id, q.sub, c.cid,
+                CAST(SUM((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist2
+         FROM q JOIN {prev} c ON c.sub = q.sub AND c.dim0 = q.dim0
+         GROUP BY q.vec_id, q.sub, c.cid),
+a{i} AS (SELECT vec_id, sub, cid FROM (
+           SELECT vec_id, sub, cid, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rk FROM d{i})
+         WHERE rk = 1),
+s{i} AS (SELECT a.sub, a.cid, q.dim0, CAST(SUM(q.qv) AS BIGINT) AS sq,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM q JOIN a{i} a ON a.vec_id = q.vec_id AND a.sub = q.sub
+         GROUP BY a.sub, a.cid, q.dim0),
+c{i} AS (SELECT p.sub, p.cid, p.dim0,
+                CASE WHEN s.cnt > 0 THEN s.sq // s.cnt ELSE p.qv END AS qv
+         FROM {prev} p LEFT JOIN s{i} s
+           ON s.sub = p.sub AND s.cid = p.cid AND s.dim0 = p.dim0)"""
+        prev = f"c{i}"
+    sql += f""",
+df AS (SELECT q.vec_id, q.sub, c.cid,
+              CAST(SUM((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist2
+       FROM q JOIN {prev} c ON c.sub = q.sub AND c.dim0 = q.dim0
+       GROUP BY q.vec_id, q.sub, c.cid),
+enc AS (SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rk FROM df)
+        WHERE rk = 1),
+adc AS (SELECT t.vec_id AS query_id, e.vec_id,
+               CAST(SUM(t.dist2) AS BIGINT) AS adc_dist
+        FROM enc e JOIN (SELECT * FROM df WHERE vec_id < 5) t
+          ON t.sub = e.sub AND t.cid = e.cid
+        GROUP BY t.vec_id, e.vec_id),
+r AS (SELECT query_id, vec_id, adc_dist, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk FROM adc)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk, adc_dist
+FROM r WHERE rk <= {_PQ_TOPK}
+"""
+    return sql
+
+
+SQL_PQ_ANN = _sql_pq_ann()
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (the LAION-style "same picture, different
+# bytes" case): every document's NORMALIZED text renders to a 16x16x3
+# image payload (docs with doc_id % 11 == 0 also plant a byte-different
+# re-encode — one off-grid pixel perturbed — that exact byte-hash dedup
+# CANNOT pair but aHash must), the ImageAHasher actor pool emits banded
+# 64-bit average-hashes, and band buckets generate + verify pairs.  The
+# SQL replays the whole chain: encode, the perturbation (at a pixel the
+# 8x8 subsample never reads — the replay proves the hash-equality
+# rather than assuming it), integer luma, mean threshold, band keys,
+# candidate join and xor-popcount hamming.
+# ---------------------------------------------------------------------------
+_PHASH_MAX_HAMMING = 3
+_PHASH_VARIANT_MOD = 11
+_PHASH_VARIANT_BYTE = 51  # flat byte idx of pixel (1,1) ch 0 — off the 8x8 grid
+
+
+def _phash_media_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.textnorm import normalize_text
+    from ..stages.multimodal import encode_image
+
+    ids, payloads = [], []
+    for doc_id, text in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        raw = np.frombuffer(
+            normalize_text(text).encode()[:4096].ljust(16, b"\0"),
+            dtype=np.uint8,
+        )
+        arr = np.resize(raw, (16, 16, 3))
+        ids.append(str(doc_id))
+        payloads.append(encode_image(np.ascontiguousarray(arr)))
+        if doc_id % _PHASH_VARIANT_MOD == 0:
+            v = arr.copy().reshape(-1)
+            v[_PHASH_VARIANT_BYTE] = (int(v[_PHASH_VARIANT_BYTE]) + 128) % 256
+            ids.append(f"{doc_id}b")
+            payloads.append(
+                encode_image(np.ascontiguousarray(v.reshape(16, 16, 3)))
+            )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.string()),
+            "media_type": pa.array(["image"] * len(ids)),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def q_image_phash_dup(sf_dir: str):
+    from ..stages.dedup import image_phash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(_phash_media_batch, batch_format="pyarrow")
+    return image_phash_pairs(media, max_hamming=_PHASH_MAX_HAMMING)
+
+
+SQL_IMAGE_PHASH_DUP = f"""
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id,
+         regexp_replace(lower(text), '\\s+', '', 'g') AS norm
+  FROM documents
+), px0 AS (
+  -- j enumerates the 192 bytes the 8x8 subsample reads (64 cells x 3
+  -- channels); src = flat byte index in the 16x16x3 pixel array, whose
+  -- value tiles the normalized text bytes (np.resize)
+  SELECT media_id, doc_id, j,
+         (((2 * (j // 24)) * 16 + 2 * ((j // 3) % 8)) * 3 + j % 3) AS src,
+         unicode(substr(norm,
+           CAST(((((2 * (j // 24)) * 16 + 2 * ((j // 3) % 8)) * 3 + j % 3)
+                 % LEAST(length(norm), 4096)) AS INT) + 1, 1)) AS byte
+  FROM b, unnest(range(0, 192)) AS t(j)
+), px AS (
+  SELECT media_id, j, byte FROM px0
+  UNION ALL
+  SELECT media_id || 'b', j,
+         CASE WHEN src = {_PHASH_VARIANT_BYTE}
+              THEN (byte + 128) % 256 ELSE byte END
+  FROM px0 WHERE doc_id % {_PHASH_VARIANT_MOD} = 0
+), cell AS (
+  SELECT media_id, j // 3 AS cell,
+         (299 * max(CASE WHEN j % 3 = 0 THEN byte END)
+        + 587 * max(CASE WHEN j % 3 = 1 THEN byte END)
+        + 114 * max(CASE WHEN j % 3 = 2 THEN byte END)) // 1000 AS luma
+  FROM px GROUP BY media_id, j // 3
+), mn AS (
+  SELECT media_id, SUM(luma) // 64 AS mean FROM cell GROUP BY media_id
+), bits AS (
+  -- cell 0 is the hash's most significant bit: cell k -> bit (63 - k)
+  SELECT c.media_id, c.cell,
+         CASE WHEN c.luma > m.mean THEN 1 ELSE 0 END AS bit
+  FROM cell c JOIN mn m USING (media_id)
+), bands AS (
+  SELECT media_id, CAST((63 - cell) // 16 AS BIGINT) AS band_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT)
+                         << CAST((63 - cell) % 16 AS INT))) AS BIGINT)
+           AS band_key
+  FROM bits GROUP BY media_id, (63 - cell) // 16
+), h AS (
+  SELECT media_id,
+         max(CASE WHEN band_id = 0 THEN band_key END) AS b0,
+         max(CASE WHEN band_id = 1 THEN band_key END) AS b1,
+         max(CASE WHEN band_id = 2 THEN band_key END) AS b2,
+         max(CASE WHEN band_id = 3 THEN band_key END) AS b3
+  FROM bands GROUP BY media_id
+), cand AS (
+  SELECT DISTINCT x.media_id AS img_a, y.media_id AS img_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.media_id < y.media_id
+)
+SELECT c.img_a, c.img_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+            AS BIGINT) AS hamming
+FROM cand c
+JOIN h ha ON ha.media_id = c.img_a
+JOIN h hb ON hb.media_id = c.img_b
+WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+    <= {_PHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -7722,4 +7946,6 @@ SQL_QUERIES = {
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "hits": (q_hits, SQL_HITS),
     "kmeans": (q_kmeans, SQL_KMEANS),
+    "pq_ann": (q_pq_ann, SQL_PQ_ANN),
+    "image_phash_dup": (q_image_phash_dup, SQL_IMAGE_PHASH_DUP),
 }

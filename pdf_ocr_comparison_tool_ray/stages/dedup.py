@@ -391,6 +391,68 @@ def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (aHash banding)
+# ---------------------------------------------------------------------------
+def image_phash_pairs(media, max_hamming: int = 3):
+    """-> near-dup IMAGE pairs (img_a, img_b, hamming) by average-hash.
+
+    The multimodal form of ``simhash_pairs``: the ImageAHasher actor
+    pool (stages/multimodal.py) turns each image payload into 4 x 16-bit
+    bands of its 64-bit aHash; band-key buckets generate candidates
+    (hamming<=3 dups share >= 1 band), a numpy xor+popcount verifies.
+    Map-only hashing, one small banded shuffle (4 scalar rows per
+    image — payload bytes never re-shuffle), bucketed pair-gen: the
+    simhash_pairs scale argument verbatim.
+    """
+    from .multimodal import ImageAHasher
+
+    banded = media.map_batches(
+        ImageAHasher,
+        batch_format="pyarrow",
+        concurrency=(2, 8),  # payload-decode pool: autoscale under backlog
+        batch_size=64,
+    )
+    n_bands = ImageAHasher.N_BANDS
+
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.drop_duplicates(["band_id", "band_key", "media_id"])
+        sz = bucket.groupby(["band_id", "band_key"])["media_id"].transform("size")
+        bucket = bucket[sz >= 2]
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "img_a": pd.Series([], dtype="object"),
+                    "img_b": pd.Series([], dtype="object"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        m = bucket.merge(bucket, on=["band_id", "band_key"])
+        m = m[m["media_id_x"] < m["media_id_y"]]
+        d = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_bands):  # popcount over 16-bit band xors
+            x = m[f"b{j}_x"].to_numpy(np.int64) ^ m[f"b{j}_y"].to_numpy(np.int64)
+            d += (
+                np.unpackbits(x.astype(np.uint16).view(np.uint8))
+                .reshape(-1, 16)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {
+                "img_a": m["media_id_x"].to_numpy()[keep],
+                "img_b": m["media_id_y"].to_numpy()[keep],
+                "hamming": d[keep],
+            }
+        )
+
+    pairs = bucketed_map_groups(
+        banded, ["band_id", "band_key"], pairs_bucket, n_buckets=64
+    )
+    return bucketed_drop_duplicates(pairs, ["img_a", "img_b"], n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (LSH-blocked candidate scope)
 # ---------------------------------------------------------------------------
 def _exact_jaccard(sa: frozenset, sb: frozenset) -> float:

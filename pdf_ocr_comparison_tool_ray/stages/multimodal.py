@@ -333,6 +333,76 @@ class ImageResizer:
         return pa.table(cols)
 
 
+class ImageAHasher:
+    """Average-hash (aHash) perceptual fingerprint over image payloads —
+    the image-dedup kernel (identical/near-identical pictures re-encoded
+    with different bytes hash together, which exact byte-hash dedup
+    misses).  Emits LSH-style banded rows: 4 x 16-bit bands of the
+    64-bit hash, so hamming<=3 near-dups share at least one band key
+    (the stages/dedup.py simhash banding argument).
+
+    All-integer on purpose: luma = (299r + 587g + 114b) // 1000, 8x8
+    grid by the ImageResizer subsample indices, mean = sum // 64,
+    strict ``>`` threshold — every step replays bit-for-bit in SQL.
+    Decoder warmed per actor (the real-codec slot).
+    """
+
+    GRID = 8
+    N_BANDS = 4
+
+    def __init__(self):
+        self._decode = _decode_payload
+
+    def hash_one(self, arr: np.ndarray) -> int:
+        a = arr.astype(np.int64)
+        h, w = a.shape[0], a.shape[1]
+        ri = np.arange(self.GRID) * h // self.GRID
+        ci = np.arange(self.GRID) * w // self.GRID
+        small = a[np.ix_(ri, ci)]
+        if small.shape[2] == 1:  # preprocessed grayscale payloads
+            luma = small[..., 0]
+        else:
+            luma = (
+                299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+            ) // 1000
+        mean = int(luma.sum()) // (self.GRID * self.GRID)
+        h64 = 0
+        for bit in luma.ravel() > mean:  # cell 0 = most significant bit
+            h64 = (h64 << 1) | int(bit)
+        return h64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_band, out_key = [], [], []
+        out_b = [[] for _ in range(self.N_BANDS)]
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            _, arr, _ = self._decode(payload)
+            h64 = self.hash_one(arr)
+            bands = [(h64 >> (16 * b)) & 0xFFFF for b in range(self.N_BANDS)]
+            for band in range(self.N_BANDS):
+                out_id.append(mid)
+                out_band.append(band)
+                out_key.append(bands[band])
+                for j in range(self.N_BANDS):
+                    out_b[j].append(bands[j])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.string()),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key, type=pa.int64()),
+                **{
+                    f"b{j}": pa.array(out_b[j], type=pa.int64())
+                    for j in range(self.N_BANDS)
+                },
+            }
+        )
+
+
 class VideoFrameSampler:
     """Explode video payloads into per-frame image rows (every k-th frame)."""
 
