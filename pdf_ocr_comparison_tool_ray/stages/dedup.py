@@ -397,15 +397,22 @@ def image_phash_pairs(media, max_hamming: int = 3):
     """-> near-dup IMAGE pairs (img_a, img_b, hamming) by average-hash.
 
     The multimodal form of ``simhash_pairs``: the ImageAHasher actor
-    pool (stages/multimodal.py) turns each image payload into 4 x 16-bit
-    bands of its 64-bit aHash; band-key buckets generate candidates
-    (hamming<=3 dups share >= 1 band), a numpy xor+popcount verifies.
-    Map-only hashing, one small banded shuffle (4 scalar rows per
-    image — payload bytes never re-shuffle), bucketed pair-gen: the
-    simhash_pairs scale argument verbatim.
+    pool (stages/multimodal.py) hashes each image payload and emits 20
+    Manku block-triple table rows (33-bit keys — exact recall for
+    hamming<=3, and unlike 16-bit bands the buckets stay sparse past
+    2^16 images; see the class docstring for the measured saturation);
+    table-key buckets generate candidates, a numpy xor+popcount over
+    the carried 16-bit bands verifies.  Map-only hashing, one small
+    keyed shuffle (20 scalar rows per image — payload bytes never
+    re-shuffle), bucketed pair-gen: the simhash_pairs scale argument
+    with scale-proof keying.
     """
     from .multimodal import ImageAHasher
 
+    if max_hamming > 3:
+        raise ValueError(
+            "block-triple keying guarantees recall only for hamming <= 3"
+        )
     banded = media.map_batches(
         ImageAHasher,
         batch_format="pyarrow",

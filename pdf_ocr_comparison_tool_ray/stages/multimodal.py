@@ -337,9 +337,19 @@ class ImageAHasher:
     """Average-hash (aHash) perceptual fingerprint over image payloads —
     the image-dedup kernel (identical/near-identical pictures re-encoded
     with different bytes hash together, which exact byte-hash dedup
-    misses).  Emits LSH-style banded rows: 4 x 16-bit bands of the
-    64-bit hash, so hamming<=3 near-dups share at least one band key
-    (the stages/dedup.py simhash banding argument).
+    misses).
+
+    Candidate keying is the Manku-Jain-Sarma permute-and-split scheme
+    (WWW 2007 §3): the 64-bit hash splits into 6 blocks (11/11/11/11/
+    10/10 bits) and each of the C(6,3)=20 block TRIPLES becomes a
+    33-bit table key — any pair within hamming 3 leaves >= 3 blocks
+    untouched, so it shares >= 1 key (exact recall), while key
+    collisions thin as ~n/2^33.  The naive 4 x 16-bit banding has the
+    same recall bound but its buckets saturate once n approaches 2^16
+    per band (measured: 1.28M images -> ~20 rows/bucket -> ~50M
+    candidate comparisons); the triple keys stay sparse at 100 TB
+    image counts.  The 4 x 16-bit bands still ride along each row —
+    they are the verification payload (xor+popcount hamming).
 
     All-integer on purpose: luma = (299r + 587g + 114b) // 1000, 8x8
     grid by the ImageResizer subsample indices, mean = sum // 64,
@@ -349,6 +359,13 @@ class ImageAHasher:
 
     GRID = 8
     N_BANDS = 4
+    # (shift, width-mask) per block, LSB upward: 4 x 11 bits + 2 x 10
+    BLOCKS = [(0, 0x7FF), (11, 0x7FF), (22, 0x7FF), (33, 0x7FF),
+              (44, 0x3FF), (54, 0x3FF)]
+    TRIPLES = [
+        (i, j, k)
+        for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+    ]
 
     def __init__(self):
         self._decode = _decode_payload
@@ -384,12 +401,13 @@ class ImageAHasher:
             _, arr, _ = self._decode(payload)
             h64 = self.hash_one(arr)
             bands = [(h64 >> (16 * b)) & 0xFFFF for b in range(self.N_BANDS)]
-            for band in range(self.N_BANDS):
+            blks = [(h64 >> sh) & msk for sh, msk in self.BLOCKS]
+            for tid, (i, j, k) in enumerate(self.TRIPLES):
                 out_id.append(mid)
-                out_band.append(band)
-                out_key.append(bands[band])
-                for j in range(self.N_BANDS):
-                    out_b[j].append(bands[j])
+                out_band.append(tid)
+                out_key.append(blks[i] | (blks[j] << 11) | (blks[k] << 22))
+                for b in range(self.N_BANDS):
+                    out_b[b].append(bands[b])
         return pa.table(
             {
                 "media_id": pa.array(out_id, type=pa.string()),

@@ -165,8 +165,9 @@ def test_phash_finds_byte_different_perceptually_identical_pair():
 def test_phash_hamming_threshold_and_pair_dedup():
     base = _img_from_cells(range(32))  # mean = 32*255//64 = 127
     one_flip = _img_from_cells(range(31))  # cell 31 flips; mean 123
-    # 8 flips inside band 3 (cells 0..15 map to bits 63..48): still a
-    # 3-band collision (candidate) but hamming 8 > 3 must be dropped
+    # 8 flips confined to bits 63..48 (cells 0..15 = hash blocks 4-5):
+    # blocks 0-3 are untouched, so block-triple tables still produce
+    # the candidate — but hamming 8 > 3 must be dropped by the verify
     eight_flips = _img_from_cells(range(8, 32))
     dup = _img_from_cells(range(32))  # identical: collides in ALL 4 bands
     got = _pairs(
@@ -196,6 +197,33 @@ def test_phash_hamming_threshold_and_pair_dedup():
     )
     df = image_phash_pairs(ray.data.from_arrow(t)).to_pandas()
     assert len(df) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_recall_matches_bruteforce_on_random_images():
+    # exact-recall property of the block-triple keying: EVERY pair with
+    # hamming <= 3 must be reported, pinned against an all-pairs brute
+    # force over random images (plus controlled <=3-bit flips)
+    rng = np.random.default_rng(19)
+    imgs = {}
+    for i in range(12):
+        imgs[f"r{i:02d}"] = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # flips at sampled cells of r00: hamming 1..3 variants
+    base = _img_from_cells(range(32))
+    imgs["v0"] = base
+    for nf, nm in ((1, "v1"), (2, "v2"), (3, "v3")):
+        imgs[nm] = _img_from_cells(range(32 - nf))
+    hasher = ImageAHasher()
+    hs = {k: hasher.hash_one(v) for k, v in imgs.items()}
+    want = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in imgs
+        for b in imgs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    got = _pairs([(k, encode_image(v)) for k, v in imgs.items()])
+    assert got == want
+    assert len(want) >= 3  # the planted variants must be in there
 
 
 def test_ahash_grayscale_and_rgb_agree_on_gray_images():
