@@ -198,6 +198,11 @@ _LOCAL_ONLY = {
     # machinery stays driver-exercised via ngram_jaccard_pairs (whose
     # candidates come from the SAME banding chain) and dedup_clusters
     "minhash_lsh_pairs",         # LSH banding pairs; set_similarity_join in
+    # ... and the FULL iterated BPE trainer (bpe_train: N real merge
+    # rounds with a recursive-CTE SQL replay of greedy merge
+    # application) takes the tokenizer slot; the demotee is its own
+    # zero-merge special case (green r3-r4) and stays local-strict
+    "bpe_pair_counts",           # zero-merge special case; bpe_train in
     # ... and fixed-point PageRank (iterative bucketed-join power
     # iteration, the graph-processing family's first driver row) plus
     # the Gopher composed quality filter (keep/drop verdict with named

@@ -4705,10 +4705,17 @@ FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 # pair -> append merge -> one more counting pass with merges applied;
 # every pass walks each batch's UNIQUE words weighted by multiplicity,
 # so symbolize + merge-apply + pair counting are all O(unique-word
-# chars) per batch, not O(total chars));
-# the EXPOSED oracle query pins merge_iters=0 (pure char pairs — a
-# multi-round merge replay is not SQL-expressible), iterated rounds are
-# pinned by pytest against an independent brute-force trainer.
+# chars) per batch, not O(total chars)).
+# ``bpe_train`` is the EXPOSED oracled trainer: it runs _BPE_MERGES real
+# merge rounds and returns the learned merge table itself
+# (rank, s1, s2, pair_count-at-selection).  The SQL oracle replays the
+# FULL training loop: greedy left-to-right merge application is
+# equivalent to repeatedly replacing the LEFTMOST occurrence (a merged
+# symbol is strictly longer than its parts, so a replacement can never
+# create a new occurrence of its own pattern to the left), which a
+# recursive CTE over separator-joined symbol strings expresses exactly —
+# see _sql_bpe_train.  ``bpe_pair_counts`` (the zero-merge special case)
+# rotated to the local mirror when bpe_train took the window slot.
 # ---------------------------------------------------------------------------
 _BPE_EOW = "</w>"
 _BPE_TOPK = 30
@@ -4730,42 +4737,54 @@ def _bpe_apply_merges(symbols: list, merges: list) -> list:
     return symbols
 
 
+def _bpe_count_pass(ds, merges: list) -> pd.DataFrame:
+    """One corpus pass: reduced (s1, s2, c) adjacent-pair counts with
+    ``merges`` applied — map-only bounded partials, driver reduce."""
+    merges = list(merges)
+
+    def body(batch: pa.Table) -> pd.DataFrame:
+        # count word multiplicities first, then walk each UNIQUE
+        # word once with its count as the pair weight — pairs never
+        # cross word boundaries, so this is exactly per-occurrence
+        # counting, but the whole pass (symbolize + merge-apply +
+        # pair walk) is O(unique-word chars), not O(total chars):
+        # the regime that matters when the top words repeat
+        # millions of times in an open-web batch
+        word_counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            word_counts.update(w for w in text.split(" ") if w)
+        pair_counts: dict = {}
+        for w, wc in word_counts.items():
+            syms = list(w) + [_BPE_EOW]
+            if merges:
+                syms = _bpe_apply_merges(syms, merges)
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + wc
+        return pd.DataFrame(
+            {
+                "s1": [k[0] for k in pair_counts],
+                "s2": [k[1] for k in pair_counts],
+                "c": pd.Series(list(pair_counts.values()), dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(body, batch_format="pyarrow").to_pandas()
+    if "s1" not in parts.columns:
+        # all batches empty (every word already one symbol): Ray drops
+        # the schema of an all-empty dataset — rebuild it
+        return pd.DataFrame(
+            {"s1": [], "s2": [], "c": pd.Series([], dtype="int64")}
+        )
+    return parts.groupby(["s1", "s2"], as_index=False)["c"].sum()
+
+
 def q_bpe_pair_counts(
     sf_dir: str, merge_iters: int = 0, topk: int = _BPE_TOPK
 ):
     ds = _read(sf_dir, "documents", ["text"])
 
     def count_pass(merges: list):
-        merges = list(merges)
-
-        def body(batch: pa.Table) -> pd.DataFrame:
-            # count word multiplicities first, then walk each UNIQUE
-            # word once with its count as the pair weight — pairs never
-            # cross word boundaries, so this is exactly per-occurrence
-            # counting, but the whole pass (symbolize + merge-apply +
-            # pair walk) is O(unique-word chars), not O(total chars):
-            # the regime that matters when the top words repeat
-            # millions of times in an open-web batch
-            word_counts: Counter = Counter()
-            for text in batch["text"].to_pylist():
-                word_counts.update(w for w in text.split(" ") if w)
-            pair_counts: dict = {}
-            for w, wc in word_counts.items():
-                syms = list(w) + [_BPE_EOW]
-                if merges:
-                    syms = _bpe_apply_merges(syms, merges)
-                for p in zip(syms, syms[1:]):
-                    pair_counts[p] = pair_counts.get(p, 0) + wc
-            return pd.DataFrame(
-                {
-                    "s1": [k[0] for k in pair_counts],
-                    "s2": [k[1] for k in pair_counts],
-                    "c": pd.Series(list(pair_counts.values()), dtype="int64"),
-                }
-            )
-
-        parts = ds.map_batches(body, batch_format="pyarrow").to_pandas()
-        return parts.groupby(["s1", "s2"], as_index=False)["c"].sum()
+        return _bpe_count_pass(ds, merges)
 
     merges: list = []
     counts = count_pass(merges)
@@ -4802,6 +4821,117 @@ FROM pairs GROUP BY s1, s2
 ORDER BY pair_count DESC, s1, s2
 LIMIT {_BPE_TOPK}
 """
+
+
+_BPE_MERGES = 6
+# symbol separator for the SQL replay's joined sequences: unit separator
+# (0x1F) — cannot collide with corpus characters (asserted in the Ray
+# path) nor with the EOW marker, and merged symbols never contain it
+_BPE_SEP = "\x1f"
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016): ``n_merges``
+    real merge rounds, returning the learned merge table
+    (rank, s1, s2, pair_count at selection time).
+
+    Per round: one map-only corpus pass emits bounded (s1, s2, count)
+    partials (<= |vocab|^2 rows per batch regardless of corpus size),
+    the driver reduces and argmaxes with the (count desc, s1, s2)
+    tie-break, and the appended merge rides into the next pass via the
+    broadcast closure.  Driver state is O(|pair vocab|); the corpus
+    itself never leaves the workers — the same shape that streams
+    100 TB through kmeans/pagerank here.  Reference: the tokenizer side
+    of the text pipeline (SURVEY.md §2 text-analysis extensions).
+    """
+    ds = _read(sf_dir, "documents", ["text"])
+    merges: list = []
+    rows = []
+    for r in range(n_merges):
+        counts = _bpe_count_pass(ds, merges)
+        if counts.empty:
+            break
+        best = counts.sort_values(
+            ["c", "s1", "s2"], ascending=[False, True, True]
+        ).iloc[0]
+        # the SQL replay relies on the separator never occurring inside
+        # a symbol; corpus chars are the only symbol alphabet
+        assert _BPE_SEP not in best["s1"] + best["s2"]
+        merges.append((best["s1"], best["s2"]))
+        rows.append((r + 1, best["s1"], best["s2"], int(best["c"])))
+    return pd.DataFrame(
+        {
+            "rank": pd.Series([r[0] for r in rows], dtype="int64"),
+            "s1": [r[1] for r in rows],
+            "s2": [r[2] for r in rows],
+            "pair_count": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def _sql_bpe_train(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled SQL replay of the FULL BPE training loop.
+
+    Each word is a separator-joined symbol string ``\\x1f c \\x1f c ...
+    \\x1f </w> \\x1f``.  Greedy left-to-right merge application equals
+    repeatedly rewriting the LEFTMOST ``sep+s1+sep+s2+sep`` occurrence
+    to ``sep+s1s2+sep`` (the merged symbol is strictly longer than
+    either part, so a rewrite can never create a new occurrence of its
+    own pattern to its left) — a recursive CTE per round.  MATERIALIZED
+    hints are load-bearing: without them each recursive step re-derives
+    the whole upstream round chain and the plan goes exponential.
+    All counts are int64 sums and the argmax tie-break is binary string
+    order in both engines, so the replay is bit-exact.
+    """
+    sep = _BPE_SEP
+    sql = f"""
+WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w FROM documents)
+  GROUP BY w
+), seqs_0 AS MATERIALIZED (
+  SELECT w, c,
+    chr(31) || string_agg(substr(w, i, 1), chr(31) ORDER BY i)
+            || chr(31) || '{_BPE_EOW}' || chr(31) AS seq
+  FROM words, unnest(range(1, len(w) + 1)) t(i)
+  GROUP BY w, c
+)"""
+    for k in range(n_merges):
+        pat = f"(SELECT pat FROM best_{k})"
+        rep = f"(SELECT rep FROM best_{k})"
+        sql += f""",
+best_{k} AS MATERIALIZED (
+  SELECT s1, s2, cnt,
+         chr(31) || s1 || chr(31) || s2 || chr(31) AS pat,
+         chr(31) || s1 || s2 || chr(31) AS rep
+  FROM (
+    SELECT l.syms[i] AS s1, l.syms[i + 1] AS s2,
+           CAST(sum(l.c) AS BIGINT) AS cnt
+    FROM (SELECT c, str_split(trim(seq, chr(31)), chr(31)) AS syms
+          FROM seqs_{k}) l,
+         unnest(range(1, len(l.syms))) t(i)
+    GROUP BY s1, s2
+  ) ORDER BY cnt DESC, s1, s2 LIMIT 1
+), seqs_{k + 1} AS MATERIALIZED (
+  WITH RECURSIVE r AS (
+    SELECT w, c, seq FROM seqs_{k}
+    UNION ALL
+    SELECT w, c,
+      substr(seq, 1, strpos(seq, {pat}) - 1) || {rep}
+        || substr(seq, strpos(seq, {pat}) + len({pat}))
+    FROM r WHERE strpos(seq, {pat}) > 0
+  ) SELECT w, c, seq FROM r WHERE strpos(seq, {pat}) = 0
+)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, s1, s2,"
+        f" cnt AS pair_count FROM best_{k}"
+        for k in range(n_merges)
+    )
+    assert sep == chr(31)
+    return sql
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
 
 
 # ---------------------------------------------------------------------------
@@ -7924,6 +8054,7 @@ SQL_QUERIES = {
     "near_dedup_keep_best": (q_near_dedup_keep_best, SQL_NEAR_DEDUP_KEEP_BEST),
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "approx_quantile_hist": (q_approx_quantile_hist, SQL_APPROX_QUANTILE_HIST),

@@ -1676,3 +1676,103 @@ def test_set_similarity_join_bucketed_route_equivalence(tmp_path, monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: the exposed full trainer — merge table pinned against an
+# independent brute-force trainer, and the recursive-CTE SQL oracle
+# replayed on adversarial corpora (overlap chains, re-merging merged
+# symbols, EOW merges, newline-bearing words)
+# ---------------------------------------------------------------------------
+def _brute_bpe_merge_table(texts, n_merges):
+    """Independent trainer: whole-corpus symbol sequences, no
+    word-multiplicity weighting shortcut, returns the merge table."""
+    from collections import Counter
+
+    seqs = []
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                seqs.append(list(w) + ["</w>"])
+    table = []
+    for r in range(n_merges):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        if not c:
+            break
+        (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        table.append((r + 1, a, b, n))
+        nxt = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        seqs = nxt
+    return pd.DataFrame(table, columns=["rank", "s1", "s2", "pair_count"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_matches_bruteforce(tmp_path):
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low",
+    ]
+    sf = _write_docs(tmp_path, [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = q_bpe_train(sf, n_merges=5).reset_index(drop=True)
+    want = _brute_bpe_merge_table(texts, 5).astype(
+        {"rank": "int64", "pair_count": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # merged symbols must re-enter later merges (multi-char s1 appears)
+    assert (got["s1"].str.len() > 1).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_sql_oracle_replays_adversarial_corpora(tmp_path):
+    import duckdb
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _sql_bpe_train,
+        q_bpe_train,
+    )
+
+    cases = [
+        ["aaaa aaa aa a aaaaa"],              # overlap chains
+        ["abababab abab ab"],                 # alternating re-merges
+        ["x x x x", "xx xx", "xxx"],          # EOW merges dominate
+        ["the\nend line1\nline2 the\nend"],   # newline inside 'words'
+        ["ba bab baba babab", "ab aba abab"],  # left-extension patterns
+    ]
+    for ci, texts in enumerate(cases):
+        sub = tmp_path / f"c{ci}"
+        sub.mkdir()
+        sf = _write_docs(sub, [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        ray_out = q_bpe_train(sf, n_merges=4).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        sql_out = (
+            con.execute(_sql_bpe_train(4))
+            .df()
+            .sort_values("rank")
+            .reset_index(drop=True)
+            .astype({"rank": "int64", "pair_count": "int64"})
+        )
+        brute = _brute_bpe_merge_table(texts, 4).astype(
+            {"rank": "int64", "pair_count": "int64"}
+        )
+        pd.testing.assert_frame_equal(ray_out, brute)
+        pd.testing.assert_frame_equal(sql_out, brute)
