@@ -232,6 +232,8 @@ def run_queries() -> dict:
         # image near-dup
         "pq_ann",
         "image_phash_dup",
+        # continuation-10: full iterated BPE tokenizer training
+        "bpe_train",
     ]
     times = {}
     for name in picks:

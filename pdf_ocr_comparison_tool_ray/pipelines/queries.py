@@ -4743,16 +4743,26 @@ def _bpe_count_pass(ds, merges: list) -> pd.DataFrame:
     merges = list(merges)
 
     def body(batch: pa.Table) -> pd.DataFrame:
-        # count word multiplicities first, then walk each UNIQUE
-        # word once with its count as the pair weight — pairs never
-        # cross word boundaries, so this is exactly per-occurrence
-        # counting, but the whole pass (symbolize + merge-apply +
-        # pair walk) is O(unique-word chars), not O(total chars):
-        # the regime that matters when the top words repeat
-        # millions of times in an open-web batch
-        word_counts: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            word_counts.update(w for w in text.split(" ") if w)
+        # count word multiplicities first (vectorized: Arrow split +
+        # value_counts, no per-row Python), then walk each UNIQUE word
+        # once with its count as the pair weight — pairs never cross
+        # word boundaries, so this is exactly per-occurrence counting,
+        # but the whole pass (symbolize + merge-apply + pair walk) is
+        # O(unique-word chars), not O(total chars): the regime that
+        # matters when the top words repeat millions of times in an
+        # open-web batch
+        words = pc.list_flatten(
+            pc.split_pattern(batch["text"], pattern=" ")
+        )
+        vc = words.value_counts()
+        word_counts = {
+            w: c
+            for w, c in zip(
+                vc.field("values").to_pylist(),
+                vc.field("counts").to_pylist(),
+            )
+            if w
+        }
         pair_counts: dict = {}
         for w, wc in word_counts.items():
             syms = list(w) + [_BPE_EOW]
