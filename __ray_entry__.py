@@ -203,6 +203,10 @@ _LOCAL_ONLY = {
     # application) takes the tokenizer slot; the demotee is its own
     # zero-merge special case (green r3-r4) and stays local-strict
     "bpe_pair_counts",           # zero-merge special case; bpe_train in
+    # the deployed-vocabulary encode pass stays local-strict: it reuses
+    # bpe_train's training loop verbatim and adds one bounded encode
+    # pass; the tokenizer family is exposed via bpe_train
+    "bpe_vocab",                 # learned subword vocab; bpe_train in
     # ... and fixed-point PageRank (iterative bucketed-join power
     # iteration, the graph-processing family's first driver row) plus
     # the Gopher composed quality filter (keep/drop verdict with named

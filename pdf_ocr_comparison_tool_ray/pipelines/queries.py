@@ -4944,6 +4944,81 @@ best_{k} AS MATERIALIZED (
 SQL_BPE_TRAIN = _sql_bpe_train()
 
 
+def q_bpe_vocab(sf_dir: str, n_merges: int = _BPE_MERGES) -> pd.DataFrame:
+    """Learned BPE subword vocabulary with corpus frequencies: train
+    ``n_merges`` merges (the bpe_train loop), then ONE encode pass over
+    the corpus emitting bounded (token, count) partials per batch —
+    the vocab table a deployed tokenizer ships.  Same unique-word
+    weighting as training, so the encode pass is O(unique-word chars)
+    per batch; output is vocab-sized regardless of corpus size."""
+    ds = _read(sf_dir, "documents", ["text"])
+    merges: list = []
+    for _ in range(n_merges):
+        counts = _bpe_count_pass(ds, merges)
+        if counts.empty:
+            break
+        best = counts.sort_values(
+            ["c", "s1", "s2"], ascending=[False, True, True]
+        ).iloc[0]
+        merges.append((best["s1"], best["s2"]))
+    frozen = list(merges)
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        words = pc.list_flatten(
+            pc.split_pattern(batch["text"], pattern=" ")
+        )
+        vc = words.value_counts()
+        tok: Counter = Counter()
+        for w, c in zip(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        ):
+            if not w:
+                continue
+            for s in _bpe_apply_merges(list(w) + [_BPE_EOW], frozen):
+                tok[s] += c
+        return pd.DataFrame(
+            {
+                "token": list(tok.keys()),
+                "c": pd.Series(list(tok.values()), dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("token", as_index=False)["c"]
+        .sum()
+        .sort_values(["c", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "token": out["token"],
+            "token_count": out["c"].astype("int64"),
+        }
+    )
+
+
+def _sql_bpe_vocab(n_merges: int = _BPE_MERGES) -> str:
+    """Replay training via _sql_bpe_train's round chain, then read the
+    vocabulary straight off the final symbol sequences."""
+    train = _sql_bpe_train(n_merges)
+    # keep the WITH chain, swap the final merge-table SELECT for the
+    # weighted symbol unnest over seqs_{n_merges}
+    chain = train[: train.rindex("\nSELECT CAST(1 AS BIGINT) AS rank")]
+    return chain + f"""
+SELECT sym AS token, CAST(sum(c) AS BIGINT) AS token_count
+FROM (
+  SELECT c, unnest(str_split(trim(seq, chr(31)), chr(31))) AS sym
+  FROM seqs_{n_merges}
+)
+GROUP BY sym
+ORDER BY token_count DESC, token
+"""
+
+
+SQL_BPE_VOCAB = _sql_bpe_vocab()
+
+
 # ---------------------------------------------------------------------------
 # stratified sampling: per-group (lang) deterministic rates — the
 # rebalancing counterpart of hash_sample's uniform thinning (a corpus
@@ -8065,6 +8140,7 @@ SQL_QUERIES = {
     "subword_token_stats": (q_subword_token_stats, SQL_SUBWORD_TOKEN_STATS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "top_tokens_by_lang": (q_top_tokens_by_lang, SQL_TOP_TOKENS_BY_LANG),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "approx_quantile_hist": (q_approx_quantile_hist, SQL_APPROX_QUANTILE_HIST),

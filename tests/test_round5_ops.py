@@ -1776,3 +1776,75 @@ def test_bpe_train_sql_oracle_replays_adversarial_corpora(tmp_path):
         )
         pd.testing.assert_frame_equal(ray_out, brute)
         pd.testing.assert_frame_equal(sql_out, brute)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_vocab_matches_bruteforce_and_sql(tmp_path):
+    import duckdb
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _sql_bpe_vocab,
+        q_bpe_vocab,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaa aa a",
+    ]
+    sf = _write_docs(tmp_path, [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = q_bpe_vocab(sf, n_merges=4).reset_index(drop=True)
+
+    # brute: train 4 merges independently, then count encoded tokens
+    from collections import Counter
+
+    merges = [(r.s1, r.s2) for r in _brute_bpe_merge_table(texts, 4).itertuples()]
+
+    def apply(s, ms):
+        for a, b in ms:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    tok = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                tok.update(apply(list(w) + ["</w>"], merges))
+    want = pd.DataFrame(
+        sorted(tok.items(), key=lambda kv: (-kv[1], kv[0])),
+        columns=["token", "token_count"],
+    ).astype({"token_count": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # every char of every word is accounted for: token lengths weighted
+    # by counts must equal total non-space chars + one EOW per word
+    n_words = sum(1 for t in texts for w in t.split(" ") if w)
+    chars = sum(len(w) for t in texts for w in t.split(" ") if w)
+    enc_len = sum(
+        (len(tk) if tk != "</w>" and not tk.endswith("</w>") else len(tk) - 4)
+        * c
+        for tk, c in tok.items()
+    )
+    assert enc_len == chars
+    assert sum(c for tk, c in tok.items() if tk.endswith("</w>")) == n_words
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql_out = (
+        con.execute(_sql_bpe_vocab(4))
+        .df()
+        .sort_values(["token_count", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"token_count": "int64"})
+    )
+    pd.testing.assert_frame_equal(sql_out, want)
