@@ -31,8 +31,8 @@ def entry() -> Any:
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records at most 50 entries; every exposed
-# query must land inside that window WITH its oracle, so these 36 stay
-# out of the driver surface.  The window is rotated each round so new
+# query must land inside that window WITH its oracle, so the entries
+# below stay out of the driver surface.  The window is rotated each round so new
 # operators earn driver-green rows; the entries kept out are
 # physical-plan/parameter VARIANTS of a checked sibling plus
 # rotated-out siblings that went green in earlier rounds, and
@@ -245,6 +245,14 @@ _LOCAL_ONLY = {
     # family via match_summary and doc_repetition_stats
     "approx_distinct_by_lang",   # HLL sketch agg; pq_ann in
     "doc_stats_by_lang_source",  # A2 lang x source summary; image_phash_dup in
+    # ... and TextRank keyword extraction (graph-ranked keywords,
+    # Mihalcea 2004 — the graph x keyword family intersection under a
+    # bit-exact fixed-point oracle) takes a dedup-family slot; the
+    # demotee is green r1-r4 and the dedup/banding family keeps TEN
+    # window rows (exact, streaming, set_similarity_join — the same
+    # banding chain —, clusters, keep_best, paragraph, boilerplate,
+    # exactsubstr, semdedup, image_phash)
+    "ngram_jaccard_pairs",       # LSH-blocked Jaccard; textrank_keywords in
 }
 
 

@@ -8034,6 +8034,164 @@ WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
 
 
 # ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): build the
+# word co-occurrence graph over keyword-candidate tokens (undirected,
+# unweighted, distinct edges between words within a _TR_WINDOW-token
+# window of the FILTERED token sequence — the paper's syntactic filter
+# is our keyword_candidates filter), run PageRank on it, and keep the
+# top-_TR_TOPK words by rank.  This is the graph x keyword family
+# intersection: the co-occurrence extraction is pmi_cooccur's pass, the
+# iteration is stages/pagerank.py's fixed-point power iteration (int64
+# units of 1/2^40, so Ray and the unrolled SQL replay are BIT-identical
+# — same argument as q_pagerank).  Scale shape: pair partials are
+# batch-deduped then globally deduped via one bucketed shuffle; the
+# graph is VOCABULARY-sized (bounded, unlike the corpus), and
+# pagerank_fixedpoint size-routes — vectorized driver iteration below
+# 2M edges, co-partitioned bucketed joins above.  Reference parity:
+# keyword analysis is ocr_engine.py:392-412 top-N frequency; TextRank
+# is the graph-ranked upgrade a curation pipeline uses when frequency
+# over-rewards boilerplate tokens.
+# ---------------------------------------------------------------------------
+_TR_WINDOW = 2   # co-occurrence offsets 1.._TR_WINDOW in the filtered stream
+_TR_ITERS = 3
+_TR_TOPK = 40
+_TR_SCALE = 1 << 40
+_TR_DNUM, _TR_DDEN = 85, 100
+
+
+def q_textrank_keywords(sf_dir: str):
+    from ..functions.tokenize import keyword_candidates
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_topk
+    from ..stages.pagerank import pagerank_fixedpoint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks: list = []
+        docix: list = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            ws = keyword_candidates(t)
+            toks.extend(ws)
+            docix.extend([i] * len(ws))
+        w = np.asarray(toks, dtype=object)
+        d = np.asarray(docix, dtype=np.int64)
+        frames = [pd.DataFrame({"src": pd.unique(w), "dst": ""})]
+        for off in range(1, _TR_WINDOW + 1):
+            if len(w) <= off:
+                break
+            a, b = w[:-off], w[off:]
+            m = (d[:-off] == d[off:]) & (a != b)
+            a, b = a[m], b[m]
+            lo = np.where(a <= b, a, b)
+            hi = np.where(a <= b, b, a)
+            frames.append(
+                pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["src"] = out["src"].astype("object")
+        out["dst"] = out["dst"].astype("object")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    pairs = bucketed_drop_duplicates(
+        parts.map_batches(
+            lambda df: df[df["dst"] != ""], batch_format="pandas"
+        ),
+        ["src", "dst"],
+    ).materialize()  # fan-out pin: feeds both union directions
+    nodes = bucketed_drop_duplicates(
+        parts.map_batches(
+            lambda df: df.loc[df["dst"] == "", ["src"]].rename(
+                columns={"src": "node"}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+    )
+    edges = pairs.union(
+        pairs.map_batches(
+            lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
+            batch_format="pandas",
+        )
+    )
+    ranks = pagerank_fixedpoint(
+        edges,
+        nodes,
+        iters=_TR_ITERS,
+        damping_num=_TR_DNUM,
+        damping_den=_TR_DDEN,
+        scale=_TR_SCALE,
+    ).map_batches(
+        lambda df: df.rename(columns={"node": "kw"}), batch_format="pandas"
+    )
+    return bucketed_topk(
+        ranks,
+        "kw",
+        {"rank_fp": ("rank_fp", "max"), "rank": ("rank", "max")},
+        order_by=["rank_fp", "kw"],
+        ascending=[False, True],
+        k=_TR_TOPK,
+    )
+
+
+def _sql_textrank() -> str:
+    s, num, den = _TR_SCALE, _TR_DNUM, _TR_DDEN
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts
+  FROM documents
+), pos0 AS (
+  SELECT doc_id, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), pos AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS j, w
+  FROM pos0
+  WHERE length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+), cp AS (
+  SELECT DISTINCT least(p1.w, p2.w) AS src, greatest(p1.w, p2.w) AS dst
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.j - p1.j BETWEEN 1 AND {_TR_WINDOW}
+  WHERE p1.w <> p2.w
+), edges AS (
+  SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp
+), nodes AS (
+  SELECT DISTINCT w AS node FROM pos
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+base AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+         FROM nodes n LEFT JOIN deg d USING (node)),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+r0 AS (SELECT node, outdeg, CAST({s} AS BIGINT) // p.n AS rank_fp
+       FROM base, p)"""
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        sql += f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(rank_fp) FILTER (WHERE outdeg = 0), 0)
+                     AS BIGINT) AS dang FROM {prev}),
+c{i} AS (SELECT e.dst AS node,
+                CAST(SUM(r.rank_fp // r.outdeg) AS BIGINT) AS contrib
+         FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT b.node, b.outdeg,
+                CAST((({den} - {num}) * (CAST({s} AS BIGINT) // p.n)) // {den}
+                     + ({num} * (COALESCE(c.contrib, 0) + d{i}.dang // p.n))
+                       // {den} AS BIGINT) AS rank_fp
+         FROM base b LEFT JOIN c{i} c USING (node), p, d{i})"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node AS kw, rank_fp, CAST(rank_fp AS DOUBLE) / {s} AS rank
+FROM {prev}
+ORDER BY rank_fp DESC, kw
+LIMIT {_TR_TOPK}
+"""
+    return sql
+
+
+SQL_TEXTRANK_KEYWORDS = _sql_textrank()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -8165,4 +8323,5 @@ SQL_QUERIES = {
     "kmeans": (q_kmeans, SQL_KMEANS),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "image_phash_dup": (q_image_phash_dup, SQL_IMAGE_PHASH_DUP),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
 }
