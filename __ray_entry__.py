@@ -253,6 +253,14 @@ _LOCAL_ONLY = {
     # banding chain —, clusters, keep_best, paragraph, boilerplate,
     # exactsubstr, semdedup, image_phash)
     "ngram_jaccard_pairs",       # LSH-blocked Jaccard; textrank_keywords in
+    # ... and two-pass Misra-Gries exact heavy hitters (mergeable
+    # summaries -> exact recount, the bounded-state frequent-items
+    # route — a named algorithm new to the registry) takes the lang-id
+    # slot; the demotee is green r1-r4 and the per-doc text-signal
+    # family keeps five window rows (gopher_filter,
+    # doc_repetition_stats, quality_quantile_filter,
+    # perplexity_buckets, curation_pipeline's gate)
+    "lang_id",                   # n-gram language ID; heavy_hitters in
 }
 
 

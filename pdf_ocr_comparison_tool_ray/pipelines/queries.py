@@ -8192,6 +8192,125 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
 # ---------------------------------------------------------------------------
+# Exact heavy hitters via two-pass Misra-Gries (Misra & Gries 1982;
+# merge rule from Agarwal et al. 2012 "Mergeable Summaries"): the
+# bounded-state route to an EXACT answer for "every token with count
+# > N/k" without ever shuffling the full vocabulary.
+#
+# Pass 1 — candidates: each batch counts its tokens exactly, then
+# compresses to an MG summary (subtract the (k+1)-th largest batch
+# count v_b from every counter, keep the positive ones — <= k rows,
+# and the batch's removed mass is >= (k+1)*v_b).  Summaries merge by
+# ADDITION; the deferred final compression "keep counters above the
+# (k+1)-th largest sum" is exactly a strict top-k by summed counter,
+# so candidates = bucketed_topk over the summary rows (n_buckets x k
+# driver merge, never the vocabulary).  Theorem: total subtracted
+# mass across every compression <= N/(k+1), so any token with true
+# count > N/k keeps a positive merged counter and lands in the
+# strict top-k — the candidate set PROVABLY contains all heavy
+# hitters (and at most k-1 false positives).
+#
+# Pass 2 — exactness: broadcast the <= k candidate tokens, recount
+# ONLY them (plus the stream length N) in one map-only pass with
+# (k+1)-row partials, and keep cnt * k > N.  The output is the exact
+# relational answer — the oracle below is plain GROUP BY/HAVING —
+# while per-task state stays O(k) and driver state O(buckets x k):
+# the 100 TB shape for frequent-item mining over an open vocabulary.
+# ---------------------------------------------------------------------------
+_HH_K = 32
+_HH_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def q_heavy_hitters(sf_dir: str):
+    from collections import Counter
+
+    from ..stages.bucketed import bucketed_map_groups, bucketed_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_summary(batch: pa.Table) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            cnt.update(_HH_TOKEN_RE.findall(t))
+        if len(cnt) > _HH_K:
+            v = sorted(cnt.values(), reverse=True)[_HH_K]
+            items = [(t, c - v) for t, c in cnt.items() if c > v]
+        else:
+            items = list(cnt.items())
+        return pd.DataFrame(
+            {
+                "tok": pd.Series([t for t, _ in items], dtype="object"),
+                "c": pd.Series([c for _, c in items], dtype="int64"),
+            }
+        )
+
+    cand = bucketed_topk(
+        ds.map_batches(mg_summary, batch_format="pyarrow"),
+        "tok",
+        {"c": ("c", "sum")},
+        order_by=["c", "tok"],
+        ascending=[False, True],
+        k=_HH_K,
+    )
+    cand_set = frozenset(cand["tok"])
+
+    def recount(batch: pa.Table) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        total = 0
+        for t in batch["text"].to_pylist():
+            ws = _HH_TOKEN_RE.findall(t)
+            total += len(ws)
+            cnt.update(w for w in ws if w in cand_set)
+        toks = list(cnt) + [""]
+        return pd.DataFrame(
+            {
+                "tok": pd.Series(toks, dtype="object"),
+                "c": pd.Series(
+                    [cnt[t] for t in toks[:-1]] + [total], dtype="int64"
+                ),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tok", as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    exact = bucketed_map_groups(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        "tok",
+        combine,
+        n_buckets=8,
+    ).to_pandas()  # <= k+1 rows
+    n_total = int(exact.loc[exact["tok"] == "", "c"].sum())
+    out = exact[(exact["tok"] != "") & (exact["c"] * _HH_K > n_total)]
+    out = out.sort_values(
+        ["c", "tok"], ascending=[False, True], kind="mergesort"
+    )
+    return pd.DataFrame(
+        {
+            "tok": out["tok"].to_numpy(),
+            "cnt": out["c"].astype("int64").to_numpy(),
+        }
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+), c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+)
+SELECT tok, cnt FROM c, n
+WHERE cnt * {_HH_K} > n.n
+ORDER BY cnt DESC, tok
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -8324,4 +8443,5 @@ SQL_QUERIES = {
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "image_phash_dup": (q_image_phash_dup, SQL_IMAGE_PHASH_DUP),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }

@@ -369,6 +369,14 @@ def bucketed_topk(
                                kind="mergesort").head(k)
 
     cand = bucketed_map_groups(ds, keys, bucket_top, n_buckets=n_buckets).to_pandas()
+    if not len(cand.columns):
+        # Ray drops the schema of an all-empty dataset (every bucket
+        # returned zero candidate rows); rebuild the contract columns so
+        # callers get a schema-stable empty frame.
+        cand = pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in keys}
+            | {c: pd.Series([], dtype="float64") for c in agg_spec}
+        )
     return (
         cand.sort_values(list(order_by), ascending=list(ascending), kind="mergesort")
         .head(k)

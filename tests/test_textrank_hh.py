@@ -94,6 +94,78 @@ def test_textrank_planted_corpus(tmp_path):
     assert "lonely" in ranks
 
 
+def _brute_heavy_hitters(texts, k):
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update(re.findall(r"[A-Za-z0-9]+", t))
+    n = sum(cnt.values())
+    hh = [(t, c) for t, c in cnt.items() if c * k > n]
+    return sorted(hh, key=lambda tc: (-tc[1], tc[0]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_zipf_vocab_exceeds_k(tmp_path):
+    """Vocabulary (500 tokens) >> k (32): per-batch MG compression must
+    actually prune, and the two-pass result still equals brute-force
+    exactly — including a token sitting just ABOVE the N/k threshold
+    and one just BELOW it (strict > boundary)."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _HH_K,
+        q_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tk{i:03d}" for i in range(500)]
+    # zipf-ish weights: a handful of heavy tokens over a long tail
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.3
+    weights /= weights.sum()
+    draws = rng.choice(len(vocab), size=12_000, p=weights)
+    toks = [vocab[i] for i in draws]
+    # plant boundary tokens: N grows by the planted copies too, so
+    # compute the final N first and place counts around N/k
+    extra_above = extra_below = None
+    n0 = len(toks)
+    # solve c*k > n for the planted counts with n = n0 + c_a + c_b
+    c_b = (n0 // (_HH_K - 2)) // 1  # below after accounting, adjusted next
+    c_a = c_b + 40
+    n = n0 + c_a + c_b
+    while not (c_a * _HH_K > n):
+        c_a += 10
+        n = n0 + c_a + c_b
+    while c_b * _HH_K > n:
+        c_b -= 10
+        n = n0 + c_a + c_b
+    extra_above = ["edgeabove"] * c_a
+    extra_below = ["edgebelow"] * c_b
+    toks = toks + extra_above + extra_below
+    rng.shuffle(toks)
+    # spread across many docs so multiple batches (and summaries) exist
+    docs = [
+        {"doc_id": f"d{j}", "text": " ".join(toks[j::60])} for j in range(60)
+    ]
+    got = q_heavy_hitters(_write_docs(tmp_path, docs))
+    want = _brute_heavy_hitters([d["text"] for d in docs], _HH_K)
+    assert list(zip(got["tok"], got["cnt"])) == want
+    toks_out = set(got["tok"])
+    assert "edgeabove" in toks_out and "edgebelow" not in toks_out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_no_heavy_token(tmp_path):
+    """Uniform vocabulary wider than k -> empty result, schema stable."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_heavy_hitters
+
+    words = [f"unif{i:03d}" for i in range(200)]
+    docs = [{"doc_id": "d0", "text": " ".join(words * 3)}]
+    got = q_heavy_hitters(_write_docs(tmp_path, docs))
+    assert len(got) == 0
+    assert list(got.columns) == ["tok", "cnt"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_textrank_topk_cap(tmp_path):
     """More than _TR_TOPK distinct candidates -> exactly _TR_TOPK rows,
