@@ -261,6 +261,10 @@ _LOCAL_ONLY = {
     # doc_repetition_stats, quality_quantile_filter,
     # perplexity_buckets, curation_pipeline's gate)
     "lang_id",                   # n-gram language ID; heavy_hitters in
+    # interpolated Kneser-Ney stays local-strict: it is the named
+    # smoothing upgrade of bigram_logprob (itself local) and the LM
+    # scoring family is exposed via perplexity_buckets
+    "kneser_ney_logprob",        # KN-smoothed bigram NLL; family exposed
 }
 
 

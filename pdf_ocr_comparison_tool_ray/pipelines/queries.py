@@ -5732,6 +5732,124 @@ GROUP BY b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, fixed
+# discount D per Chen & Goodman 1998) — the production smoothing rule
+# behind KenLM-style quality scorers, beside add-one bigram_logprob:
+#
+#   P(w2|w1) = max(c(w1,w2) - D, 0)/c1(w1)
+#            + D * N1+(w1,.)/c1(w1) * Pcont(w2)
+#   Pcont(w2) = N1+(., w2) / N1+(., .)
+#
+# i.e. the continuation probability counts how many DISTINCT contexts a
+# word follows, not how often it occurs — the fix for "San Francisco"
+# inflating P(Francisco).  Same two-pass shape as bigram_logprob: the
+# model table adds two distinct-continuation columns to the SAME
+# mergeable (w1,w2,c) partials (distinct counts are per-key sizes of
+# the merged bigram table — vocab-bounded, never corpus-bounded), and
+# the score pass is map-only over a broadcast model (bucketed join on
+# w1 at open-web scale — same size-routing note as tfidf's df attach).
+# Self-scoring means every interior bigram was trained on (c >= 1), so
+# the unseen-context branch never divides by zero.  The interpolation
+# normalizes exactly: sum_w2 P(w2|w1) = 1 (pinned by pytest).
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+def q_kneser_ney_logprob(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pd.DataFrame:
+        rows: dict = {}
+        for t in batch["text"].to_pylist():
+            ws = [w for w in t.split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in rows],
+                "w2": [k[1] for k in rows],
+                "c": pd.Series(list(rows.values()), dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(bigram_partial, batch_format="pyarrow").to_pandas()
+    bc = parts.groupby(["w1", "w2"], as_index=False)["c"].sum()
+    c1 = bc.groupby("w1")["c"].sum()
+    n1f = bc.groupby("w1")["w2"].size()
+    n1b = bc.groupby("w2")["w1"].size()
+    model = {
+        "bc": {(a, b): int(c) for a, b, c in bc.itertuples(index=False)},
+        "c1": c1.astype(int).to_dict(),
+        "n1f": n1f.astype(int).to_dict(),
+        "n1b": n1b.astype(int).to_dict(),
+        "nt": int(len(bc)),
+    }
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        m = _broadcast_get(ref)
+        bcm, c1m, n1fm, n1bm = m["bc"], m["c1"], m["n1f"], m["n1b"]
+        nt = float(m["nt"])
+        ids, nb_out, nll = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = [w for w in t.split(" ") if w]
+            if len(ws) < 2:
+                continue
+            s = 0.0
+            for a, b in zip(ws, ws[1:]):
+                c1v = float(c1m[a])
+                p = max(bcm[(a, b)] - _KN_D, 0.0) / c1v + _KN_D * n1fm[
+                    a
+                ] / c1v * (n1bm[b] / nt)
+                s += np.log(p)
+            ids.append(did)
+            nb_out.append(len(ws) - 1)
+            nll.append(-s / (len(ws) - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bigrams": pd.Series(nb_out, dtype="int64"),
+                "avg_nll": pd.Series(nll, dtype="float64").round(9),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_KNESER_NEY_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, i, ts[i + 1] AS w
+  FROM toks, unnest(range(0, len(ts))) AS t(i)
+), big AS (
+  SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+), bc AS (
+  SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c) AS DOUBLE) AS c1 FROM bc GROUP BY w1
+), n1f AS (
+  SELECT w1, CAST(count(*) AS DOUBLE) AS nf FROM bc GROUP BY w1
+), n1b AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS nb FROM bc GROUP BY w2
+), nt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nt FROM bc
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(
+         greatest(bc.c - {_KN_D}, 0.0) / c1.c1
+         + {_KN_D} * n1f.nf / c1.c1 * (n1b.nb / nt.nt)
+       )), 9) AS avg_nll
+FROM big b JOIN bc USING (w1, w2) JOIN c1 USING (w1)
+JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN nt
+GROUP BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition quality stats (Rae et al. 2021, App. A1).  The
 # corpus has no line structure, so the signals are word-level: the
 # duplicate-word fraction and the character mass of the most repeated
@@ -8444,4 +8562,5 @@ SQL_QUERIES = {
     "image_phash_dup": (q_image_phash_dup, SQL_IMAGE_PHASH_DUP),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "kneser_ney_logprob": (q_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB),
 }

