@@ -265,6 +265,14 @@ _LOCAL_ONLY = {
     # smoothing upgrade of bigram_logprob (itself local) and the LM
     # scoring family is exposed via perplexity_buckets
     "kneser_ney_logprob",        # KN-smoothed bigram NLL; family exposed
+    # ... and Jaccard-containment search (asymmetric set containment,
+    # the LSH-Ensemble / table-union-search semantics — a named
+    # operation distinct from symmetric set_similarity_join) takes the
+    # as-of slot; the demotee is green r2-r4 and the events family
+    # stays exposed via approx_quantile_hist (its sketch runs over
+    # events.value), with order_events_1d/sessionize/hopping kin all
+    # local-strict
+    "asof_event_order",          # as-of range join; containment_search in
 }
 
 

@@ -8310,6 +8310,145 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
 # ---------------------------------------------------------------------------
+# Jaccard-containment search (the dataset-discovery / table-union-search
+# semantics of LSH Ensemble, Zhu et al. VLDB 2016): for each query
+# document's distinct word-bigram shingle set Q, find corpus documents D
+# with containment |Q ∩ D| / |Q| >= tau.  Containment is ASYMMETRIC —
+# a short query fully quoted inside a long document scores 1.0 even
+# when symmetric Jaccard (set_similarity_join's metric) is tiny — which
+# is the right notion for "was this eval set / snippet absorbed into
+# the corpus" and for joinable-table discovery.  Plan: the _CONT_NQ
+# query docs are picked by smallest md5(doc_id) (deterministic,
+# SQL-replayable), their shingle sets broadcast once (bounded by the
+# query count, NOT the corpus), and the corpus streams through one
+# map-only intersection pass — same bounded-query shape as knn_cosine /
+# contamination.  For a corpus-scale query SET the named scale path is
+# LSH Ensemble's size-partitioned MinHash banding (partition candidates
+# by |D|, band within partition — the machinery already driver-green
+# via set_similarity_join/minhash); this surface pins the exact
+# semantics those candidates verify against.
+# ---------------------------------------------------------------------------
+_CONT_NQ = 3
+_CONT_TAU = 0.2
+
+
+def _word_bigram_shingles(text: str) -> set:
+    ws = [w for w in text.split(" ") if w]
+    return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+
+def q_containment_search(sf_dir: str):
+    import hashlib as _hl
+
+    from ..stages.bucketed import bucketed_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "h": pd.Series(
+                    [
+                        _hl.md5(str(d).encode()).hexdigest()
+                        for d in ids
+                    ],
+                    dtype="object",
+                ),
+            }
+        )
+
+    qids = bucketed_topk(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        {"h": ("h", "min")},
+        order_by=["h", "doc_id"],
+        ascending=[True, True],
+        k=_CONT_NQ,
+    )["doc_id"].tolist()
+    qid_set = frozenset(int(q) for q in qids)
+
+    def pick_queries(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df[df["doc_id"].isin(qid_set)]
+
+    qdf = ds.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    queries = {
+        int(r.doc_id): _word_bigram_shingles(r.text)
+        for r in qdf.itertuples(index=False)
+    }
+    ref = ray.put(queries)
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        qs = _broadcast_get(ref)
+        out = {
+            "query_doc": [],
+            "doc_id": [],
+            "intersect_n": [],
+            "query_n": [],
+            "containment": [],
+        }
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = _word_bigram_shingles(t)
+            for qid, q in qs.items():
+                if did == qid or not q:
+                    continue
+                i = len(q & sh)
+                c = i / len(q)
+                if c >= _CONT_TAU:
+                    out["query_doc"].append(qid)
+                    out["doc_id"].append(did)
+                    out["intersect_n"].append(i)
+                    out["query_n"].append(len(q))
+                    out["containment"].append(c)
+        return pd.DataFrame(
+            {
+                "query_doc": pd.Series(out["query_doc"], dtype="int64"),
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "intersect_n": pd.Series(out["intersect_n"], dtype="int64"),
+                "query_n": pd.Series(out["query_n"], dtype="int64"),
+                "containment": pd.Series(out["containment"], dtype="float64"),
+            }
+        )
+
+    res = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return res.sort_values(
+        ["query_doc", "containment", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
+SQL_CONTAINMENT_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS g
+  FROM toks, unnest(range(0, len(ts) - 1)) AS t(i)
+), qd AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_CONT_NQ}
+), qs AS (
+  SELECT q.doc_id AS qid, s.g FROM sh s JOIN qd q USING (doc_id)
+), qsz AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS qn FROM qs GROUP BY qid
+), inter AS (
+  SELECT qs.qid, s.doc_id, CAST(count(*) AS BIGINT) AS i
+  FROM qs JOIN sh s ON s.g = qs.g AND s.doc_id <> qs.qid
+  GROUP BY qs.qid, s.doc_id
+)
+SELECT i.qid AS query_doc, i.doc_id, i.i AS intersect_n, z.qn AS query_n,
+       CAST(i.i AS DOUBLE) / z.qn AS containment
+FROM inter i JOIN qsz z USING (qid)
+WHERE CAST(i.i AS DOUBLE) / z.qn >= {_CONT_TAU}
+ORDER BY query_doc, containment DESC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact heavy hitters via two-pass Misra-Gries (Misra & Gries 1982;
 # merge rule from Agarwal et al. 2012 "Mergeable Summaries"): the
 # bounded-state route to an EXACT answer for "every token with count
@@ -8563,4 +8702,5 @@ SQL_QUERIES = {
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "kneser_ney_logprob": (q_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB),
+    "containment_search": (q_containment_search, SQL_CONTAINMENT_SEARCH),
 }

@@ -166,6 +166,61 @@ def test_heavy_hitters_no_heavy_token(tmp_path):
     assert list(got.columns) == ["tok", "cnt"]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_containment_asymmetric(tmp_path):
+    """A short query fully quoted inside a long document must reach
+    containment 1.0 even though symmetric Jaccard is tiny — and the
+    whole result must equal a brute-force reference (query selection,
+    intersection counts, threshold, self-exclusion)."""
+    import hashlib
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _CONT_NQ,
+        _CONT_TAU,
+        _word_bigram_shingles,
+        q_containment_search,
+    )
+
+    filler = " ".join(f"f{i}" for i in range(40))
+    quote = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": i, "text": t}
+        for i, t in enumerate(
+            [
+                quote,                         # short doc
+                f"{filler} {quote} {filler}",  # long doc quoting it
+                filler,                        # unrelated long doc
+                "alpha beta zeta",             # partial overlap
+                " ".join(f"g{i}" for i in range(10)),
+            ]
+        )
+    ]
+    got = q_containment_search(_write_docs(tmp_path, rows))
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    qids = sorted(
+        texts, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+    )[:_CONT_NQ]
+    want = []
+    for qid in qids:
+        q = _word_bigram_shingles(texts[qid])
+        if not q:
+            continue
+        for did, t in texts.items():
+            if did == qid:
+                continue
+            i = len(q & _word_bigram_shingles(t))
+            if i / len(q) >= _CONT_TAU:
+                want.append((qid, did, i, len(q), i / len(q)))
+    want.sort(key=lambda r: (r[0], -r[4], r[1]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # the asymmetric case itself, independent of which docs md5 picked:
+    q0 = _word_bigram_shingles(quote)
+    d1 = _word_bigram_shingles(texts[1])
+    assert len(q0 & d1) == len(q0)                 # containment 1.0
+    jacc = len(q0 & d1) / len(q0 | d1)
+    assert jacc < 0.1                              # symmetric Jaccard tiny
+
+
 def _kn_model(texts):
     """Independent KN count tables from scratch."""
     from collections import Counter
