@@ -273,6 +273,11 @@ _LOCAL_ONLY = {
     # events.value), with order_events_1d/sessionize/hopping kin all
     # local-strict
     "asof_event_order",          # as-of range join; containment_search in
+    # k-center greedy diversity selection stays local-strict: the
+    # embedding-selection family already holds three driver slots
+    # (kmeans, semdedup, pq_ann) and kcenter shares their fixed-point
+    # grid
+    "kcenter_select",            # Gonzalez farthest-point; family exposed
 }
 
 

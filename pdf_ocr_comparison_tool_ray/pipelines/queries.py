@@ -8310,6 +8310,157 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
 # ---------------------------------------------------------------------------
+# k-center greedy selection (Gonzalez 1985 farthest-point traversal —
+# the 2-approximation for metric k-center, and the standard "coreset /
+# diversity sampling" rule for training-data selection: repeatedly pick
+# the point FARTHEST from everything picked so far).  Shares the
+# fixed-point grid with stages/kmeans.py (floor((x+OFFSET)*QSCALE) is
+# exact IEEE in both engines), so every distance is an int64 and the
+# K-round greedy argmax replays bit-identically in unrolled SQL —
+# the same "remove the float from the loop" trick that lifted
+# semdedup's zero-Lloyd restriction.
+#
+# Scale shape: the per-point running min-distance lives IN the dataset
+# (a mind2 column co-located with the quantized vector — never on the
+# driver); each round is one map-only update against a broadcast center
+# plus a per-batch top-1 candidate reduce (one row per block to the
+# driver), and the per-round materialize is the resume checkpoint —
+# O(K) passes, no shuffle anywhere.  Output: selection order, chosen
+# vec_id, and its distance-to-earlier-centers at selection time (the
+# coverage radius sequence, non-increasing).
+# ---------------------------------------------------------------------------
+_KC_K = 6
+
+
+def q_kcenter_select(sf_dir: str):
+    from ..stages.kmeans import _quantize_batch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qds = ds.map_batches(_quantize_batch, batch_format="pyarrow").materialize()
+    seed_id = int(qds.min("vec_id"))
+
+    def fetch_q(vid: int) -> np.ndarray:
+        row = qds.map_batches(
+            lambda t, _v=vid: t.filter(pc.equal(t["vec_id"], _v)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return np.asarray(row["q"].iloc[0], dtype=np.int64)
+
+    def init_state(center_q: np.ndarray):
+        ref = ray.put(center_q)
+
+        def body(t: pa.Table) -> pd.DataFrame:
+            c = _broadcast_get(ref)
+            X = np.array(t["q"].to_pylist(), dtype=np.int64)
+            d2 = ((X - c[None, :]) ** 2).sum(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(
+                        t["vec_id"].to_pylist(), dtype="int64"
+                    ),
+                    "q": t["q"].to_pylist(),
+                    "mind2": pd.Series(d2, dtype="int64"),
+                }
+            )
+
+        return body
+
+    def update_state(center_q: np.ndarray):
+        ref = ray.put(center_q)
+
+        def body(df: pd.DataFrame) -> pd.DataFrame:
+            c = _broadcast_get(ref)
+            X = np.array(df["q"].to_list(), dtype=np.int64)
+            d2 = ((X - c[None, :]) ** 2).sum(axis=1)
+            df = df.copy()
+            df["mind2"] = np.minimum(
+                df["mind2"].to_numpy(dtype=np.int64), d2
+            )
+            return df
+
+        return body
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.sort_values(
+            ["mind2", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    state = qds.map_batches(
+        init_state(fetch_q(seed_id)), batch_format="pyarrow"
+    ).materialize()
+    sel = [(1, seed_id, 0)]
+    for rk in range(2, _KC_K + 1):
+        cands = state.map_batches(top1, batch_format="pandas").to_pandas()
+        best = cands.sort_values(
+            ["mind2", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[0]
+        vid, d2 = int(best["vec_id"]), int(best["mind2"])
+        sel.append((rk, vid, d2))
+        if rk < _KC_K:
+            state = state.map_batches(
+                update_state(np.asarray(best["q"], dtype=np.int64)),
+                batch_format="pandas",
+            ).materialize()
+    return pd.DataFrame(
+        {
+            "rk": pd.Series([r for r, _, _ in sel], dtype="int64"),
+            "vec_id": pd.Series([v for _, v, _ in sel], dtype="int64"),
+            "mind2": pd.Series([d for _, _, d in sel], dtype="int64"),
+        }
+    )
+
+
+def _sql_kcenter() -> str:
+    from ..stages.kmeans import OFFSET, QSCALE
+
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) + {OFFSET})
+                    * {QSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+s1 AS (SELECT min(vec_id) AS v FROM embeddings),
+m1 AS (
+  SELECT p.vec_id, CAST(SUM((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS mind2
+  FROM q p JOIN (SELECT dim, qv FROM q, s1 WHERE vec_id = s1.v) c USING (dim)
+  GROUP BY p.vec_id
+)"""
+    prev = "m1"
+    for i in range(2, _KC_K + 1):
+        sql += f""",
+s{i} AS (SELECT vec_id AS v, mind2 FROM {prev}
+         ORDER BY mind2 DESC, vec_id LIMIT 1)"""
+        if i < _KC_K:
+            sql += f""",
+m{i} AS (
+  SELECT p.vec_id,
+         least({prev}.mind2,
+               CAST(SUM((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT)) AS mind2
+  FROM q p
+  JOIN (SELECT dim, qv FROM q, s{i} WHERE vec_id = s{i}.v) c USING (dim)
+  JOIN {prev} ON {prev}.vec_id = p.vec_id
+  GROUP BY p.vec_id, {prev}.mind2
+)"""
+            prev = f"m{i}"
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS rk, s1.v AS vec_id, "
+        "CAST(0 AS BIGINT) AS mind2 FROM s1"
+    ]
+    for i in range(2, _KC_K + 1):
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS rk, v AS vec_id, mind2 FROM s{i}"
+        )
+    sql += "\n" + "\nUNION ALL\n".join(rows)
+    return sql
+
+
+SQL_KCENTER_SELECT = _sql_kcenter()
+
+
+# ---------------------------------------------------------------------------
 # Jaccard-containment search (the dataset-discovery / table-union-search
 # semantics of LSH Ensemble, Zhu et al. VLDB 2016): for each query
 # document's distinct word-bigram shingle set Q, find corpus documents D
@@ -8703,4 +8854,5 @@ SQL_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "kneser_ney_logprob": (q_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB),
     "containment_search": (q_containment_search, SQL_CONTAINMENT_SEARCH),
+    "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
 }

@@ -221,6 +221,50 @@ def test_containment_asymmetric(tmp_path):
     assert jacc < 0.1                              # symmetric Jaccard tiny
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_matches_brute_greedy(tmp_path):
+    """Selection order and radii equal a from-scratch greedy
+    farthest-point traversal on the same quantized grid, on a planted
+    set with an obvious far outlier (must be picked second)."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _KC_K,
+        q_kcenter_select,
+    )
+    from pdf_ocr_comparison_tool_ray.stages.kmeans import OFFSET, QSCALE
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 0.05, size=(30, 8)).astype(np.float32)
+    base[7] += 0.9          # far outlier -> second pick
+    base[19] -= 0.7         # opposite pole -> early pick
+    rows = pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": [v for v in base],
+            "label": np.zeros(30, dtype=np.int32),
+        }
+    )
+    rows.to_parquet(tmp_path / "embeddings.parquet")
+    got = q_kcenter_select(str(tmp_path))
+
+    Q = np.floor((base.astype(np.float64) + OFFSET) * QSCALE).astype(np.int64)
+    centers = [0]
+    mind2 = ((Q - Q[0][None, :]) ** 2).sum(axis=1)
+    want = [(1, 0, 0)]
+    for rk in range(2, _KC_K + 1):
+        order = np.lexsort((np.arange(len(Q)), -mind2))
+        v = int(order[0])
+        want.append((rk, v, int(mind2[v])))
+        centers.append(v)
+        mind2 = np.minimum(mind2, ((Q - Q[v][None, :]) ** 2).sum(axis=1))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got["vec_id"].iloc[1] == 7
+    # coverage radii are non-increasing after the seed row
+    radii = got["mind2"].to_numpy()[1:]
+    assert (np.diff(radii) <= 0).all()
+
+
 def _kn_model(texts):
     """Independent KN count tables from scratch."""
     from collections import Counter
