@@ -278,6 +278,13 @@ _LOCAL_ONLY = {
     # (kmeans, semdedup, pq_ann) and kcenter shares their fixed-point
     # grid
     "kcenter_select",            # Gonzalez farthest-point; family exposed
+    # ... and Aho-Corasick dictionary matching (one-pass multi-pattern
+    # gazetteer/blocklist counting, the actor-pool compiled-state
+    # showcase — a named algorithm family new to the registry) takes
+    # the tf-idf slot; the demotee is green r3-r4 and the ranked-
+    # retrieval family keeps three window rows (bm25_topk — tf-idf's
+    # idf machinery upgraded —, keyword_topk, chi2_keyness)
+    "tfidf_topk",                # tf-idf top-k; dict_match in
 }
 
 

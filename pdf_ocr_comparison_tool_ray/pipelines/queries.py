@@ -8310,6 +8310,70 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
 # ---------------------------------------------------------------------------
+# Dictionary matching via Aho-Corasick (stages/dictmatch.py): one-pass
+# multi-pattern substring counting — the gazetteer / blocklist scan.
+# The automaton compiles once per ACTOR (__init__), batches stream
+# through __call__, partials are dictionary-bounded, and the driver
+# merge is O(terms).  Terms are border-free (asserted), so the AC
+# all-occurrences count equals non-overlapping counting and the SQL
+# replace-length trick replays it exactly — including the zero row for
+# a term absent from the corpus ('quantum flux') and the nested-term
+# case ('join' counted inside every 'hash join' via the fail-link
+# output chain).
+# ---------------------------------------------------------------------------
+_DICT_TERMS = [
+    "customer",
+    "hash join",
+    "join",
+    "merge",
+    "order",
+    "quantum flux",
+    "stream",
+]
+
+
+def q_dict_match(sf_dir: str):
+    from ..stages.dictmatch import DictMatcher
+
+    ds = _read(sf_dir, "documents", ["text"])
+    parts = ds.map_batches(
+        DictMatcher,
+        fn_constructor_kwargs={"terms": _DICT_TERMS},
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    ).to_pandas()  # bounded: n_blocks x n_terms rows
+    out = parts.groupby("term", as_index=False)[["n_docs", "n_occur"]].sum()
+    out = (
+        out.set_index("term")
+        .reindex(sorted(_DICT_TERMS), fill_value=0)
+        .reset_index()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_occur"] = out["n_occur"].astype("int64")
+    return out
+
+
+def _sql_dict_match() -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(_DICT_TERMS))
+    return f"""
+WITH terms(term) AS (VALUES {vals}),
+occ AS (
+  SELECT t.term,
+         (length(d.text) - length(replace(d.text, t.term, '')))
+           // length(t.term) AS c
+  FROM terms t CROSS JOIN documents d
+)
+SELECT term,
+       CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occur
+FROM occ GROUP BY term ORDER BY term
+"""
+
+
+SQL_DICT_MATCH = _sql_dict_match()
+
+
+# ---------------------------------------------------------------------------
 # k-center greedy selection (Gonzalez 1985 farthest-point traversal —
 # the 2-approximation for metric k-center, and the standard "coreset /
 # diversity sampling" rule for training-data selection: repeatedly pick
@@ -8855,4 +8919,5 @@ SQL_QUERIES = {
     "kneser_ney_logprob": (q_kneser_ney_logprob, SQL_KNESER_NEY_LOGPROB),
     "containment_search": (q_containment_search, SQL_CONTAINMENT_SEARCH),
     "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
+    "dict_match": (q_dict_match, SQL_DICT_MATCH),
 }

@@ -265,6 +265,62 @@ def test_kcenter_matches_brute_greedy(tmp_path):
     assert (np.diff(radii) <= 0).all()
 
 
+def test_aho_corasick_counts_match_str_count():
+    """AC all-occurrence counts equal non-overlapping str.count for
+    border-free terms — including terms nested inside other terms
+    (fail-link output chains) and adjacent/point-touching matches."""
+    from pdf_ocr_comparison_tool_ray.stages.dictmatch import AhoCorasick
+
+    terms = ["ab", "abcd", "cd", "xyz", "q"]
+    ac = AhoCorasick(terms)
+    texts = [
+        "abcd abcd",          # 'ab', 'cd' nested inside every 'abcd'
+        "ababab cdcd",        # repeated, touching
+        "zzz",                # nothing
+        "xyzabcdq",           # all at once
+        "",
+    ]
+    for t in texts:
+        got = ac.count(t)
+        for term in terms:
+            assert got.get(term, 0) == t.count(term), (term, t)
+
+
+def test_aho_corasick_rejects_bordered_term():
+    from pdf_ocr_comparison_tool_ray.stages.dictmatch import AhoCorasick
+
+    with pytest.raises(AssertionError):
+        AhoCorasick(["aa"])   # border 'a' -> self-overlapping
+    with pytest.raises(AssertionError):
+        AhoCorasick(["abab"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dict_match_planted(tmp_path):
+    """End-to-end per-term doc/occurrence totals vs brute str.count,
+    including the absent-term zero row."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _DICT_TERMS,
+        q_dict_match,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "hash join then merge then hash join"},
+        {"doc_id": 1, "text": "customer order customer"},
+        {"doc_id": 2, "text": "nothing relevant here"},
+        {"doc_id": 3, "text": "stream stream stream"},
+    ]
+    got = q_dict_match(_write_docs(tmp_path, rows)).set_index("term")
+    for term in _DICT_TERMS:
+        n_docs = sum(1 for r in rows if term in r["text"])
+        n_occ = sum(r["text"].count(term) for r in rows)
+        assert got.loc[term, "n_docs"] == n_docs, term
+        assert got.loc[term, "n_occur"] == n_occ, term
+    # nested counting: every 'hash join' also counts one 'join'
+    assert got.loc["join", "n_occur"] >= got.loc["hash join", "n_occur"]
+    assert got.loc["quantum flux", "n_occur"] == 0
+
+
 def _kn_model(texts):
     """Independent KN count tables from scratch."""
     from collections import Counter
