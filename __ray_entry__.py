@@ -285,6 +285,14 @@ _LOCAL_ONLY = {
     # retrieval family keeps three window rows (bm25_topk — tf-idf's
     # idf machinery upgraded —, keyword_topk, chi2_keyness)
     "tfidf_topk",                # tf-idf top-k; dict_match in
+    # ... and the FastSS edit-distance similarity join (deletion-
+    # neighborhood blocking + exact d<=1 verify — string-edit
+    # semantics completing the similarity-join ladder) takes the
+    # connected-components slot; the demotee is green r3-r4 and its
+    # large/small-star machinery runs INSIDE the exposed
+    # near_dedup_keep_best (and the pair-gen chain inside
+    # set_similarity_join), so the family keeps driver rows
+    "dedup_clusters",            # CC star rounds; edit_distance_join in
 }
 
 

@@ -234,6 +234,12 @@ def run_queries() -> dict:
         "image_phash_dup",
         # continuation-10: full iterated BPE tokenizer training
         "bpe_train",
+        # continuation-11: TextRank keyword graph, exact MG heavy
+        # hitters, containment search, Aho-Corasick dictionary scan
+        "textrank_keywords",
+        "heavy_hitters",
+        "containment_search",
+        "dict_match",
     ]
     times = {}
     for name in picks:

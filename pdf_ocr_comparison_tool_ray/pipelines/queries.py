@@ -8310,6 +8310,145 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance similarity join via FastSS deletion neighborhoods
+# (Bocek et al. 2007; the q-gram-filter family of Gravano 2001): all
+# customer-name pairs with Levenshtein distance <= 1 — string-edit
+# semantics completing the similarity-join ladder (token sets:
+# set_similarity_join; sketches: minhash/simhash; vectors: knn/LSH).
+# Candidate generation is EXACT for d=1: two strings with lev <= 1
+# share a key in {s} ∪ {s minus one char} (substitution: both delete
+# the differing position; indel: the longer's deletion equals the
+# shorter; equal: themselves), so a bucketed self-join on deletion
+# keys has full recall with ~(len+1) keys per row — subquadratic,
+# never all-pairs.  Verification is the O(n) exact d<=1 check
+# (same length -> hamming <= 1; length ±1 -> one-gap alignment),
+# which equals full Levenshtein at this threshold.  The oracle is
+# DuckDB's built-in levenshtein() over the brute-force join — the
+# semantic spec the blocking must reproduce exactly.
+# At larger d, FastSS indexes up-to-d deletions (keys grow as
+# C(len,d)) and the verify falls back to the banded DP — same plan
+# shape, more keys.
+# ---------------------------------------------------------------------------
+def _lev_le1(a: str, b: str):
+    """Exact Levenshtein when <= 1, else None.  O(len)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        d = sum(1 for x, y in zip(a, b) if x != y)
+        return d if d <= 1 else None
+    if abs(la - lb) != 1:
+        return None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter: lev == 1 iff deleting one char of b yields a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def q_edit_distance_join(sf_dir: str):
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_map_groups
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def variants(batch: pa.Table) -> pd.DataFrame:
+        ids, names, keys = [], [], []
+        for cid, name in zip(
+            batch["c_custkey"].to_pylist(), batch["c_name"].to_pylist()
+        ):
+            vs = [name] + [name[:i] + name[i + 1 :] for i in range(len(name))]
+            for v in dict.fromkeys(vs):  # per-name key dedup
+                ids.append(cid)
+                names.append(name)
+                keys.append(v)
+        return pd.DataFrame(
+            {
+                "vkey": pd.Series(keys, dtype="object"),
+                "id": pd.Series(ids, dtype="int64"),
+                "name": pd.Series(names, dtype="object"),
+            }
+        )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("vkey", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            ids = g["id"].to_numpy()
+            nms = g["name"].to_numpy()
+            swap = ids[iu] > ids[ju]
+            a_i = np.where(swap, ju, iu)
+            b_i = np.where(swap, iu, ju)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "custkey_a": ids[a_i],
+                        "custkey_b": ids[b_i],
+                        "name_a": nms[a_i],
+                        "name_b": nms[b_i],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "custkey_a": pd.Series([], dtype="int64"),
+                    "custkey_b": pd.Series([], dtype="int64"),
+                    "name_a": pd.Series([], dtype="object"),
+                    "name_b": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["custkey_a"] = out["custkey_a"].astype("int64")
+        out["custkey_b"] = out["custkey_b"].astype("int64")
+        return out.drop_duplicates(["custkey_a", "custkey_b"])
+
+    cand = bucketed_map_groups(
+        ds.map_batches(variants, batch_format="pyarrow"),
+        "vkey",
+        pairs_in_group,
+        n_buckets=64,
+    )
+    cand = bucketed_drop_duplicates(cand, ["custkey_a", "custkey_b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "custkey_a": pd.Series([], dtype="int64"),
+                    "custkey_b": pd.Series([], dtype="int64"),
+                    "lev": pd.Series([], dtype="int64"),
+                }
+            )
+        lev = [
+            _lev_le1(a, b)
+            for a, b in zip(df["name_a"].to_numpy(), df["name_b"].to_numpy())
+        ]
+        keep = np.array([v is not None for v in lev])
+        return pd.DataFrame(
+            {
+                "custkey_a": df["custkey_a"].to_numpy()[keep],
+                "custkey_b": df["custkey_b"].to_numpy()[keep],
+                "lev": pd.Series(
+                    [v for v in lev if v is not None], dtype="int64"
+                ),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+SQL_EDIT_DISTANCE_JOIN = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dictionary matching via Aho-Corasick (stages/dictmatch.py): one-pass
 # multi-pattern substring counting — the gazetteer / blocklist scan.
 # The automaton compiles once per ACTOR (__init__), batches stream
@@ -8920,4 +9059,5 @@ SQL_QUERIES = {
     "containment_search": (q_containment_search, SQL_CONTAINMENT_SEARCH),
     "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
+    "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
 }

@@ -321,6 +321,73 @@ def test_dict_match_planted(tmp_path):
     assert got.loc["quantum flux", "n_occur"] == 0
 
 
+def test_lev_le1_equals_full_dp():
+    """The O(n) d<=1 check equals full Levenshtein on every pair of a
+    small closed vocabulary (incl. transpositions = 2 -> None, equal
+    strings -> 0, end insertions, length gap 2 -> None)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import _lev_le1
+
+    def full_lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    words = ["", "a", "b", "ab", "ba", "abc", "abd", "abcd", "acbd",
+             "xabc", "abcx", "aabc", "abcc", "zzzz"]
+    for a in words:
+        for b in words:
+            d = full_lev(a, b)
+            got = _lev_le1(a, b)
+            assert got == (d if d <= 1 else None), (a, b, d, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edit_distance_join_planted(tmp_path):
+    """FastSS-blocked join equals the brute-force lev<=1 pair set on
+    planted names (substitution / insertion / deletion / distance-2
+    decoys / duplicate-key pairs through multiple shared variants)."""
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _lev_le1,
+        q_edit_distance_join,
+    )
+
+    names = [
+        "alpha001", "alpha002",   # substitution
+        "alpha01",                # deletion of one char
+        "alphaX001",              # insertion
+        "beta", "betb", "bet",    # small cluster
+        "gamma", "gXmmX",         # distance 2 decoy
+    ]
+    df = pd.DataFrame(
+        {"c_custkey": range(len(names)), "c_name": names,
+         "c_nationkey": 0}
+    )
+    df.to_parquet(tmp_path / "customer.parquet")
+    got = q_edit_distance_join(str(tmp_path)).to_pandas()
+    got_set = {
+        (r.custkey_a, r.custkey_b, r.lev)
+        for r in got.itertuples(index=False)
+    }
+    want = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = _lev_le1(names[i], names[j])
+            if d is not None:
+                want.add((i, j, d))
+    assert got_set == want
+    assert (0, 1, 1) in want and (0, 2, 1) in want
+    assert not any(a == 7 or b == 7 for a, b, _ in want if 8 in (a, b))
+
+
 def _kn_model(texts):
     """Independent KN count tables from scratch."""
     from collections import Counter
