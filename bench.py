@@ -240,6 +240,7 @@ def run_queries() -> dict:
         "heavy_hitters",
         "containment_search",
         "dict_match",
+        "edit_distance_join",
     ]
     times = {}
     for name in picks:
