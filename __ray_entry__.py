@@ -293,6 +293,22 @@ _LOCAL_ONLY = {
     # near_dedup_keep_best (and the pair-gen chain inside
     # set_similarity_join), so the family keeps driver rows
     "dedup_clusters",            # CC star rounds; edit_distance_join in
+    # ... and the skyline (Pareto-optimal multi-criteria selection,
+    # Borzsonyi ICDE 2001 — a named relational operator family new to
+    # the registry) takes the match-summary slot; the demotee is green
+    # r1-r4 and is a five-row groupby over the still-exposed,
+    # hash-checked compare_pipeline output, so the A1 family keeps its
+    # driver evidence through compare_pipeline + doc_repetition_stats
+    "match_summary",             # A1 status summary; skyline_select in
+    # ... and the Z-order clustered layout (Morton-curve shard
+    # assignment + zone-map manifest, the lakehouse OPTIMIZE ZORDER
+    # write path — a storage-layout family new to the registry) takes
+    # a dedup-family slot; the demotee is green r1-r4, the family keeps
+    # nine driver rows, and its normalize->md5->first-wins semantics
+    # stay driver-exercised via the exposed paragraph_dedup (same key
+    # derivation, paragraph granularity) and streaming_dedup_ingest
+    # (admitted-key-set law)
+    "exact_dedup",               # D1 batch exact dedup; zorder_layout in
 }
 
 

@@ -8922,6 +8922,266 @@ ORDER BY cnt DESC, tok
 
 
 # ---------------------------------------------------------------------------
+# skyline (Pareto-optimal) document selection
+# ---------------------------------------------------------------------------
+
+
+def _skyline_pairs(m1: np.ndarray, m2: np.ndarray):
+    """Skyline of the distinct (m1, m2) pairs, both maximized.
+
+    Vectorized: for each distinct m1 (descending) the only candidate is
+    its max m2; it survives iff that m2 strictly exceeds the best m2
+    among all strictly-greater m1 values.  Equal (m1, m2) duplicates
+    never dominate each other, so working on distinct pairs is lossless.
+    Returns the (m1, m2) skyline pairs as two arrays.
+    """
+    order = np.lexsort((-m2, -m1))
+    s1, s2 = m1[order], m2[order]
+    first = np.ones(len(s1), dtype=bool)
+    first[1:] = s1[1:] != s1[:-1]
+    g1, g2 = s1[first], s2[first]  # distinct m1 desc, max m2 per m1
+    if len(g1) == 0:
+        return g1, g2
+    best_above = np.empty(len(g2), dtype=g2.dtype)
+    best_above[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(g2[:-1], out=best_above[1:])
+    keep = g2 > best_above
+    return g1[keep], g2[keep]
+
+
+def q_skyline_select(sf_dir: str):
+    """Pareto-optimal (skyline) document selection over two quality
+    criteria, both maximized: document length (``n_chars``) and token
+    diversity (distinct-token count).
+
+    The skyline operator (Borzsonyi/Kossmann/Stocker, ICDE 2001) is the
+    multi-criteria form of the curation cuts the reference's config
+    vocabularies gate one-dimensionally (SURVEY §2: quality thresholds,
+    config.py keyword lists) — "keep every document no other document
+    beats on ALL criteria".  Distributed shape: a map-only metric pass,
+    then a per-block LOCAL skyline (dominance is transitive, so the
+    global skyline is a subset of the union of local skylines — the
+    classic two-phase distributed skyline), then a driver merge over
+    that small union.  The local pass is the data-reduction step: for
+    independently-distributed dimensions the skyline of n points is
+    O(log n), so the driver-side union is bounded and catalogued in the
+    materialization audit.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def metrics(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        vocab = np.fromiter(
+            (len(set(_TOKEN_RE.findall(t))) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "chars": batch["n_chars"].to_numpy(),
+                "vocab": vocab,
+            }
+        )
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["chars"].to_numpy()
+        v = df["vocab"].to_numpy()
+        s1, s2 = _skyline_pairs(c, v)
+        keep = np.zeros(len(df), dtype=bool)
+        for a, b in zip(s1, s2):
+            keep |= (c == a) & (v == b)
+        return df[keep]
+
+    local = (
+        ds.map_batches(metrics, batch_format="pyarrow")
+        .map_batches(local_skyline, batch_format="pandas")
+        .to_pandas()  # bounded: union of per-block skylines
+    )
+    c = local["chars"].to_numpy()
+    v = local["vocab"].to_numpy()
+    s1, s2 = _skyline_pairs(c, v)
+    keep = np.zeros(len(local), dtype=bool)
+    for a, b in zip(s1, s2):
+        keep |= (c == a) & (v == b)
+    out = local[keep].sort_values("doc_id", kind="mergesort")
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(),
+            "chars": out["chars"].astype("int64").to_numpy(),
+            "vocab": out["vocab"].astype("int64").to_numpy(),
+        }
+    )
+
+
+SQL_SKYLINE_SELECT = """
+WITH m AS (
+  SELECT doc_id, n_chars AS chars,
+         CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+              AS BIGINT) AS vocab
+  FROM documents
+)
+SELECT t.doc_id, t.chars, t.vocab FROM m t
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.chars >= t.chars AND o.vocab >= t.vocab
+    AND (o.chars > t.chars OR o.vocab > t.vocab)
+)
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout + zone-map manifest
+# ---------------------------------------------------------------------------
+_ZORDER_SHARDS_LOG2 = 6  # 64 shards
+
+
+def _morton16(qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit quantized keys into a 32-bit Morton code
+    (x bits at even positions, y at odd) — vectorized magic-number bit
+    spreading."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64) & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(qx) | (spread(qy) << 1)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order clustered layout over ``orders(o_custkey, o_orderdate)``:
+    quantize both keys to 16 bits against the global min/max, interleave
+    into a Morton code, take the top bits as the shard id, and emit the
+    per-shard ZONE-MAP manifest (count + min/max of each key).
+
+    This is the ``OPTIMIZE ZORDER BY`` write path of the lakehouse
+    engines (Morton 1966; multidimensional clustering): co-locating rows
+    that are close in BOTH dimensions so a range predicate on either (or
+    both) keys prunes most shards via the zone maps.  Distributed shape:
+    pass 1 is a 4-scalar min/max aggregate; pass 2 is map-only
+    (quantize -> interleave -> shard) emitting per-block partial zone
+    maps, combined on the driver (bounded: blocks x 64 rows).  At 100 TB
+    the same shard column feeds ``repartition`` + partitioned
+    ``write_parquet`` and the manifest is the data-skipping index the
+    reader consults; the skip benefit (a box predicate touches O(sqrt)
+    of the shards instead of all of them) is pinned by a unit test.
+    """
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def to_keys(batch: pa.Table) -> pd.DataFrame:
+        cust = batch["o_custkey"].to_numpy()
+        day = (
+            batch["o_orderdate"]
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame({"cust": cust, "day": day})
+
+    keys = ds.map_batches(to_keys, batch_format="pyarrow")
+
+    def block_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"cmin": [], "cmax": [], "dmin": [], "dmax": []},
+                dtype="int64",
+            )
+        return pd.DataFrame(
+            {
+                "cmin": [df["cust"].min()],
+                "cmax": [df["cust"].max()],
+                "dmin": [df["day"].min()],
+                "dmax": [df["day"].max()],
+            }
+        )
+
+    mm = keys.map_batches(block_minmax, batch_format="pandas").to_pandas()
+    cmin, cmax = int(mm["cmin"].min()), int(mm["cmax"].max())
+    dmin, dmax = int(mm["dmin"].min()), int(mm["dmax"].max())
+    cspan, dspan = max(cmax - cmin, 1), max(dmax - dmin, 1)
+    shift = 32 - _ZORDER_SHARDS_LOG2
+
+    def zone_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df["cust"].to_numpy()
+        day = df["day"].to_numpy()
+        qx = (cust - cmin) * 65535 // cspan
+        qy = (day - dmin) * 65535 // dspan
+        shard = _morton16(qx, qy) >> shift
+        g = (
+            pd.DataFrame({"shard": shard, "cust": cust, "day": day})
+            .groupby("shard")
+            .agg(
+                cnt=("cust", "size"),
+                min_cust=("cust", "min"),
+                max_cust=("cust", "max"),
+                min_day=("day", "min"),
+                max_day=("day", "max"),
+            )
+            .reset_index()
+        )
+        return g.astype("int64")
+
+    parts = keys.map_batches(
+        zone_partials, batch_format="pandas"
+    ).to_pandas()  # bounded: <= n_blocks x 64 rows
+    out = (
+        parts.groupby("shard")
+        .agg(
+            cnt=("cnt", "sum"),
+            min_cust=("min_cust", "min"),
+            max_cust=("max_cust", "max"),
+            min_day=("min_day", "min"),
+            max_day=("max_day", "max"),
+        )
+        .reset_index()
+        .sort_values("shard", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def _zorder_bit_terms(qx_expr: str, qy_expr: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((({qx_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy_expr} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH k AS (
+  SELECT o_custkey AS cust,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day
+  FROM orders
+), b AS (
+  SELECT min(cust) AS cmin, GREATEST(max(cust) - min(cust), 1) AS cspan,
+         min(day) AS dmin, GREATEST(max(day) - min(day), 1) AS dspan
+  FROM k
+), q AS (
+  SELECT cust, day,
+         ((cust - cmin) * 65535) // cspan AS qx,
+         ((day - dmin) * 65535) // dspan AS qy
+  FROM k, b
+), z AS (
+  SELECT cust, day,
+         ({_zorder_bit_terms('qx', 'qy')}) >> {32 - _ZORDER_SHARDS_LOG2}
+           AS shard
+  FROM q
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+       min(cust) AS min_cust, max(cust) AS max_cust,
+       min(day) AS min_day, max(day) AS max_day
+FROM z GROUP BY shard ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -9060,4 +9320,6 @@ SQL_QUERIES = {
     "kcenter_select": (q_kcenter_select, SQL_KCENTER_SELECT),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
+    "skyline_select": (q_skyline_select, SQL_SKYLINE_SELECT),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
 }

@@ -1,0 +1,148 @@
+"""Edge-semantics unit tests for the round-5 continuation operators,
+each against an independent brute-force reimplementation on planted
+corpora: skyline dominance (ties, strict dominance, incomparability,
+cross-block merge)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+    _ZORDER_SHARDS_LOG2,
+    _morton16,
+    _skyline_pairs,
+    q_skyline_select,
+    q_zorder_layout,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _brute_skyline(points):
+    """O(n^2) dominance check: keep p iff no q >= p on both dims with
+    one strict."""
+    out = []
+    for i, (a1, a2) in enumerate(points):
+        dominated = any(
+            b1 >= a1 and b2 >= a2 and (b1 > a1 or b2 > a2)
+            for j, (b1, b2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append(i)
+    return out
+
+
+def test_skyline_pairs_vs_brute():
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 17, 200):
+        m1 = rng.randint(0, 12, size=n).astype(np.int64)
+        m2 = rng.randint(0, 12, size=n).astype(np.int64)
+        s1, s2 = _skyline_pairs(m1, m2)
+        got = set(zip(s1.tolist(), s2.tolist()))
+        idx = _brute_skyline(list(zip(m1.tolist(), m2.tolist())))
+        want = {(int(m1[i]), int(m2[i])) for i in idx}
+        assert got == want
+
+
+def test_skyline_pairs_empty():
+    e = np.array([], dtype=np.int64)
+    s1, s2 = _skyline_pairs(e, e)
+    assert len(s1) == 0 and len(s2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline_select_planted(tmp_path):
+    # texts engineered so vocab (distinct [A-Za-z0-9]+ tokens) is the
+    # word count; chars is the planted n_chars column.
+    rows = [
+        # (chars, vocab): (100, 3) and (100, 3) — exact tie, BOTH stay
+        {"doc_id": 1, "text": "alpha beta gamma", "n_chars": 100},
+        {"doc_id": 2, "text": "delta epsilon zeta", "n_chars": 100},
+        # (90, 5): incomparable with (100, 3) — stays
+        {"doc_id": 3, "text": "one two three four five", "n_chars": 90},
+        # (80, 2): dominated by doc 3 (90>=80, 5>=2, strict) — dropped
+        {"doc_id": 4, "text": "six seven", "n_chars": 80},
+        # (100, 2): dominated by docs 1/2 (equal chars, fewer vocab)
+        {"doc_id": 5, "text": "eight nine", "n_chars": 100},
+        # (101, 1): max chars — stays
+        {"doc_id": 6, "text": "ten", "n_chars": 101},
+    ]
+    out = q_skyline_select(_write_docs(tmp_path, rows))
+    assert out["doc_id"].tolist() == [1, 2, 3, 6]
+    assert out["chars"].tolist() == [100, 100, 90, 101]
+    assert out["vocab"].tolist() == [3, 3, 5, 1]
+
+
+def test_morton16_vs_brute():
+    rng = np.random.RandomState(11)
+    qx = rng.randint(0, 65536, size=300).astype(np.int64)
+    qy = rng.randint(0, 65536, size=300).astype(np.int64)
+    got = _morton16(qx, qy)
+    for x, y, z in zip(qx.tolist(), qy.tolist(), got.tolist()):
+        want = 0
+        for i in range(16):
+            want |= ((x >> i) & 1) << (2 * i)
+            want |= ((y >> i) & 1) << (2 * i + 1)
+        assert z == want
+
+
+def test_zorder_data_skipping_beats_single_dim_layout():
+    """The point of Z-order: a predicate on the SECOND dimension prunes
+    most shards under the Morton layout but nothing under an
+    x-sorted layout (whose zone maps all span the full y range)."""
+    rng = np.random.RandomState(3)
+    n, shards = 20000, 1 << _ZORDER_SHARDS_LOG2
+    x = rng.randint(0, 65536, size=n).astype(np.int64)
+    y = rng.randint(0, 65536, size=n).astype(np.int64)
+    # y-only box predicate covering ~1/8 of the domain
+    y0, y1 = 8192, 16384
+
+    shard_z = _morton16(x, y) >> (32 - _ZORDER_SHARDS_LOG2)
+    df = pd.DataFrame({"s": shard_z, "y": y})
+    zm = df.groupby("s")["y"].agg(["min", "max"])
+    touched_z = int(((zm["min"] <= y1) & (zm["max"] >= y0)).sum())
+
+    shard_x = np.argsort(np.argsort(x)) * shards // n  # x-sorted layout
+    dfx = pd.DataFrame({"s": shard_x, "y": y})
+    zmx = dfx.groupby("s")["y"].agg(["min", "max"])
+    touched_x = int(((zmx["min"] <= y1) & (zmx["max"] >= y0)).sum())
+
+    assert touched_x == shards  # x-sort cannot prune a y predicate
+    assert touched_z <= shards // 4  # Morton layout prunes >= 75%
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_layout_manifest(tmp_path):
+    # 4 corner clusters -> distinct Morton quadrants; counts and zone
+    # maps must match the planted clusters exactly.
+    rows = []
+    oid = 0
+    for cust, day, cnt in [
+        (10, "1994-01-01", 5),    # lo/lo quadrant
+        (9990, "1994-01-02", 7),  # hi/lo
+        (11, "1998-12-30", 3),    # lo/hi
+        (9991, "1998-12-31", 4),  # hi/hi
+    ]:
+        for _ in range(cnt):
+            rows.append(
+                {
+                    "o_orderkey": oid,
+                    "o_custkey": cust,
+                    "o_orderstatus": "O",
+                    "o_totalprice": 1.0,
+                    "o_orderdate": pd.Timestamp(day),
+                    "o_orderpriority": "1-URGENT",
+                }
+            )
+            oid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet")
+    out = q_zorder_layout(str(tmp_path))
+    assert out["cnt"].sum() == 19
+    assert len(out) == 4  # one shard per corner cluster
+    assert sorted(out["cnt"].tolist()) == [3, 4, 5, 7]
+    # zone maps are tight: each shard's cust min == max (single cluster)
+    assert (out["min_cust"] == out["max_cust"]).all()
