@@ -309,6 +309,20 @@ _LOCAL_ONLY = {
     # derivation, paragraph granularity) and streaming_dedup_ingest
     # (admitted-key-set law)
     "exact_dedup",               # D1 batch exact dedup; zorder_layout in
+    # ... and the CDC upsert merge (MERGE INTO last-writer-wins
+    # snapshot with updates, inserts and delete tombstones — the
+    # lakehouse mutation family, new to the registry) takes a
+    # multimodal slot; the demotee is green r2-r4 and the multimodal
+    # family keeps two driver rows via frame_sample and image_phash_dup
+    # (plus the preprocessed plan variant local-strict)
+    "multimodal_features",       # S3/M2 feature kernels; upsert_merge in
+    # ... and the Jensen-Shannon source-drift telemetry (per-source
+    # divergence from the corpus mix — the data-mix monitoring family,
+    # new to the registry) takes the S6 slot; the demotee is green
+    # r1-r4, its J6 ordered-run-merge kernel stays driver-exercised
+    # inside compare_pipeline (merge_match_group), and the sink surface
+    # stays covered by extraction_pipeline + pytest (test_sinks)
+    "merge_by_category",         # S6/A8 vote+merge; jsd_source_drift in
 }
 
 

@@ -9182,6 +9182,270 @@ FROM z GROUP BY shard ORDER BY shard
 
 
 # ---------------------------------------------------------------------------
+# upsert merge (CDC MERGE INTO: updates + inserts + delete tombstones)
+# ---------------------------------------------------------------------------
+
+
+def q_upsert_merge(sf_dir: str):
+    """Last-writer-wins snapshot merge of a base table and a CDC change
+    stream — the ``MERGE INTO`` / compaction semantics of the lakehouse
+    table formats (and of any ingestion pipeline that revises documents
+    in place).
+
+    The change stream is derived deterministically from ``orders`` (no
+    external data): keys ``%31 == 0`` are DELETE tombstones, else keys
+    ``%5 == 0`` are price/status UPDATEs, and keys ``%97 == 0`` spawn an
+    INSERT under a fresh key (``max_key + key``) — one op per key, all
+    version 2 against the base's version 1.  The snapshot keeps, per
+    key, the highest-version row and drops tombstoned keys.
+
+    Distributed shape: the change derivation is map-only; base and
+    changes union (block concatenation, no data movement) and the
+    winner-per-key resolution is ONE bucketed co-partition by key with a
+    vectorized keep-max-version kernel — the same single-shuffle shape
+    as exact dedup.  At 100 TB the change stream is normally a small
+    fraction of the base, so the production route broadcasts changed
+    KEYS as a filter first (touched partitions only get rewritten — the
+    copy-on-write MERGE); the full co-partition here is the general
+    fallback when the change stream is itself table-scale.
+    """
+    from ..stages.bucketed import bucketed_map_groups
+
+    base = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    )
+
+    def key_max(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": []}, dtype="int64")
+        return pd.DataFrame({"m": [df["o_orderkey"].max()]})
+
+    max_key = int(
+        base.map_batches(key_max, batch_format="pandas").to_pandas()["m"].max()
+    )
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_totalprice": df["o_totalprice"],
+                "o_orderstatus": df["o_orderstatus"].astype("object"),
+                "version": np.ones(len(df), dtype=np.int64),
+                "op": np.full(len(df), "U", dtype=object),
+            }
+        )
+
+    def as_changes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        price = df["o_totalprice"].to_numpy()
+        is_del = k % 31 == 0
+        is_upd = (~is_del) & (k % 5 == 0)
+        is_ins = k % 97 == 0
+        out = []
+        if is_del.any():
+            kd = k[is_del]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": kd,
+                        "o_totalprice": np.zeros(len(kd)),
+                        "o_orderstatus": np.full(len(kd), "D", dtype=object),
+                        "version": np.full(len(kd), 2, dtype=np.int64),
+                        "op": np.full(len(kd), "D", dtype=object),
+                    }
+                )
+            )
+        if is_upd.any():
+            ku = k[is_upd]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": ku,
+                        "o_totalprice": price[is_upd] * 1.1,
+                        "o_orderstatus": np.full(len(ku), "U", dtype=object),
+                        "version": np.full(len(ku), 2, dtype=np.int64),
+                        "op": np.full(len(ku), "U", dtype=object),
+                    }
+                )
+            )
+        if is_ins.any():
+            ki = k[is_ins]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": ki + max_key,
+                        "o_totalprice": price[is_ins] + 1000.0,
+                        "o_orderstatus": np.full(len(ki), "N", dtype=object),
+                        "version": np.full(len(ki), 2, dtype=np.int64),
+                        "op": np.full(len(ki), "U", dtype=object),
+                    }
+                )
+            )
+        if not out:
+            return as_base(df.iloc[0:0])
+        return pd.concat(out, ignore_index=True)
+
+    unioned = base.map_batches(as_base, batch_format="pandas").union(
+        base.map_batches(as_changes, batch_format="pandas")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        win = (
+            df.sort_values(["o_orderkey", "version"], kind="mergesort")
+            .drop_duplicates("o_orderkey", keep="last")
+        )
+        win = win[win["op"] != "D"]
+        return win.drop(columns=["op"])
+
+    merged = bucketed_map_groups(unioned, "o_orderkey", resolve, n_buckets=32)
+    return merged
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CAST(1 AS BIGINT) AS version, 'U' AS op
+  FROM orders
+), mx AS (
+  SELECT max(o_orderkey) AS m FROM orders
+), changes AS (
+  SELECT o_orderkey, 0.0 AS o_totalprice, 'D' AS o_orderstatus,
+         CAST(2 AS BIGINT) AS version, 'D' AS op
+  FROM orders WHERE o_orderkey % 31 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 1.1, 'U', CAST(2 AS BIGINT), 'U'
+  FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + mx.m, o_totalprice + 1000.0, 'N',
+         CAST(2 AS BIGINT), 'U'
+  FROM orders, mx WHERE o_orderkey % 97 = 0
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM changes
+), won AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, version, op
+  FROM unioned
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY version DESC) = 1
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus, version
+FROM won WHERE op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source drift (per-source divergence from the corpus mix)
+# ---------------------------------------------------------------------------
+
+
+def q_jsd_source_drift(sf_dir: str):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole-corpus distribution — the data-mix drift telemetry a
+    training pipeline watches to catch a source whose content shifted
+    (scrape change, contamination, new boilerplate).
+
+    Identity used: with p = P_s(t), q = P_corpus(t), m = (p+q)/2,
+    the tokens ABSENT from source s contribute exactly
+    ``0.5*ln(2) * (1 - sum_{t in s} q_t)`` (since p=0 there), so only
+    the PRESENT (source, token) pairs need to be materialized — the
+    dense source x vocabulary cross never exists.
+
+    Distributed shape: map-side (source, token, count) partials, ONE
+    co-partition by token (each bucket sees every source's count for
+    its tokens, so the global token count is bucket-local), per-bucket
+    vectorized term sums, and a driver combine over the bounded
+    n_buckets x n_sources partials.  Per-source totals and the corpus
+    total are a tiny broadcast (n_sources scalars).
+    """
+    from collections import Counter
+
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        per_src: dict = {}
+        for s, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            cnt = per_src.setdefault(s, Counter())
+            cnt.update(_TOKEN_RE.findall(t))
+        rows_s, rows_t, rows_c = [], [], []
+        for s, cnt in per_src.items():
+            for t, c in cnt.items():
+                rows_s.append(s)
+                rows_t.append(t)
+                rows_c.append(c)
+        return pd.DataFrame(
+            {
+                "source": pd.Series(rows_s, dtype="object"),
+                "tok": pd.Series(rows_t, dtype="object"),
+                "c": pd.Series(rows_c, dtype="int64"),
+            }
+        )
+
+    counts = ds.map_batches(partials, batch_format="pyarrow")
+
+    def src_totals(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False)["c"].sum()
+
+    ns = (
+        counts.map_batches(src_totals, batch_format="pandas")
+        .to_pandas()  # bounded: blocks x n_sources rows
+        .groupby("source")["c"]
+        .sum()
+    )
+    n_total = float(ns.sum())
+    ns_map = ns.astype("float64").to_dict()
+
+    def bucket_terms(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["source", "tok"], as_index=False)["c"].sum()
+        g = df.groupby("tok")["c"].transform("sum").to_numpy(dtype=np.float64)
+        c = df["c"].to_numpy(dtype=np.float64)
+        n_s = df["source"].map(ns_map).to_numpy(dtype=np.float64)
+        p = c / n_s
+        q = g / n_total
+        term = 0.5 * p * np.log(2.0 * p / (p + q)) + 0.5 * q * np.log(
+            2.0 * q / (p + q)
+        )
+        out = pd.DataFrame({"source": df["source"], "term": term, "q": q})
+        return out.groupby("source", as_index=False).sum()
+
+    parts = bucketed_map_groups(
+        counts, "tok", bucket_terms, n_buckets=16
+    ).to_pandas()  # bounded: n_buckets x n_sources rows
+    agg = parts.groupby("source", as_index=False).sum()
+    jsd = agg["term"].to_numpy() + 0.5 * np.log(2.0) * (
+        1.0 - agg["q"].to_numpy()
+    )
+    out = pd.DataFrame({"source": agg["source"], "jsd": jsd})
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+SQL_JSD_SOURCE_DRIFT = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY source, tok
+), ns AS (
+  SELECT source, sum(c) AS n FROM st GROUP BY source
+), g AS (
+  SELECT tok, sum(c) AS gc FROM st GROUP BY tok
+), nt AS (
+  SELECT sum(gc) AS nn FROM g
+), pq AS (
+  SELECT st.source, st.c / ns.n AS p, g.gc / nt.nn AS q
+  FROM st JOIN ns USING (source) JOIN g USING (tok), nt
+)
+SELECT source,
+       sum(0.5 * p * ln(2 * p / (p + q)) + 0.5 * q * ln(2 * q / (p + q)))
+         + 0.5 * ln(2) * (1 - sum(q)) AS jsd
+FROM pq GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -9322,4 +9586,6 @@ SQL_QUERIES = {
     "edit_distance_join": (q_edit_distance_join, SQL_EDIT_DISTANCE_JOIN),
     "skyline_select": (q_skyline_select, SQL_SKYLINE_SELECT),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
+    "jsd_source_drift": (q_jsd_source_drift, SQL_JSD_SOURCE_DRIFT),
 }

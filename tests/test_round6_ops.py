@@ -11,7 +11,9 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     _ZORDER_SHARDS_LOG2,
     _morton16,
     _skyline_pairs,
+    q_jsd_source_drift,
     q_skyline_select,
+    q_upsert_merge,
     q_zorder_layout,
 )
 
@@ -146,3 +148,90 @@ def test_zorder_layout_manifest(tmp_path):
     assert sorted(out["cnt"].tolist()) == [3, 4, 5, 7]
     # zone maps are tight: each shard's cust min == max (single cluster)
     assert (out["min_cust"] == out["max_cust"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_upsert_merge_semantics(tmp_path):
+    # keys chosen to hit every CDC branch:
+    #   31  -> DELETE tombstone (vanishes)
+    #   5   -> UPDATE (price*1.1, status U, version 2)
+    #   155 -> %31 AND %5: delete takes priority (vanishes)
+    #   97  -> spawns an INSERT at key 97+max_key; base row unchanged
+    #   3   -> untouched base row (version 1)
+    rows = [
+        {"o_orderkey": k, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": float(100 * k), "o_orderdate": pd.Timestamp("1995-01-01"),
+         "o_orderpriority": "1-URGENT"}
+        for k in (3, 5, 31, 97, 155)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet")
+    out = (
+        q_upsert_merge(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    snap = {
+        int(r.o_orderkey): (r.o_totalprice, r.o_orderstatus, int(r.version))
+        for r in out.itertuples()
+    }
+    assert set(snap) == {3, 5, 97, 97 + 155}
+    assert snap[3] == (300.0, "O", 1)           # untouched base
+    assert snap[5] == (500.0 * 1.1, "U", 2)     # update won
+    assert snap[97] == (9700.0, "O", 1)         # insert source unchanged
+    assert snap[97 + 155] == (9700.0 + 1000.0, "N", 2)  # fresh insert
+    assert 31 not in snap and 155 not in snap   # tombstones dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsd_source_drift_vs_dense_brute(tmp_path):
+    import re as _re
+    from collections import Counter
+
+    rows = [
+        {"doc_id": 1, "text": "apple apple banana cherry", "source": "a"},
+        {"doc_id": 2, "text": "apple durian durian", "source": "a"},
+        {"doc_id": 3, "text": "xylophone zebra zebra quartz", "source": "b"},
+        {"doc_id": 4, "text": "apple banana banana zebra", "source": "c"},
+    ]
+    out = q_jsd_source_drift(_write_docs(tmp_path, rows))
+
+    # dense brute force over the full source x vocab cross
+    tok_re = _re.compile(r"[A-Za-z0-9]+")
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], Counter()).update(
+            tok_re.findall(r["text"])
+        )
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    vocab = sorted(glob)
+    nn = sum(glob.values())
+    q = np.array([glob[t] / nn for t in vocab])
+    want = {}
+    for s, cnt in per.items():
+        n = sum(cnt.values())
+        p = np.array([cnt[t] / n for t in vocab])
+        m = (p + q) / 2
+        kl_pm = np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / m), 0.0)
+        kl_qm = np.where(q > 0, q * np.log(np.where(q > 0, q, 1) / m), 0.0)
+        want[s] = 0.5 * kl_pm.sum() + 0.5 * kl_qm.sum()
+
+    got = dict(zip(out["source"], out["jsd"]))
+    assert set(got) == set(want)
+    for s in want:
+        assert abs(got[s] - want[s]) < 1e-12
+        assert 0.0 <= got[s] <= np.log(2.0) + 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsd_single_source_is_zero(tmp_path):
+    rows = [
+        {"doc_id": 1, "text": "only one source here", "source": "solo"},
+        {"doc_id": 2, "text": "more words from it", "source": "solo"},
+    ]
+    out = q_jsd_source_drift(_write_docs(tmp_path, rows))
+    # sole source == corpus distribution -> divergence exactly 0
+    assert len(out) == 1
+    assert abs(float(out["jsd"].iloc[0])) < 1e-15
