@@ -323,6 +323,15 @@ _LOCAL_ONLY = {
     # inside compare_pipeline (merge_match_group), and the sink surface
     # stays covered by extraction_pipeline + pytest (test_sinks)
     "merge_by_category",         # S6/A8 vote+merge; jsd_source_drift in
+    # ... and the multinomial Naive Bayes classifier (the LEARNED
+    # data-filter family — fit from mergeable partials, broadcast
+    # model, map-only scoring, the GPT-3/WebText quality-classifier
+    # shape) takes the curation slot; the demotee is green r2-r4 and a
+    # composition whose constituent stages each hold driver rows
+    # (gopher_filter, quality_quantile_filter, paragraph_dedup,
+    # domain_quota_sample), with the composition law local-strict +
+    # pytest-pinned
+    "curation_pipeline",         # composed curation gate; naive_bayes_classify in
 }
 
 

@@ -9446,6 +9446,149 @@ FROM pq GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# multinomial Naive Bayes classifier (fit on labels, score the corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_naive_bayes_classify(sf_dir: str):
+    """Multinomial Naive Bayes fit on the corpus's ``lang`` labels and
+    applied back over every document — the learned-classifier data
+    filter shape (the GPT-3/WebText quality classifier, fastText-style
+    lang routers): FIT from mergeable count partials, BROADCAST the
+    model, SCORE map-only.
+
+    Model: add-one smoothing over the corpus vocabulary;
+    ``score(d, c) = ln prior_c + sum_t dc_t * ln((ct_{c,t}+1)/(n_c+V))``
+    with the argmax prediction tie-broken on ascending label in both
+    engines.  Distributed shape: (label, token, count) map partials
+    combine to a vocabulary x n_labels model on the driver (bounded:
+    vocab-sized, the same checkpointed-table shape as tfidf's df table),
+    ship once via ``ray.put``, and the scoring pass streams — no
+    shuffle touches the corpus.  Per-class sums use counts x ln once
+    per DISTINCT (doc, token), mirrored exactly in the SQL replay.
+    """
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fit_partials(batch: pa.Table) -> pd.DataFrame:
+        per: dict = {}
+        for lg, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            cnt = per.setdefault(lg, Counter())
+            cnt.update(_TOKEN_RE.findall(t))
+        ls, ts, cs = [], [], []
+        for lg, cnt in per.items():
+            for t, c in cnt.items():
+                ls.append(lg)
+                ts.append(t)
+                cs.append(c)
+        # one doc-count row per (lang, batch) for the priors, tok=""
+        doc_n = pd.Series(batch["lang"].to_pylist()).value_counts()
+        for lg, n in doc_n.items():
+            ls.append(lg)
+            ts.append("")
+            cs.append(int(n))
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(ls, dtype="object"),
+                "tok": pd.Series(ts, dtype="object"),
+                "c": pd.Series(cs, dtype="int64"),
+            }
+        )
+
+    fit = (
+        ds.map_batches(fit_partials, batch_format="pyarrow")
+        .to_pandas()  # bounded: vocab x n_labels (tfidf df-table shape)
+        .groupby(["lang", "tok"], as_index=False)["c"]
+        .sum()
+    )
+    docs_per = fit[fit["tok"] == ""].set_index("lang")["c"]
+    counts = fit[fit["tok"] != ""]
+    langs = sorted(docs_per.index)
+    lang_ix = {lg: i for i, lg in enumerate(langs)}
+    priors = np.log(
+        docs_per.reindex(langs).to_numpy(dtype=np.float64)
+        / float(docs_per.sum())
+    )
+    n_c = counts.groupby("lang")["c"].sum().reindex(langs).fillna(0)
+    vocab = sorted(counts["tok"].unique())
+    tok_ix = {t: i for i, t in enumerate(vocab)}
+    denom = n_c.to_numpy(dtype=np.float64) + float(len(vocab))
+    model = np.tile(-np.log(denom), (len(vocab), 1))  # ln(1/denom) base
+    r = counts["tok"].map(tok_ix).to_numpy()
+    c_ = counts["lang"].map(lang_ix).to_numpy()
+    model[r, c_] = np.log(
+        (counts["c"].to_numpy(dtype=np.float64) + 1.0) / denom[c_]
+    )
+    model_ref = ray.put((langs, priors, tok_ix, model))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lgs, prs, tix, mdl = _broadcast_get(model_ref)
+        ids = batch["doc_id"].to_numpy()
+        preds, scores = [], []
+        for t in batch["text"].to_pylist():
+            cnt = Counter(_TOKEN_RE.findall(t))
+            s = prs.copy()
+            for tok, dc in cnt.items():
+                ix = tix.get(tok)
+                if ix is not None:
+                    s = s + float(dc) * mdl[ix]
+            w = int(np.argmax(s))  # first max = smallest label asc
+            preds.append(lgs[w])
+            scores.append(float(s[w]))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "pred_lang": pd.Series(preds, dtype="object"),
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_NAIVE_BAYES_CLASSIFY = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), ct AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY lang, tok
+), nc AS (
+  SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM ct GROUP BY lang
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+), prior AS (
+  SELECT lang,
+         ln(CAST(count(*) AS DOUBLE)
+            / (SELECT count(*) FROM documents)) AS lp
+  FROM documents GROUP BY lang
+), doc_ct AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS dc
+  FROM toks GROUP BY doc_id, tok
+), scores AS (
+  SELECT d.doc_id, cl.lang,
+         any_value(prior.lp)
+           + sum(d.dc * ln((COALESCE(ct.c, 0) + 1.0) / (nc.n + v.v))) AS s
+  FROM doc_ct d
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) cl
+  LEFT JOIN ct ON ct.lang = cl.lang AND ct.tok = d.tok
+  JOIN nc ON nc.lang = cl.lang
+  JOIN prior ON prior.lang = cl.lang
+  CROSS JOIN v
+  GROUP BY d.doc_id, cl.lang
+)
+SELECT doc_id, lang AS pred_lang, s AS score
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -9588,4 +9731,5 @@ SQL_QUERIES = {
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "jsd_source_drift": (q_jsd_source_drift, SQL_JSD_SOURCE_DRIFT),
+    "naive_bayes_classify": (q_naive_bayes_classify, SQL_NAIVE_BAYES_CLASSIFY),
 }

@@ -12,6 +12,7 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     _morton16,
     _skyline_pairs,
     q_jsd_source_drift,
+    q_naive_bayes_classify,
     q_skyline_select,
     q_upsert_merge,
     q_zorder_layout,
@@ -223,6 +224,61 @@ def test_jsd_source_drift_vs_dense_brute(tmp_path):
     for s in want:
         assert abs(got[s] - want[s]) < 1e-12
         assert 0.0 <= got[s] <= np.log(2.0) + 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_naive_bayes_vs_brute(tmp_path):
+    import math
+    import re as _re
+    from collections import Counter
+
+    rows = [
+        {"doc_id": 1, "text": "hund katze hund maus", "lang": "de"},
+        {"doc_id": 2, "text": "katze katze vogel", "lang": "de"},
+        {"doc_id": 3, "text": "dog cat dog mouse", "lang": "en"},
+        {"doc_id": 4, "text": "cat bird bird", "lang": "en"},
+        {"doc_id": 5, "text": "dog hund", "lang": "en"},  # mixed doc
+    ]
+    out = q_naive_bayes_classify(_write_docs(tmp_path, rows)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    tok_re = _re.compile(r"[A-Za-z0-9]+")
+    ct: dict = {}
+    docs_per: Counter = Counter()
+    vocab = set()
+    for r in rows:
+        docs_per[r["lang"]] += 1
+        cnt = ct.setdefault(r["lang"], Counter())
+        toks = tok_re.findall(r["text"])
+        cnt.update(toks)
+        vocab.update(toks)
+    langs = sorted(ct)
+    v = len(vocab)
+    for r in rows:
+        want_scores = {}
+        for lg in langs:
+            n_c = sum(ct[lg].values())
+            s = math.log(docs_per[lg] / len(rows))
+            for tok, dc in Counter(tok_re.findall(r["text"])).items():
+                s += dc * math.log((ct[lg][tok] + 1) / (n_c + v))
+            want_scores[lg] = s
+        best = min(langs, key=lambda lg: (-want_scores[lg], lg))
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert got["pred_lang"] == best
+        assert abs(got["score"] - want_scores[best]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_naive_bayes_tie_breaks_on_label(tmp_path):
+    # perfectly symmetric classes -> every score ties -> smallest label
+    rows = [
+        {"doc_id": 1, "text": "aa bb", "lang": "x"},
+        {"doc_id": 2, "text": "aa bb", "lang": "y"},
+        {"doc_id": 3, "text": "aa bb", "lang": "y"},
+        {"doc_id": 4, "text": "aa bb", "lang": "x"},
+    ]
+    out = q_naive_bayes_classify(_write_docs(tmp_path, rows)).to_pandas()
+    assert (out["pred_lang"] == "x").all()
 
 
 @pytest.mark.usefixtures("ray_session")
