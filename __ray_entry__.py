@@ -332,6 +332,12 @@ _LOCAL_ONLY = {
     # domain_quota_sample), with the composition law local-strict +
     # pytest-pinned
     "curation_pipeline",         # composed curation gate; naive_bayes_classify in
+    # triangle counting stays local-strict: the graph family already
+    # holds two driver slots (pagerank, label_propagation — both
+    # earning their first green rows this round) and hits is local for
+    # the same reason; the local mirror strict-checks it at all three
+    # scales and the route-equivalence pytest pins both match plans
+    "triangle_count",            # degree-ordered wedge join; family exposed
 }
 
 

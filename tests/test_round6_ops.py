@@ -14,9 +14,33 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     q_jsd_source_drift,
     q_naive_bayes_classify,
     q_skyline_select,
+    q_triangle_count,
     q_upsert_merge,
     q_zorder_layout,
 )
+
+
+def _write_lineitem(tmp_path, orders):
+    """orders: list of part lists; one synthetic lineitem row per part."""
+    rows = []
+    for ok, parts in enumerate(orders, start=1):
+        for p in parts:
+            rows.append(
+                {
+                    "l_orderkey": ok,
+                    "l_partkey": p,
+                    "l_suppkey": 1,
+                    "l_quantity": 1.0,
+                    "l_extendedprice": 1.0,
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": pd.Timestamp("1995-06-01"),
+                }
+            )
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path)
 
 
 def _write_docs(tmp_path, rows):
@@ -279,6 +303,67 @@ def test_naive_bayes_tie_breaks_on_label(tmp_path):
     ]
     out = q_naive_bayes_classify(_write_docs(tmp_path, rows)).to_pandas()
     assert (out["pred_lang"] == "x").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_k4(tmp_path):
+    # one order containing 4 parts -> K4: C(4,2)=6 edges, C(4,3)=4 triangles
+    out = q_triangle_count(_write_lineitem(tmp_path, [[1, 2, 3, 4]]))
+    assert out["n_edges"].iloc[0] == 6
+    assert out["n_triangles"].iloc[0] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_star_and_closure(tmp_path):
+    # star via pairwise orders (hub 1 with leaves 2..6): 5 edges, no
+    # triangles; closing one leaf pair (2,3) adds exactly 1 triangle.
+    star = [[1, leaf] for leaf in (2, 3, 4, 5, 6)]
+    out = q_triangle_count(_write_lineitem(tmp_path, star))
+    assert out["n_edges"].iloc[0] == 5
+    assert out["n_triangles"].iloc[0] == 0
+
+    closed = star + [[2, 3]]
+    out2 = q_triangle_count(_write_lineitem(tmp_path, closed))
+    assert out2["n_edges"].iloc[0] == 6
+    assert out2["n_triangles"].iloc[0] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_vs_brute_random(tmp_path):
+    from itertools import combinations
+
+    rng = np.random.RandomState(5)
+    orders = [
+        sorted(rng.choice(np.arange(1, 13), size=rng.randint(2, 5),
+                          replace=False).tolist())
+        for _ in range(25)
+    ]
+    edges = set()
+    for parts in orders:
+        edges.update(combinations(sorted(set(parts)), 2))
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted({p for o in orders for p in o}), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    out = q_triangle_count(_write_lineitem(tmp_path, orders))
+    assert out["n_edges"].iloc[0] == len(edges)
+    assert out["n_triangles"].iloc[0] == tri
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_semi_join_route_equivalence(tmp_path, monkeypatch):
+    """Forcing the above-cap co-partition route must reproduce the
+    broadcast-probe route's counts exactly."""
+    import pdf_ocr_comparison_tool_ray.pipelines.queries as Q
+
+    orders = [[1, 2, 3, 4], [3, 4, 5], [5, 6], [1, 5, 6]]
+    sf = _write_lineitem(tmp_path, orders)
+    base = q_triangle_count(sf)
+    monkeypatch.setattr(Q, "_TRI_BCAST_CAP", 0)
+    forced = q_triangle_count(sf)
+    assert base["n_edges"].iloc[0] == forced["n_edges"].iloc[0]
+    assert base["n_triangles"].iloc[0] == forced["n_triangles"].iloc[0]
 
 
 @pytest.mark.usefixtures("ray_session")
