@@ -241,6 +241,15 @@ def run_queries() -> dict:
         "containment_search",
         "dict_match",
         "edit_distance_join",
+        # round-5 session: skyline selection, Z-order layout manifest,
+        # CDC upsert merge, JSD source drift, Naive Bayes classify,
+        # degree-ordered triangle counting
+        "skyline_select",
+        "zorder_layout",
+        "upsert_merge",
+        "jsd_source_drift",
+        "naive_bayes_classify",
+        "triangle_count",
     ]
     times = {}
     for name in picks:
