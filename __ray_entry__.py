@@ -338,6 +338,15 @@ _LOCAL_ONLY = {
     # the same reason; the local mirror strict-checks it at all three
     # scales and the route-equivalence pytest pins both match plans
     "triangle_count",            # degree-ordered wedge join; family exposed
+    # rollup + funnel stay local-strict: every remaining window entry
+    # with prior-round green history is a single-family anchor
+    # (extraction/compare flagships, the keyword_topk canary, the only
+    # general equi-join row, the only PII / cascade / project rows), so
+    # no demotion is safe for family evidence; both ops are
+    # strict-green at sf0.001/0.01/0.1 through the local mirror with
+    # planted-edge pytest coverage
+    "rollup_stats",              # OLAP ROLLUP subtotals; agg family exposed
+    "funnel_stages",             # ordered funnel; events family exposed
 }
 
 

@@ -9786,6 +9786,145 @@ FROM tri
 
 
 # ---------------------------------------------------------------------------
+# OLAP rollup (hierarchical subtotal aggregation over lang x source)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_stats(sf_dir: str):
+    """``GROUP BY ROLLUP(lang, source)`` over the documents table:
+    doc counts and char sums at the (lang, source) level, the per-lang
+    subtotal level, and the grand total, with ``'ALL'`` as the rolled-up
+    marker — the OLAP cube/report family.
+
+    Distributed shape: ONE map-side partial aggregation at the finest
+    grain (the only pass that touches the corpus; bounded
+    blocks x langs x sources rows), then the coarser levels derive from
+    those partials on the driver by hierarchical re-aggregation — the
+    rollup costs nothing beyond the base groupby at any scale.
+    """
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    fine = (
+        ds.map_batches(partials, batch_format="pandas")
+        .to_pandas()  # bounded: blocks x langs x sources
+        .groupby(["lang", "source"], as_index=False)
+        .sum()
+    )
+    by_lang = fine.groupby("lang", as_index=False)[
+        ["n_docs", "sum_chars"]
+    ].sum()
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return (
+        out[["lang", "source", "n_docs", "sum_chars"]]
+        .sort_values(["lang", "source"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+SQL_ROLLUP_STATS = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered view -> click -> purchase progression)
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered funnel progression per user over the events stream: the
+    deepest stage of ``view -> click -> purchase`` each user reached,
+    where stage k+1 must occur STRICTLY AFTER the user's earliest
+    completion of stage k (the product-analytics funnel operator).
+
+    Distributed shape: ONE co-partition by user (every user's events
+    land in one bucket), then a vectorized per-bucket kernel computes
+    the stage-completion chain with three groupby-min passes — no
+    per-row Python, no second shuffle.  Output is per-user (user_id,
+    reached), which keeps the result hash value-dense rather than a
+    4-row summary.
+    """
+    from ..stages.bucketed import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"]
+        users = uid.unique()
+        reached = pd.Series(np.zeros(len(users), dtype=np.int64),
+                            index=users)
+        prev_t = None
+        for k, step in enumerate(_FUNNEL_STEPS, start=1):
+            sub = df[df["event_type"] == step]
+            if prev_t is not None:
+                lim = sub["user_id"].map(prev_t)
+                sub = sub[lim.notna() & (sub["ts"] > lim)]
+            t = sub.groupby("user_id")["ts"].min()
+            reached.loc[t.index] = k
+            prev_t = t
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "reached": reached.to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(ds, "user_id", stages, n_buckets=16)
+
+
+SQL_FUNNEL_STAGES = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS reached
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+ORDER BY u.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -9930,4 +10069,6 @@ SQL_QUERIES = {
     "jsd_source_drift": (q_jsd_source_drift, SQL_JSD_SOURCE_DRIFT),
     "naive_bayes_classify": (q_naive_bayes_classify, SQL_NAIVE_BAYES_CLASSIFY),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
+    "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
 }

@@ -11,8 +11,10 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     _ZORDER_SHARDS_LOG2,
     _morton16,
     _skyline_pairs,
+    q_funnel_stages,
     q_jsd_source_drift,
     q_naive_bayes_classify,
+    q_rollup_stats,
     q_skyline_select,
     q_triangle_count,
     q_upsert_merge,
@@ -364,6 +366,77 @@ def test_triangle_count_semi_join_route_equivalence(tmp_path, monkeypatch):
     forced = q_triangle_count(sf)
     assert base["n_edges"].iloc[0] == forced["n_edges"].iloc[0]
     assert base["n_triangles"].iloc[0] == forced["n_triangles"].iloc[0]
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["event_id"] = np.arange(1, len(df) + 1)
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_ordering_semantics(tmp_path):
+    rows = [
+        # user 1: full ordered funnel -> reached 3
+        {"user_id": 1, "event_type": "view", "ts": "2024-01-01 10:00"},
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01 11:00"},
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01 12:00"},
+        # user 2: click BEFORE first view -> stuck at 1
+        {"user_id": 2, "event_type": "click", "ts": "2024-01-02 09:00"},
+        {"user_id": 2, "event_type": "view", "ts": "2024-01-02 10:00"},
+        # user 3: click at the SAME instant as view (strictly-after
+        # rule) -> stuck at 1
+        {"user_id": 3, "event_type": "view", "ts": "2024-01-03 10:00"},
+        {"user_id": 3, "event_type": "click", "ts": "2024-01-03 10:00"},
+        # user 4: no view at all -> reached 0
+        {"user_id": 4, "event_type": "error", "ts": "2024-01-04 10:00"},
+        # user 5: view then purchase but no click -> stuck at 1
+        {"user_id": 5, "event_type": "view", "ts": "2024-01-05 10:00"},
+        {"user_id": 5, "event_type": "purchase", "ts": "2024-01-05 11:00"},
+        # user 6: second view later; click after first view counts -> 2
+        {"user_id": 6, "event_type": "view", "ts": "2024-01-06 10:00"},
+        {"user_id": 6, "event_type": "click", "ts": "2024-01-06 10:30"},
+        {"user_id": 6, "event_type": "view", "ts": "2024-01-06 11:00"},
+    ]
+    out = (
+        q_funnel_stages(_write_events(tmp_path, rows))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["user_id"], out["reached"])) == {
+        1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 2,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_levels(tmp_path):
+    rows = [
+        {"doc_id": 1, "text": "x", "lang": "en", "source": "web",
+         "n_chars": 10},
+        {"doc_id": 2, "text": "x", "lang": "en", "source": "web",
+         "n_chars": 20},
+        {"doc_id": 3, "text": "x", "lang": "en", "source": "book",
+         "n_chars": 5},
+        {"doc_id": 4, "text": "x", "lang": "de", "source": "web",
+         "n_chars": 7},
+    ]
+    out = q_rollup_stats(_write_docs(tmp_path, rows))
+    m = {
+        (r.lang, r.source): (int(r.n_docs), int(r.sum_chars))
+        for r in out.itertuples()
+    }
+    assert m[("en", "web")] == (2, 30)
+    assert m[("en", "book")] == (1, 5)
+    assert m[("de", "web")] == (1, 7)
+    assert m[("en", "ALL")] == (3, 35)
+    assert m[("de", "ALL")] == (1, 7)
+    assert m[("ALL", "ALL")] == (4, 42)
+    assert len(m) == 6
 
 
 @pytest.mark.usefixtures("ray_session")
