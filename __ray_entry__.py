@@ -347,6 +347,7 @@ _LOCAL_ONLY = {
     # planted-edge pytest coverage
     "rollup_stats",              # OLAP ROLLUP subtotals; agg family exposed
     "funnel_stages",             # ordered funnel; events family exposed
+    "item_cf_topk",              # co-occurrence CF; same anchor constraint
 }
 
 

@@ -9925,6 +9925,119 @@ ORDER BY u.user_id
 
 
 # ---------------------------------------------------------------------------
+# item-based collaborative filtering (co-occurrence cosine top-k)
+# ---------------------------------------------------------------------------
+_CF_K = 5
+
+
+def q_item_cf_topk(sf_dir: str):
+    """Item-based collaborative filtering (Sarwar et al., WWW 2001) over
+    the order baskets: similarity(a, b) = |orders with both| /
+    sqrt(|orders with a| * |orders with b|) — co-occurrence cosine —
+    and the top-5 neighbors per item, tie-broken on ascending neighbor
+    id (identical integer inputs give bit-identical scores in both
+    engines, so the ranking is exact).
+
+    Distributed shape: per-order distinct-pair generation and the
+    (a, b) count are each ONE bucketed co-partition; per-item order
+    frequencies are dimension-sized map partials broadcast once; the
+    per-item top-k is a final co-partition by item with a vectorized
+    sort+head kernel.  The corpus never materializes — driver state is
+    bounded by the item dimension.
+    """
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_map_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # global basket dedup: the same (order, part) can recur across
+    # blocks, so per-batch dedup undercounts — one co-partition fixes it
+    op = bucketed_drop_duplicates(
+        li, ["l_orderkey", "l_partkey"], n_buckets=32
+    ).materialize()  # pinned: pair-gen + frequency both consume it
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m[["l_partkey_x", "l_partkey_y"]]
+        out.columns = ["a", "b"]
+        return out.astype("int64")
+
+    pairs = bucketed_map_groups(op, "l_orderkey", order_pairs, n_buckets=32)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).size()
+        g.columns = ["a", "b", "c"]
+        return g.astype("int64")
+
+    counts = bucketed_map_groups(pairs, ["a", "b"], pair_counts, n_buckets=32)
+
+    def freq_partials(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["l_partkey"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"p": u, "n": c.astype(np.int64)})
+
+    freq = (
+        op.map_batches(freq_partials, batch_format="pandas")
+        .to_pandas()  # bounded: part-dimension-sized
+        .groupby("p")["n"]
+        .sum()
+    )
+    freq_ref = ray.put(freq.astype("float64"))
+
+    def score_sym(df: pd.DataFrame) -> pd.DataFrame:
+        f = _broadcast_get(freq_ref)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        c = df["c"].to_numpy(dtype=np.float64)
+        s = c / np.sqrt(f.reindex(a).to_numpy() * f.reindex(b).to_numpy())
+        return pd.DataFrame(
+            {
+                "item": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+                "score": np.concatenate([s, s]),
+            }
+        )
+
+    sym = counts.map_batches(score_sym, batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["item", "score", "nbr"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return s.groupby("item").head(_CF_K)
+
+    return bucketed_map_groups(sym, "item", topk, n_buckets=32)
+
+
+SQL_ITEM_CF_TOPK = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT o1.l_partkey AS a, o2.l_partkey AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM op o1 JOIN op o2
+    ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+  GROUP BY o1.l_partkey, o2.l_partkey
+), freq AS (
+  SELECT l_partkey AS p, CAST(count(*) AS DOUBLE) AS n FROM op GROUP BY 1
+), sym AS (
+  SELECT a AS item, b AS nbr, c FROM pairs
+  UNION ALL
+  SELECT b AS item, a AS nbr, c FROM pairs
+), sc AS (
+  SELECT item, nbr, CAST(s.c AS DOUBLE) / sqrt(fa.n * fb.n) AS score
+  FROM sym s
+  JOIN freq fa ON fa.p = s.item
+  JOIN freq fb ON fb.p = s.nbr
+)
+SELECT item, nbr, score FROM sc
+QUALIFY row_number() OVER (
+  PARTITION BY item ORDER BY score DESC, nbr) <= {_CF_K}
+ORDER BY item, score DESC, nbr
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10071,4 +10184,5 @@ SQL_QUERIES = {
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+    "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
 }

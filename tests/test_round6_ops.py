@@ -12,6 +12,7 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     _morton16,
     _skyline_pairs,
     q_funnel_stages,
+    q_item_cf_topk,
     q_jsd_source_drift,
     q_naive_bayes_classify,
     q_rollup_stats,
@@ -437,6 +438,35 @@ def test_rollup_levels(tmp_path):
     assert m[("de", "ALL")] == (1, 7)
     assert m[("ALL", "ALL")] == (4, 42)
     assert len(m) == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_item_cf_scores_and_ties(tmp_path):
+    # baskets: {1,2} x2, {1,3}, {2,3}, plus a duplicate (order, part)
+    # row for part 1 in the first order (must NOT inflate frequencies)
+    orders = [[1, 2, 1], [1, 2], [1, 3], [2, 3]]
+    out = (
+        q_item_cf_topk(_write_lineitem(tmp_path, orders))
+        .to_pandas()
+        .sort_values(["item", "nbr"])
+        .reset_index(drop=True)
+    )
+    # frequencies: n1=3, n2=3, n3=2; co-counts: c12=2, c13=1, c23=1
+    want = {
+        (1, 2): 2 / np.sqrt(3 * 3),
+        (1, 3): 1 / np.sqrt(3 * 2),
+        (2, 1): 2 / np.sqrt(3 * 3),
+        (2, 3): 1 / np.sqrt(3 * 2),
+        (3, 1): 1 / np.sqrt(2 * 3),
+        (3, 2): 1 / np.sqrt(2 * 3),
+    }
+    got = {
+        (int(r.item), int(r.nbr)): r.score for r in out.itertuples()
+    }
+    assert got == want  # bit-exact: same integer inputs, same expression
+    # item 3's two neighbors tie exactly; output keeps both, nbr asc
+    sub = out[out["item"] == 3]
+    assert sub["nbr"].tolist() == [1, 2]
 
 
 @pytest.mark.usefixtures("ray_session")
