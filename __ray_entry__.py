@@ -348,6 +348,7 @@ _LOCAL_ONLY = {
     "rollup_stats",              # OLAP ROLLUP subtotals; agg family exposed
     "funnel_stages",             # ordered funnel; events family exposed
     "item_cf_topk",              # co-occurrence CF; same anchor constraint
+    "global_rank",               # TeraSort range-partition rank; same
 }
 
 

@@ -10038,6 +10038,91 @@ ORDER BY item, score DESC, nbr
 
 
 # ---------------------------------------------------------------------------
+# global rank (TeraSort-style range partitioning + exact offsets)
+# ---------------------------------------------------------------------------
+_RANK_RANGES = 16
+
+
+def q_global_rank(sf_dir: str):
+    """Exact global rank of every order by ``(o_totalprice,
+    o_orderkey)`` — the distributed total-order pattern (TeraSort range
+    partitioning): approximate range bounds from a deterministic
+    sample, EXACT per-range row counts from map partials, prefix-sum
+    offsets, and a per-range local sort whose positions add to the
+    offset.  The bounds only affect load balance, never correctness —
+    rank = exact count of rows in lower ranges + exact local position.
+
+    Ranges split on price alone (equal prices always co-locate), so the
+    within-range (price, orderkey) tie-break is globally consistent.
+    One co-partition moves each row once; driver state is
+    ``_RANK_RANGES`` scalars.
+    """
+    from ..stages.bucketed import BUCKET_COL
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic ~1/16 sample keyed on orderkey
+        return df[df["o_orderkey"] % 16 == 0][["o_totalprice"]]
+
+    smp = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    qs = np.linspace(0, 1, _RANK_RANGES + 1)[1:-1]
+    bounds = (
+        np.quantile(smp["o_totalprice"].to_numpy(), qs)
+        if len(smp)
+        else np.array([])
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.searchsorted(bounds, df["o_totalprice"].to_numpy(),
+                            side="left")
+        out = df.copy()
+        out[BUCKET_COL] = r.astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    def range_counts(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df[BUCKET_COL].to_numpy(), return_counts=True)
+        return pd.DataFrame({"r": u, "c": c.astype(np.int64)})
+
+    counts = (
+        tagged.map_batches(range_counts, batch_format="pandas")
+        .to_pandas()  # bounded: blocks x _RANK_RANGES
+        .groupby("r")["c"]
+        .sum()
+        .reindex(range(_RANK_RANGES), fill_value=0)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts.to_numpy())[:-1]])
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        r = int(df[BUCKET_COL].iloc[0])
+        s = df.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": s["o_orderkey"].to_numpy(),
+                "o_totalprice": s["o_totalprice"].to_numpy(),
+                "rnk": offsets[r] + np.arange(1, len(s) + 1, dtype=np.int64),
+            }
+        )
+
+    return tagged.groupby(BUCKET_COL).map_groups(
+        local_rank, batch_format="pandas"
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+            AS BIGINT) AS rnk
+FROM orders
+ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10185,4 +10270,5 @@ SQL_QUERIES = {
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
+    "global_rank": (q_global_rank, SQL_GLOBAL_RANK),
 }

@@ -12,6 +12,7 @@ from pdf_ocr_comparison_tool_ray.pipelines.queries import (
     _morton16,
     _skyline_pairs,
     q_funnel_stages,
+    q_global_rank,
     q_item_cf_topk,
     q_jsd_source_drift,
     q_naive_bayes_classify,
@@ -467,6 +468,61 @@ def test_item_cf_scores_and_ties(tmp_path):
     # item 3's two neighbors tie exactly; output keeps both, nbr asc
     sub = out[out["item"] == 3]
     assert sub["nbr"].tolist() == [1, 2]
+
+
+def _write_orders(tmp_path, prices):
+    rows = [
+        {
+            "o_orderkey": i + 1,
+            "o_custkey": 1,
+            "o_orderstatus": "O",
+            "o_totalprice": float(p),
+            "o_orderdate": pd.Timestamp("1995-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+        for i, p in enumerate(prices)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_exact_with_heavy_ties(tmp_path):
+    # many duplicate prices (they must co-locate in one range) plus a
+    # tiny sample (keys 16/32/48... only) so bounds are coarse — the
+    # rank must still be the exact (price, orderkey) row_number
+    rng = np.random.RandomState(9)
+    prices = rng.choice([10.0, 20.0, 20.0, 30.0, 40.0], size=200).tolist()
+    out = (
+        q_global_rank(_write_orders(tmp_path, prices))
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(
+            {
+                "o_orderkey": np.arange(1, 201),
+                "o_totalprice": prices,
+            }
+        )
+        .sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert out["rnk"].tolist() == list(range(1, 201))
+    assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_tiny_input_empty_sample(tmp_path):
+    # 3 rows, none with orderkey % 16 == 0 -> empty sample -> one range
+    out = (
+        q_global_rank(_write_orders(tmp_path, [5.0, 1.0, 3.0]))
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    assert out["o_orderkey"].tolist() == [2, 3, 1]
+    assert out["rnk"].tolist() == [1, 2, 3]
 
 
 @pytest.mark.usefixtures("ray_session")
