@@ -349,6 +349,9 @@ _LOCAL_ONLY = {
     "funnel_stages",             # ordered funnel; events family exposed
     "item_cf_topk",              # co-occurrence CF; same anchor constraint
     "global_rank",               # TeraSort range-partition rank; same
+    "frequent_itemsets",         # Apriori basket mining; same
+    "sorted_neighborhood_pairs", # SNM blocking; same (pair-gen family
+                                 # driver-exercised via set_similarity_join)
 }
 
 

@@ -250,6 +250,15 @@ def run_queries() -> dict:
         "jsd_source_drift",
         "naive_bayes_classify",
         "triangle_count",
+        # final continuation: OLAP rollup, ordered funnel, item CF,
+        # TeraSort global rank, Apriori itemsets, sorted-neighborhood
+        # blocking
+        "rollup_stats",
+        "funnel_stages",
+        "item_cf_topk",
+        "global_rank",
+        "frequent_itemsets",
+        "sorted_neighborhood_pairs",
     ]
     times = {}
     for name in picks:

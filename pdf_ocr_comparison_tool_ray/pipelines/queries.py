@@ -10123,6 +10123,360 @@ ORDER BY rnk
 
 
 # ---------------------------------------------------------------------------
+# frequent itemsets (Apriori: candidate-pruned multi-pass basket mining)
+# ---------------------------------------------------------------------------
+_FI_MINSUP = 2  # absolute support floor; at deployment scale use a
+# RELATIVE threshold (fraction of baskets) so the frequent-pair set —
+# the only driver/broadcast state — stays bounded by construction.
+
+
+def _fi_pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack an (a < b) item-id pair into one int64 key (ids < 2^31)."""
+    return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+
+
+def q_frequent_itemsets(sf_dir: str):
+    """Apriori frequent-itemset mining (Agrawal & Srikant, VLDB 1994)
+    over the order baskets: all size-2 and size-3 itemsets with support
+    >= ``_FI_MINSUP``.  The Apriori monotonicity property makes the
+    candidate pruning a pure performance device — a frequent triple's
+    three sub-pairs are necessarily frequent, so counting only
+    pruned candidates yields exactly the unpruned answer (the oracle
+    counts unpruned).
+
+    Distributed shape (the classic multi-pass candidate-broadcast
+    plan): baskets are globally deduped once (one co-partition —
+    per-batch dedup undercounts when an order spans read blocks);
+    pass 1 generates per-basket pairs and counts them in a second
+    co-partition; the frequent-pair set (bounded by the support
+    threshold) broadcasts once as a sorted packed-int64 array; pass 2
+    re-walks the baskets, prunes each basket's pairs to frequent ones
+    BEFORE the triple expansion (the Apriori win — candidate volume
+    through the final shuffle collapses), and a last co-partition
+    counts the surviving triples.  Itemset ids stay < 2^31 so a pair
+    packs into one int64 broadcast key (asserted).
+    """
+    from ..stages.bucketed import bucketed_drop_duplicates, bucketed_map_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    op = bucketed_drop_duplicates(
+        li, ["l_orderkey", "l_partkey"], n_buckets=32
+    ).materialize()  # consumed by both passes
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m[["l_partkey_x", "l_partkey_y"]]
+        out.columns = ["i1", "i2"]
+        return out.astype("int64")
+
+    pairs = bucketed_map_groups(op, "l_orderkey", order_pairs, n_buckets=32)
+
+    _PAIR_SCHEMA = pa.schema(
+        [("i1", pa.int64()), ("i2", pa.int64()), ("support", pa.int64())]
+    )
+
+    def pair_counts(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["i1", "i2"], as_index=False).size()
+        g.columns = ["i1", "i2", "support"]
+        g = g[g["support"] >= _FI_MINSUP]
+        return pa.Table.from_pandas(
+            g.astype("int64"), schema=_PAIR_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    fp = bucketed_map_groups(
+        pairs, ["i1", "i2"], pair_counts, n_buckets=32
+    ).materialize()  # consumed by the broadcast AND the final union
+
+    fp_df = fp.to_pandas()  # bounded: the frequent-pair set
+    assert fp_df.empty or int(fp_df[["i1", "i2"]].max().max()) < 2**31
+    fp_keys = np.sort(
+        _fi_pack_pairs(fp_df["i1"].to_numpy(), fp_df["i2"].to_numpy())
+    )
+    fp_ref = ray.put(fp_keys)
+
+    def _member(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(sorted_keys, keys)
+        idx = np.minimum(idx, max(len(sorted_keys) - 1, 0))
+        return (
+            sorted_keys[idx] == keys
+            if len(sorted_keys)
+            else np.zeros(len(keys), dtype=bool)
+        )
+
+    _TRI_SCHEMA = pa.schema(
+        [("i1", pa.int64()), ("i2", pa.int64()), ("i3", pa.int64())]
+    )
+
+    def order_triples(df: pd.DataFrame) -> pa.Table:
+        keys = _broadcast_get(fp_ref)
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        bp = m.rename(
+            columns={"l_partkey_x": "a", "l_partkey_y": "b"}
+        )[["l_orderkey", "a", "b"]]
+        # Apriori prune BEFORE the triple expansion
+        bp = bp[
+            _member(_fi_pack_pairs(bp["a"].to_numpy(), bp["b"].to_numpy()), keys)
+        ]
+        t = bp.merge(bp, on=["l_orderkey", "a"])
+        t = t[t["b_x"] < t["b_y"]]
+        ok = _member(
+            _fi_pack_pairs(t["b_x"].to_numpy(), t["b_y"].to_numpy()), keys
+        )
+        t = t[ok]
+        out = pd.DataFrame(
+            {"i1": t["a"], "i2": t["b_x"], "i3": t["b_y"]}, dtype="int64"
+        )
+        return pa.Table.from_pandas(
+            out, schema=_TRI_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    tri = bucketed_map_groups(op, "l_orderkey", order_triples, n_buckets=32)
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("i1", pa.int64()),
+            ("i2", pa.int64()),
+            ("i3", pa.int64()),
+            ("sz", pa.int64()),
+            ("support", pa.int64()),
+        ]
+    )
+
+    def tri_counts(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["i1", "i2", "i3"], as_index=False).size()
+        g.columns = ["i1", "i2", "i3", "support"]
+        g = g[g["support"] >= _FI_MINSUP].astype("int64")
+        g["sz"] = np.int64(3)
+        return pa.Table.from_pandas(
+            g[["i1", "i2", "i3", "sz", "support"]],
+            schema=_OUT_SCHEMA,
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    tri_out = bucketed_map_groups(
+        tri, ["i1", "i2", "i3"], tri_counts, n_buckets=32
+    )
+
+    def pair_shape(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "i1": df["i1"],
+                "i2": df["i2"],
+                "i3": np.full(len(df), -1, dtype=np.int64),
+                "sz": np.full(len(df), 2, dtype=np.int64),
+                "support": df["support"],
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=_OUT_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return fp.map_batches(pair_shape, batch_format="pandas").union(tri_out)
+
+
+SQL_FREQUENT_ITEMSETS = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT o1.l_partkey AS i1, o2.l_partkey AS i2,
+         CAST(count(*) AS BIGINT) AS support
+  FROM op o1 JOIN op o2
+    ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_FI_MINSUP}
+), t AS (
+  SELECT o1.l_partkey AS i1, o2.l_partkey AS i2, o3.l_partkey AS i3,
+         CAST(count(*) AS BIGINT) AS support
+  FROM op o1
+  JOIN op o2 ON o1.l_orderkey = o2.l_orderkey
+            AND o1.l_partkey < o2.l_partkey
+  JOIN op o3 ON o1.l_orderkey = o3.l_orderkey
+            AND o2.l_partkey < o3.l_partkey
+  GROUP BY 1, 2, 3 HAVING count(*) >= {_FI_MINSUP}
+)
+SELECT i1, i2, CAST(-1 AS BIGINT) AS i3, CAST(2 AS BIGINT) AS sz, support
+FROM p
+UNION ALL
+SELECT i1, i2, i3, CAST(3 AS BIGINT) AS sz, support FROM t
+ORDER BY sz, i1, i2, i3
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood candidate pairs (entity-resolution blocking)
+# ---------------------------------------------------------------------------
+_SNM_W = 4       # sliding-window size over the global sort order
+_SNM_THR = 0.8   # token-set Jaccard accept threshold (exact verify)
+_SNM_RANGES = 16
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995)
+    for entity resolution: sort all documents by a normalized key, slide
+    a window of ``_SNM_W`` over the TOTAL order, and exactly-verify each
+    in-window candidate pair with token-set Jaccard >= ``_SNM_THR``.
+
+    Distributed shape: the global total order comes from the same
+    TeraSort range-partitioning pattern as ``global_rank`` (sampled
+    string splitters for load balance, EXACT per-range counts for
+    correctness); windowed pair generation then needs only LOCAL
+    context, recovered by replicating each row into its rank-block
+    ``g = rank // W`` AND block ``g - 1`` — any pair within window
+    distance co-locates in block ``g`` of its lower-rank member, and
+    emitting only pairs whose lower rank is a PRIMARY of the block
+    makes emission exactly-once with 2x data through one shuffle (no
+    all-pairs, no driver state beyond the range splitters).  Jaccard is
+    a single division of exact ints — bit-identical in both engines, so
+    the >= threshold decides identically even on exact ties.
+    """
+    from ..stages.bucketed import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        nt = (
+            df["text"]
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "nt": nt})
+
+    d = docs.map_batches(norm, batch_format="pandas")
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 16 == 0][["nt"]]
+
+    smp = np.sort(d.map_batches(sample, batch_format="pandas")
+                  .to_pandas()["nt"].to_numpy())
+    bounds = (
+        smp[[len(smp) * k // _SNM_RANGES for k in range(1, _SNM_RANGES)]]
+        if len(smp)
+        else np.array([], dtype=object)
+    )
+
+    from ..stages.bucketed import BUCKET_COL
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.searchsorted(bounds, df["nt"].to_numpy(), side="left")
+        out = df.copy()
+        out[BUCKET_COL] = r.astype(np.int64)
+        return out
+
+    tagged = d.map_batches(assign, batch_format="pandas").materialize()
+
+    def range_counts(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df[BUCKET_COL].to_numpy(), return_counts=True)
+        return pd.DataFrame({"r": u, "c": c.astype(np.int64)})
+
+    counts = (
+        tagged.map_batches(range_counts, batch_format="pandas")
+        .to_pandas()  # bounded: blocks x _SNM_RANGES
+        .groupby("r")["c"]
+        .sum()
+        .reindex(range(_SNM_RANGES), fill_value=0)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts.to_numpy())[:-1]])
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        r = int(df[BUCKET_COL].iloc[0])
+        s = df.sort_values(["nt", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": s["doc_id"].to_numpy(),
+                "nt": s["nt"].to_numpy(),
+                "rank": offsets[r] + np.arange(len(s), dtype=np.int64),
+            }
+        )
+
+    ranked = tagged.groupby(BUCKET_COL).map_groups(
+        local_rank, batch_format="pandas"
+    )
+
+    w = _SNM_W
+
+    def to_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["rank"].to_numpy() // w
+        primary = df.copy()
+        primary["g"] = g
+        repl = df[g > 0].copy()
+        repl["g"] = g[g > 0] - 1
+        return pd.concat([primary, repl], ignore_index=True)
+
+    blocks = ranked.map_batches(to_blocks, batch_format="pandas")
+
+    def window_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["g", "rank"], kind="mergesort")
+        gv = s["g"].to_numpy()
+        rv = s["rank"].to_numpy()
+        ids = s["doc_id"].to_numpy()
+        toks = [frozenset(t.split(" ")) for t in s["nt"]]
+        d1, d2, jac = [], [], []
+        for dlt in range(1, w):
+            if dlt >= len(rv):
+                break
+            a = np.arange(len(rv) - dlt)
+            b = a + dlt
+            ok = (
+                (gv[a] == gv[b])
+                & (rv[b] - rv[a] == dlt)
+                & (rv[a] < (gv[a] + 1) * w)  # lower rank is a PRIMARY
+            )
+            for i, j in zip(a[ok], b[ok]):
+                ta, tb = toks[i], toks[j]
+                c = len(ta & tb)
+                jv = c / (len(ta) + len(tb) - c)
+                if jv >= _SNM_THR:
+                    d1.append(ids[i])
+                    d2.append(ids[j])
+                    jac.append(jv)
+        return pd.DataFrame(
+            {
+                "d1": np.asarray(d1, dtype=np.int64),
+                "d2": np.asarray(d2, dtype=np.int64),
+                "jacc": np.asarray(jac, dtype=np.float64),
+            }
+        )
+
+    return bucketed_map_groups(blocks, "g", window_pairs, n_buckets=32)
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), r AS (
+  SELECT doc_id, nt,
+         row_number() OVER (ORDER BY nt, doc_id) - 1 AS rn
+  FROM d
+), tk AS (
+  SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok
+  FROM d
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+), ix AS (
+  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS c
+  FROM cand c
+  JOIN tk x ON x.doc_id = c.d1
+  JOIN tk y ON y.doc_id = c.d2 AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT ix.d1, ix.d2,
+       ix.c * 1.0 / (na.cnt + nb.cnt - ix.c) AS jacc
+FROM ix
+JOIN n na ON na.doc_id = ix.d1
+JOIN n nb ON nb.doc_id = ix.d2
+WHERE ix.c * 1.0 / (na.cnt + nb.cnt - ix.c) >= {_SNM_THR}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10271,4 +10625,9 @@ SQL_QUERIES = {
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "item_cf_topk": (q_item_cf_topk, SQL_ITEM_CF_TOPK),
     "global_rank": (q_global_rank, SQL_GLOBAL_RANK),
+    "frequent_itemsets": (q_frequent_itemsets, SQL_FREQUENT_ITEMSETS),
+    "sorted_neighborhood_pairs": (
+        q_sorted_neighborhood_pairs,
+        SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    ),
 }
