@@ -352,6 +352,9 @@ _LOCAL_ONLY = {
     "frequent_itemsets",         # Apriori basket mining; same
     "sorted_neighborhood_pairs", # SNM blocking; same (pair-gen family
                                  # driver-exercised via set_similarity_join)
+    "rrf_fusion",                # hybrid rank fusion; same (both base
+                                 # rankings driver-exercised via
+                                 # knn_filtered and bm25_topk)
 }
 
 

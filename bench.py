@@ -259,6 +259,7 @@ def run_queries() -> dict:
         "global_rank",
         "frequent_itemsets",
         "sorted_neighborhood_pairs",
+        "rrf_fusion",
     ]
     times = {}
     for name in picks:

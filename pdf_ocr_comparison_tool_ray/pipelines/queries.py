@@ -10477,6 +10477,177 @@ ORDER BY d1, d2
 
 
 # ---------------------------------------------------------------------------
+# reciprocal rank fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+_RRF_NQ = 3     # query docs: ids < _RRF_NQ in both tables (aligned ids)
+_RRF_K = 50     # depth of each base ranking entering the fusion
+_RRF_C = 60     # the canonical RRF constant (Cormack et al., SIGIR 2009)
+_RRF_OUT = 10   # fused results returned per query
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    — the hybrid-retrieval combiner: fuse a VECTOR ranking (embedding
+    cosine top-``_RRF_K``) and a LEXICAL ranking (distinct-token overlap
+    top-``_RRF_K``) per query as ``rrf = 1/(C + r_vec) + 1/(C + r_lex)``
+    over the union of the two lists, missing-list terms contributing 0.
+
+    Scale shape — "retrieve then fuse", never "score everything then
+    sort": each base ranking is produced by the bounded-partials
+    pattern (per-block local top-k per query, driver reduce of
+    ``n_blocks x nq x k`` rows — the knn combiner), so nothing
+    rank-orders the full corpus; the fusion itself touches only
+    ``2 x nq x k`` rows.  Ranks are exact ints, each RRF term is one
+    IEEE division and their sum is evaluated in the same order in both
+    engines — fused scores are bit-identical, so the final
+    (rrf DESC, doc_id) cut is exact.
+    """
+    from ..stages.knn import knn_cosine
+
+    # vector ranking: cosine top-K for the aligned query vectors
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _RRF_NQ)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    vec = knn_cosine(
+        emb,
+        qdf["vec_id"].tolist(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=_RRF_K,
+    ).to_pandas()[["query_id", "vec_id", "rank"]]
+    vec.columns = ["qid", "doc_id", "r_vec"]
+
+    # lexical ranking: distinct-token overlap, same bounded-partials
+    # shape (per-batch top-K per query -> driver exact top-K)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    qtx = (
+        docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], _RRF_NQ)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qsets = [
+        (int(r.doc_id), frozenset(_LOWER_TOKEN_RE.findall(r.text.lower())))
+        for r in qtx.itertuples()
+    ]
+    qref = ray.put(qsets)
+
+    def lex_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qs = _broadcast_get(qref)
+        toks = [
+            frozenset(_LOWER_TOKEN_RE.findall(t.lower())) for t in df["text"]
+        ]
+        ids = df["doc_id"].to_numpy()
+        out = []
+        for qid, qset in qs:
+            ov = np.fromiter(
+                (len(qset & td) for td in toks), dtype=np.int64, count=len(toks)
+            )
+            m = ov > 0
+            p = pd.DataFrame(
+                {"qid": qid, "doc_id": ids[m], "ov": ov[m]}
+            ).sort_values(["ov", "doc_id"], ascending=[False, True])
+            out.append(p.head(_RRF_K))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "ov": pd.Series(dtype="int64")}
+            )
+        )
+
+    lex_parts = docs.map_batches(
+        lex_partial, batch_format="pandas"
+    ).to_pandas()  # bounded: n_blocks x nq x K
+    lex = (
+        lex_parts.sort_values(
+            ["qid", "ov", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("qid", sort=False)
+        .head(_RRF_K)
+        .reset_index(drop=True)
+    )
+    lex["r_lex"] = (lex.groupby("qid", sort=False).cumcount() + 1).astype(
+        np.int64
+    )
+    lex = lex[["qid", "doc_id", "r_lex"]]
+
+    # fuse the two bounded lists (2 x nq x K rows)
+    f = vec.merge(lex, on=["qid", "doc_id"], how="outer")
+    ta = np.where(
+        f["r_vec"].notna(), 1.0 / (_RRF_C + f["r_vec"].fillna(0)), 0.0
+    )
+    tb = np.where(
+        f["r_lex"].notna(), 1.0 / (_RRF_C + f["r_lex"].fillna(0)), 0.0
+    )
+    f["rrf"] = ta + tb
+    f = f.sort_values(
+        ["qid", "rrf", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = f.groupby("qid", sort=False).head(_RRF_OUT).reset_index(drop=True)
+    out["qid"] = out["qid"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["qid", "doc_id", "rrf"]]
+
+
+SQL_RRF_FUSION = f"""
+WITH qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_RRF_NQ}
+), sa AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) AS c
+  FROM embeddings e CROSS JOIN qv q
+), ra AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) AS r
+  FROM sa
+  QUALIFY r <= {_RRF_K}
+), tq AS (
+  SELECT doc_id AS qid,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+  FROM documents WHERE doc_id < {_RRF_NQ}
+), td AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+  FROM documents
+), ov AS (
+  SELECT tq.qid, td.doc_id, CAST(count(*) AS BIGINT) AS ov
+  FROM tq JOIN td USING (tok)
+  GROUP BY 1, 2
+), rb AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY ov DESC, doc_id) AS r
+  FROM ov
+  QUALIFY r <= {_RRF_K}
+), f AS (
+  SELECT coalesce(ra.qid, rb.qid) AS qid,
+         coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_C} + ra.r), 0)
+           + coalesce(1.0 / ({_RRF_C} + rb.r), 0) AS rrf
+  FROM ra FULL JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id
+)
+SELECT qid, doc_id, rrf FROM f
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+        <= {_RRF_OUT}
+ORDER BY qid, rrf DESC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10630,4 +10801,5 @@ SQL_QUERIES = {
         q_sorted_neighborhood_pairs,
         SQL_SORTED_NEIGHBORHOOD_PAIRS,
     ),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
 }

@@ -137,3 +137,65 @@ def test_snm_tiny_input_no_window(ray_session, tmp_path):
     ).to_pandas()
     assert len(got) == 1
     assert got.iloc[0]["jacc"] == 1.0
+
+
+def _write_corpus(tmp_path, texts, vecs):
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_rrf_dual_list_beats_single_list_top(ray_session, tmp_path):
+    # doc 3: top of the VECTOR list only (orthogonal tokens);
+    # doc 4: mid-rank in BOTH lists.  RRF must put 4 above 3:
+    # 1/(60+2) + 1/(60+2) > 1/(60+1) + 0.
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_rrf_fusion
+
+    texts = [
+        "alpha beta gamma",          # q0
+        "unused one", "unused two",  # q1, q2 (required: ids < _RRF_NQ)
+        "zz yy xx",                  # 3: zero token overlap with q0
+        "alpha beta qq",             # 4: lexical overlap 2 with q0
+        "alpha rr ss",               # 5: lexical overlap 1
+    ]
+    v = np.eye(8)
+    vecs = [
+        v[0],                        # q0
+        v[1], v[2],                  # q1, q2
+        v[0] * 0.9 + v[3] * 0.1,     # 3: cosine rank 1 for q0
+        v[0] * 0.5 + v[4] * 0.5,     # 4: cosine rank 2
+        v[5],                        # 5: cosine 0
+    ]
+    out = q_rrf_fusion(_write_corpus(tmp_path, texts, vecs))
+    q0 = out[out["qid"] == 0].reset_index(drop=True)
+    pos = {int(r.doc_id): i for i, r in q0.iterrows()}
+    # q0 itself is rank 1 in both lists (self-retrieval)
+    assert q0.iloc[0]["doc_id"] == 0
+    assert pos[4] < pos[3]  # dual-list mid beats single-list top
+    # doc 3 appears with ONLY its vector term (no lexical contribution)
+    r3 = q0[q0["doc_id"] == 3].iloc[0]["rrf"]
+    assert r3 == 1.0 / (60 + 2)  # vec rank 2 behind the query itself
+
+
+def test_rrf_fused_score_formula(ray_session, tmp_path):
+    # two-doc corpus beyond the queries: both ranks fully determined,
+    # fused score must equal the hand formula exactly
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_rrf_fusion
+
+    texts = ["a b", "u1", "u2", "a b c", "a x y"]
+    v = np.eye(4)
+    vecs = [v[0], v[1], v[2], v[0], 0.7 * v[0] + 0.3 * v[3]]
+    out = q_rrf_fusion(_write_corpus(tmp_path, texts, vecs))
+    q0 = out[out["qid"] == 0].set_index("doc_id")["rrf"]
+    # doc 3: vec rank 2 (cos 1.0, id tiebreak behind q0), lex rank 2
+    assert q0.loc[3] == 1.0 / 62 + 1.0 / 62
+    # doc 4: vec rank 3, lex rank 3 (overlap 1 < doc 3's 2)
+    assert q0.loc[4] == 1.0 / 63 + 1.0 / 63
