@@ -355,6 +355,9 @@ _LOCAL_ONLY = {
     "rrf_fusion",                # hybrid rank fusion; same (both base
                                  # rankings driver-exercised via
                                  # knn_filtered and bm25_topk)
+    "ols_by_lang",               # sufficient-statistics OLS; same
+    "ams_f2",                    # AMS F2 sketch; same (mergeable-sketch
+                                 # family exposed via approx_quantile_hist)
 }
 
 

@@ -260,6 +260,8 @@ def run_queries() -> dict:
         "frequent_itemsets",
         "sorted_neighborhood_pairs",
         "rrf_fusion",
+        "ols_by_lang",
+        "ams_f2",
     ]
     times = {}
     for name in picks:

@@ -10648,6 +10648,175 @@ ORDER BY qid, rrf DESC, doc_id
 
 
 # ---------------------------------------------------------------------------
+# per-group closed-form OLS (distributed linear regression by sufficient
+# statistics)
+# ---------------------------------------------------------------------------
+def q_ols_by_lang(sf_dir: str):
+    """Per-language ordinary least squares of token count on character
+    count — the distributed closed-form regression: every batch emits
+    only the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) per
+    group, the driver reduces the bounded (blocks × langs) partials,
+    and slope/intercept come out of the normal equations
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+
+    No shuffle, no per-row state, O(groups) driver memory — the
+    map-side-sufficient-statistics shape every grouped model fit at
+    scale reduces to.  All sums are exact integers; the driver widens
+    them to Python ints (the SQL side uses HUGEINT) so the products
+    never wrap, then performs exactly one double conversion + one
+    double division per coefficient — bit-identical to the oracle.
+    """
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.int64)
+        y = np.fromiter(
+            (len(_TOKEN_RE.findall(t)) for t in df["text"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        g = pd.DataFrame(
+            {"lang": df["lang"], "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x}
+        )
+        return g.groupby("lang", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("lang", as_index=False).sum().sort_values("lang")
+    out = []
+    for r in agg.itertuples():
+        # Python ints: exact products even past int64 (SQL: HUGEINT)
+        n, sx, sy, sxy, sxx = (
+            int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx)
+        )
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = float(sy * sxx - sx * sxy) / float(den)
+        out.append(
+            {"lang": r.lang, "n": n, "slope": slope, "intercept": intercept}
+        )
+    res = pd.DataFrame(out)
+    res["n"] = res["n"].astype("int64")
+    return res.reset_index(drop=True)
+
+
+SQL_OLS_BY_LANG = """
+WITH b AS (
+  SELECT lang,
+         CAST(n_chars AS HUGEINT) AS x,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS HUGEINT) AS y
+  FROM documents
+), s AS (
+  SELECT lang,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+FROM s
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (second frequency moment / self-join size estimation)
+# ---------------------------------------------------------------------------
+_AMS_R = 9  # independent ±1 estimators; odd so the median is one of them
+
+
+def _ams_signs(tokens, r: int) -> np.ndarray:
+    """Deterministic ±1 sign per token for estimator row ``r``
+    (md5-derived, so the SQL oracle reproduces the sketch exactly)."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            1 if int(md5(f"{r}:{t}".encode()).hexdigest()[:16], 16) % 2 == 0
+            else -1
+            for t in tokens
+        ),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+
+
+def q_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy, STOC
+    1996) per language: F2 = Σ_tok count(tok)² — the self-join-size /
+    skew statistic — estimated as the median of ``_AMS_R`` independent
+    (Σ ±count)² estimators.  The whole sketch is MERGEABLE integer
+    state: each batch emits (lang, r, z) partials with
+    z = Σ sign_r(tok)·count(tok) over the batch's tokens, the driver
+    sums the bounded (blocks × langs × R) rows and takes the integer
+    median of z² — no shuffle, O(langs × R) driver state, one corpus
+    pass, vocabulary never leaves the workers (the exact F2 needs a
+    token-keyed shuffle; the sketch needs 9 ints per group).  Signs are
+    md5-derived so both engines build the identical sketch, making even
+    this randomized estimator bit-exact under the oracle.
+    """
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang"):
+            cnt = Counter()
+            for t in g["text"]:
+                cnt.update(_TOKEN_RE.findall(t))
+            toks = list(cnt.keys())
+            c = np.fromiter(cnt.values(), dtype=np.int64, count=len(toks))
+            for r in range(_AMS_R):
+                out.append(
+                    {
+                        "lang": lang,
+                        "r": r,
+                        "z": int((_ams_signs(toks, r) * c).sum()),
+                    }
+                )
+        return pd.DataFrame(
+            out, columns=["lang", "r", "z"]
+        ).astype({"r": "int64", "z": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    z = parts.groupby(["lang", "r"], as_index=False)["z"].sum()
+    z["zz"] = z["z"] * z["z"]
+    est = (
+        z.groupby("lang", as_index=False)["zz"]
+        .median()
+        .rename(columns={"zz": "f2_est"})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    est["f2_est"] = est["f2_est"].astype("int64")
+    return est
+
+
+SQL_AMS_F2 = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), est AS (
+  SELECT lang, r.r,
+         sum(CASE WHEN CAST(
+               ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 16))
+               AS UBIGINT) % 2 = 0 THEN c ELSE -c END) AS z
+  FROM cnt CROSS JOIN (SELECT unnest(range({_AMS_R})) AS r) r
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(median(z * z) AS BIGINT) AS f2_est
+FROM est GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10802,4 +10971,6 @@ SQL_QUERIES = {
         SQL_SORTED_NEIGHBORHOOD_PAIRS,
     ),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "ols_by_lang": (q_ols_by_lang, SQL_OLS_BY_LANG),
+    "ams_f2": (q_ams_f2, SQL_AMS_F2),
 }

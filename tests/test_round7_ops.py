@@ -199,3 +199,98 @@ def test_rrf_fused_score_formula(ray_session, tmp_path):
     assert q0.loc[3] == 1.0 / 62 + 1.0 / 62
     # doc 4: vec rank 3, lex rank 3 (overlap 1 < doc 3's 2)
     assert q0.loc[4] == 1.0 / 63 + 1.0 / 63
+
+
+def test_ols_recovers_exact_linear_relation(ray_session, tmp_path):
+    # y (token count) = exactly 1 per 4 chars: "abc " repeated k times
+    # gives n_chars = 4k (we set the column), tokens = k -> slope 0.25,
+    # intercept 0 recovered exactly (all sums integer, one division)
+    ks = [1, 2, 3, 5, 8, 13]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(ks)),
+            "text": ["abc " * k for k in ks],
+            "lang": "en",
+            "n_chars": [4 * k for k in ks],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_ols_by_lang
+
+    out = q_ols_by_lang(str(tmp_path))
+    assert len(out) == 1
+    assert out.iloc[0]["slope"] == 0.25
+    assert out.iloc[0]["intercept"] == 0.0
+    assert out.iloc[0]["n"] == len(ks)
+
+
+def test_ols_per_group_independent_fits(ray_session, tmp_path):
+    # two langs with different exact relations: slopes must not mix
+    rows = []
+    for k in (1, 2, 4, 7):
+        rows.append({"text": "a " * k, "lang": "en", "n_chars": 2 * k})
+        rows.append({"text": "b " * k, "lang": "de", "n_chars": 6 * k})
+    df = pd.DataFrame(rows)
+    df["doc_id"] = range(len(df))
+    df.to_parquet(tmp_path / "documents.parquet")
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import q_ols_by_lang
+
+    out = q_ols_by_lang(str(tmp_path)).set_index("lang")
+    assert out.loc["en", "slope"] == 0.5
+    assert out.loc["de", "slope"] == 1.0 / 6.0
+
+
+def _brute_ams(texts, langs):
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _AMS_R,
+        _TOKEN_RE,
+        _ams_signs,
+    )
+
+    out = {}
+    for lang in sorted(set(langs)):
+        cnt = Counter()
+        for t, lg in zip(texts, langs):
+            if lg == lang:
+                cnt.update(_TOKEN_RE.findall(t))
+        toks = list(cnt.keys())
+        c = np.array(list(cnt.values()), dtype=np.int64)
+        zz = sorted(
+            int((_ams_signs(toks, r) * c).sum()) ** 2 for r in range(_AMS_R)
+        )
+        out[lang] = zz[len(zz) // 2]  # integer median (odd R)
+    return out
+
+
+def test_ams_f2_matches_brute_sketch_and_bounds_error(ray_session, tmp_path):
+    # Zipf-ish corpus: estimate must equal the deterministic brute
+    # sketch exactly, and land within 3x of the true F2 on this corpus
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    p = np.array([1.0 / (i + 1) for i in range(40)])
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=60, p=p)) for _ in range(50)
+    ]
+    langs = ["en"] * 25 + ["de"] * 25
+    pd.DataFrame(
+        {"doc_id": range(50), "text": texts, "lang": langs}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_ray.pipelines.queries import (
+        _TOKEN_RE,
+        q_ams_f2,
+    )
+
+    out = q_ams_f2(str(tmp_path)).set_index("lang")["f2_est"].to_dict()
+    assert out == _brute_ams(texts, langs)
+    for lang in ("en", "de"):
+        cnt = Counter()
+        for t, lg in zip(texts, langs):
+            if lg == lang:
+                cnt.update(_TOKEN_RE.findall(t))
+        true_f2 = sum(v * v for v in cnt.values())
+        assert true_f2 / 3 <= out[lang] <= true_f2 * 3
