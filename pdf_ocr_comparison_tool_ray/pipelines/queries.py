@@ -10817,6 +10817,165 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# greedy maximum-coverage selection (submodular data-subset selection)
+# ---------------------------------------------------------------------------
+_MAXCOV_K = 5
+
+
+def q_max_cover_select(sf_dir: str):
+    """Greedy maximum-coverage document selection (the classic
+    submodular-maximization data-subset pick, Nemhauser et al. 1978's
+    (1 − 1/e) greedy): select ``_MAXCOV_K`` documents maximizing the
+    number of DISTINCT word BIGRAMS covered — each round picks the
+    document with the largest marginal gain ``|bigrams(d) \\ covered|``
+    (ties to the smallest doc_id, only gains >= 1 are candidates, so
+    selection stops early once everything is covered).  Bigrams, not
+    unigrams: this corpus's unigram vocabulary fits inside a single
+    document, which would make the greedy loop structurally trivial.
+
+    Distributed shape (the greedy-selection loop family shared with
+    ``kcenter_select``): documents tokenize ONCE into a materialized
+    (doc_id, token-list) dataset; each round is one map pass against
+    the BROADCAST covered-set emitting a single per-block best
+    candidate (one row per block to the driver), and the covered set
+    grows by one document's tokens — driver state is K candidates per
+    round plus the covered vocabulary, never the corpus.  Marginal
+    gains are integers, so the argmax and tie-break replay exactly in
+    the unrolled SQL rounds.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pa.Table:
+        toks = []
+        for t in df["text"]:
+            ws = _LOWER_TOKEN_RE.findall(t.lower())
+            toks.append(
+                sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(), type=pa.int64()
+                ),
+                "toks": pa.array(toks, type=pa.list_(pa.string())),
+            }
+        )
+
+    tok_ds = docs.map_batches(tok, batch_format="pandas").materialize()
+
+    covered: frozenset = frozenset()
+    picked: list = []
+    out = []
+    for rnd in range(1, _MAXCOV_K + 1):
+        cov_ref = ray.put((covered, frozenset(picked)))
+
+        def best(batch: pa.Table) -> pa.Table:
+            # per-block best candidate; its NEW bigrams ride along (\x1f-
+            # joined) so the driver never rescans the corpus to grow the
+            # covered set
+            cov, skip = _broadcast_get(cov_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            best_g, best_id, best_new = 0, None, ""
+            for i, lst in enumerate(batch["toks"].to_pylist()):
+                d = int(ids[i])
+                if d in skip:
+                    continue
+                new = [t for t in lst if t not in cov]
+                g = len(new)
+                if g >= 1 and (
+                    g > best_g or (g == best_g and d < best_id)
+                ):
+                    best_g, best_id, best_new = g, d, "\x1f".join(new)
+            if best_id is None:
+                return pa.table(
+                    {"doc_id": pa.array([], type=pa.int64()),
+                     "g": pa.array([], type=pa.int64()),
+                     "new": pa.array([], type=pa.string())}
+                )
+            return pa.table(
+                {"doc_id": pa.array([best_id], type=pa.int64()),
+                 "g": pa.array([best_g], type=pa.int64()),
+                 "new": pa.array([best_new], type=pa.string())}
+            )
+
+        cand = tok_ds.map_batches(
+            best, batch_format="pyarrow"
+        ).to_pandas()  # bounded: one row per block
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["g", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        d, g = int(cand.iloc[0]["doc_id"]), int(cand.iloc[0]["g"])
+        picked.append(d)
+        covered = covered | frozenset(cand.iloc[0]["new"].split("\x1f"))
+        out.append({"rk": rnd, "doc_id": d, "gain": g})
+    res = pd.DataFrame(out, columns=["rk", "doc_id", "gain"])
+    return res.astype({"rk": "int64", "doc_id": "int64", "gain": "int64"})
+
+
+def _sql_max_cover() -> str:
+    """Unrolled greedy rounds (MATERIALIZED hints per the bpe_train
+    lesson: without them DuckDB re-derives the upstream round chain
+    inside every later round)."""
+    parts = [
+        """WITH ws AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), tk AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS tok
+  FROM ws, unnest(range(0, greatest(len(ts) - 1, 0))) AS t(i)
+)"""
+    ]
+    prev_sel: list = []
+    prev_cov = None
+    for r in range(1, _MAXCOV_K + 1):
+        skip = (
+            f"AND t.doc_id NOT IN ({' UNION ALL '.join(prev_sel)})"
+            if prev_sel
+            else ""
+        )
+        if prev_cov is None:
+            gain = f"""g{r} AS MATERIALIZED (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS g
+  FROM tk t
+  WHERE 1=1 {skip}
+  GROUP BY 1
+)"""
+        else:
+            gain = f"""g{r} AS MATERIALIZED (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS g
+  FROM tk t LEFT JOIN {prev_cov} c ON t.tok = c.tok
+  WHERE c.tok IS NULL {skip}
+  GROUP BY 1
+)"""
+        parts.append(gain)
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT doc_id, g FROM g{r} WHERE g >= 1
+  ORDER BY g DESC, doc_id LIMIT 1
+)"""
+        )
+        cov = f"""c{r} AS MATERIALIZED (
+  SELECT DISTINCT tok FROM (
+    {"SELECT tok FROM " + prev_cov + " UNION ALL" if prev_cov else ""}
+    SELECT t.tok FROM tk t JOIN s{r} s ON t.doc_id = s.doc_id
+  )
+)"""
+        parts.append(cov)
+        prev_sel = [f"SELECT doc_id FROM s{i}" for i in range(1, r + 1)]
+        prev_cov = f"c{r}"
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rk, doc_id, g AS gain FROM s{r}"
+        for r in range(1, _MAXCOV_K + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel}\nORDER BY rk"
+
+
+SQL_MAX_COVER_SELECT = _sql_max_cover()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 SQL_QUERIES = {
@@ -10973,4 +11132,5 @@ SQL_QUERIES = {
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "ols_by_lang": (q_ols_by_lang, SQL_OLS_BY_LANG),
     "ams_f2": (q_ams_f2, SQL_AMS_F2),
+    "max_cover_select": (q_max_cover_select, SQL_MAX_COVER_SELECT),
 }
